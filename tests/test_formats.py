@@ -1,0 +1,86 @@
+"""Device-format SpMV correctness vs the host CSR oracle.
+
+Every registered format must reproduce ``HostCSR.spmv`` exactly (f64 on the
+CPU test backend) on the Matrix-Market fixtures and generated stencils —
+the device analog of the reference's golden SpMV tests
+(tests/solver/solverTests.c, SURVEY.md §4).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from sparsebench_tpu.config import DTypePolicy
+from sparsebench_tpu.formats import FORMATS, from_csr
+from sparsebench_tpu.formats.dia import DiaMatrix, DiaUnsuitableError
+from sparsebench_tpu.host import HostCSR, generate_stencil, read_mm
+
+jax.config.update("jax_enable_x64", True)
+
+POLICY = DTypePolicy.from_names("f64", "i32")
+GENERAL_FORMATS = ["crs", "ccrs", "sell", "ell"]
+
+
+def _fixtures(test_matrices_dir):
+    for p in sorted(test_matrices_dir.glob("*.mtx")):
+        yield p.name, HostCSR.from_coo(read_mm(str(p)))
+
+
+@pytest.mark.parametrize("fmt", GENERAL_FORMATS)
+def test_spmv_fixtures(test_matrices_dir, fmt):
+    rng = np.random.default_rng(0)
+    for name, csr in _fixtures(test_matrices_dir):
+        dm = from_csr(fmt, csr, POLICY)
+        x = rng.standard_normal(csr.nc)
+        y = np.asarray(jax.jit(dm.spmv)(x))
+        np.testing.assert_allclose(y, csr.spmv(x), rtol=1e-12, err_msg=f"{fmt}:{name}")
+
+
+@pytest.mark.parametrize("fmt", GENERAL_FORMATS + ["dia"])
+def test_spmv_stencil(fmt):
+    csr = generate_stencil(5, 4, 3)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(csr.nc)
+    dm = from_csr(fmt, csr, POLICY)
+    y = np.asarray(jax.jit(dm.spmv)(x))
+    np.testing.assert_allclose(y, csr.spmv(x), rtol=1e-12)
+
+
+@pytest.mark.parametrize("C,sigma", [(1, 1), (8, 1), (32, 0), (4, 16)])
+def test_sell_params(test_matrices_dir, C, sigma):
+    csr = HostCSR.from_coo(read_mm(str(test_matrices_dir / "test8.mtx")))
+    dm = from_csr("sell", csr, POLICY, C=C, sigma=sigma)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(csr.nc)
+    np.testing.assert_allclose(np.asarray(dm.spmv(x)), csr.spmv(x), rtol=1e-12)
+
+
+def test_sell_permutation_roundtrip():
+    csr = generate_stencil(3, 3, 3)
+    dm = from_csr("sell", csr, POLICY, C=4, sigma=0)
+    v = np.arange(csr.nr, dtype=np.float64)
+    vp = dm.permute_vector(v)
+    np.testing.assert_array_equal(np.asarray(dm.unpermute_vector(vp)), v)
+    # permuted-space spmv consistency
+    x = np.linspace(0, 1, csr.nc)
+    y1 = np.asarray(dm.spmv(x))
+    y2 = np.asarray(dm.unpermute_vector(dm.spmv_permuted(dm.permute_vector(x))))
+    np.testing.assert_allclose(y1, y2, rtol=1e-14)
+
+
+def test_dia_band_klein(data_dir):
+    csr = HostCSR.from_coo(read_mm(str(data_dir / "matrix_band_klein.mtx")))
+    dm = DiaMatrix.from_csr(csr, POLICY)
+    x = np.linspace(-1, 1, csr.nc)
+    np.testing.assert_allclose(np.asarray(dm.spmv(x)), csr.spmv(x), rtol=1e-12)
+
+
+def test_dia_rejects_wide_matrices(test_matrices_dir):
+    csr = HostCSR.from_coo(read_mm(str(test_matrices_dir / "test0.mtx")))
+    with pytest.raises(DiaUnsuitableError):
+        DiaMatrix.from_csr(csr, POLICY, max_diags=2)
+
+
+def test_registry_contents():
+    for name in ("crs", "ccrs", "sell", "ell", "dia"):
+        assert name in FORMATS
