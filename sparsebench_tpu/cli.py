@@ -1,0 +1,233 @@
+"""Command-line driver (reference src/main.c).
+
+Flag parity with the reference getopt interface (src/main.c:99-154, help
+text src/main.c:24-40): ``-h -c -f -m -t -x -y -z -i -e``, plus runtime
+options the reference fixes at compile time (format, dtypes, C/sigma — see
+config.mk:1-8) and TPU-specific controls (shards, profile mode, trace dir).
+
+Flow mirrors main (src/main.c:83-230):
+  banner -> init matrix (generate | .mtx | .bmx) -> [partition] ->
+  convert format -> profiler factors -> solve/bench -> report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from sparsebench_tpu.config import DTypePolicy, Parameter, read_parameter
+from sparsebench_tpu.version import __version__
+
+BANNER = r"""
+   _____                             ____                  __       ______   ___  __  __
+  / ___/____  ____ ______________   / __ )___  ____  _____/ /_     /_  __/  / _ \/ / / /
+  \__ \/ __ \/ __ `/ ___/ ___/ _ \ / __  / _ \/ __ \/ ___/ __ \     / /    / ___/ / / /
+ ___/ / /_/ / /_/ / /  (__  )  __// /_/ /  __/ / / / /__/ / / /    / /    / /  / /_/ /
+/____/ .___/\__,_/_/  /____/\___//_____/\___/_/ /_/\___/_/ /_/    /_/    /_/   \____/
+    /_/                                TPU-native sparse solver benchmarks
+"""
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="sparsebench_tpu",
+        description="TPU-native sparse solver benchmark (CG / SpMV over "
+        "CRS, CCRS, SELL-C-sigma, ELL, DIA formats).",
+        allow_abbrev=False,
+    )
+    # reference flags (src/main.c:24-40)
+    ap.add_argument("-c", metavar="FILE", dest="convert",
+                    help="Convert MM matrix to binary matrix file (.bmx)")
+    ap.add_argument("-f", metavar="FILE", dest="par_file",
+                    help="Load options from a parameter file")
+    ap.add_argument("-m", metavar="FILE", dest="mm_file",
+                    help="Load a matrix market file")
+    ap.add_argument("-t", dest="bench", default=None,
+                    choices=["cg", "spmv", "gmres", "cheb"],
+                    help="Benchmark type. Default cg.")
+    ap.add_argument("-x", type=int, default=None, help="Generated size in x")
+    ap.add_argument("-y", type=int, default=None, help="Generated size in y")
+    ap.add_argument("-z", type=int, default=None, help="Generated size in z")
+    ap.add_argument("-i", type=int, default=None, dest="itermax",
+                    help="Number of solver iterations. Default 150.")
+    ap.add_argument("-e", type=float, default=None, dest="eps",
+                    help="Convergence criteria epsilon. Default 0.0.")
+    # runtime options (compile-time in the reference, config.mk:1-8)
+    ap.add_argument("--fmt", default=None,
+                    choices=["crs", "ccrs", "sell", "ell", "dia"],
+                    help="Matrix format (reference MTX_FMT). Default sell.")
+    ap.add_argument("--dtype", default=None, choices=["f64", "f32", "bf16"],
+                    help="Value dtype (reference FLOAT_TYPE). Default f64.")
+    ap.add_argument("--index-dtype", default=None, choices=["i32", "i64"],
+                    help="Index dtype (reference UINT_TYPE). Default i32.")
+    ap.add_argument("-C", "--chunk-height", type=int, default=None,
+                    help="SELL-C-sigma chunk height C (0 = auto)")
+    ap.add_argument("--sigma", type=int, default=None,
+                    help="SELL-C-sigma sorting scope (0 = full sort)")
+    # TPU-specific
+    ap.add_argument("--shards", type=int, default=None,
+                    help="Shard the solve over this many mesh devices")
+    ap.add_argument("--profile", action="store_true",
+                    help="Per-region timing report (reference profiler table)")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="Write an XLA profiler trace (LIKWID analog)")
+    ap.add_argument("--version", action="version", version=__version__)
+    return ap
+
+
+def apply_args(param: Parameter, args: argparse.Namespace) -> Parameter:
+    """CLI overrides .par file overrides defaults (reference main.c order:
+    options are processed in command-line order; -f loads first in
+    practice)."""
+    if args.par_file:
+        read_parameter(param, args.par_file)
+    if args.mm_file:
+        param.filename = args.mm_file
+    for key_cli, key_param in [
+        ("x", "nx"), ("y", "ny"), ("z", "nz"), ("itermax", "itermax"),
+        ("eps", "eps"), ("fmt", "fmt"), ("dtype", "dtype"),
+        ("index_dtype", "index_dtype"), ("chunk_height", "chunk_height"),
+        ("sigma", "sigma"), ("shards", "shards"), ("bench", "bench"),
+    ]:
+        v = getattr(args, key_cli, None)
+        if v is not None:
+            setattr(param, key_param, v)
+    return param
+
+
+def init_matrix(param: Parameter, rank: int = 0, size: int = 1):
+    """Reference initMatrix (src/main.c:54-81)."""
+    from sparsebench_tpu.host import HostCSR, generate_stencil, read_mm
+    from sparsebench_tpu.host.binfile import rank_row_range, read_bmx
+
+    fn = param.filename
+    if fn == "generate":
+        return generate_stencil(param.nx, param.ny, param.nz, rank=rank, size=size)
+    if fn == "generate7P":
+        return generate_stencil(
+            param.nx, param.ny, param.nz, rank=rank, size=size, use_7pt=True
+        )
+    if fn.endswith(".mtx"):
+        if size > 1:
+            # master-read + scatter analog: each shard slices its row block
+            from sparsebench_tpu.parallel.partition import slice_coo_rows
+
+            coo = read_mm(fn)
+            return HostCSR.from_coo(slice_coo_rows(coo, rank, size))
+        print("Read MTX matrix")
+        return HostCSR.from_coo(read_mm(fn))
+    if fn.endswith(".bmx"):
+        print("Read BMX matrix")
+        total_nr, _ = __import__(
+            "sparsebench_tpu.host.binfile", fromlist=["read_bmx_header"]
+        ).read_bmx_header(fn)
+        rng = rank_row_range(rank, size, total_nr) if size > 1 else None
+        return read_bmx(fn, row_range=rng, size=size)
+    raise SystemExit(f"Unknown matrix file format: {fn}")
+
+
+def write_bin_matrix(filename: str) -> None:
+    """Reference writeBinMatrix (src/main.c:42-52)."""
+    from sparsebench_tpu.host import HostCSR, read_mm
+    from sparsebench_tpu.host.binfile import write_bmx
+
+    csr = HostCSR.from_coo(read_mm(filename))
+    out = filename.rsplit(".", 1)[0] + ".bmx"  # util.c changeFileEnding
+    print(f"Writing matrix to {out}")
+    write_bmx(csr, out)
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    param = apply_args(Parameter(), args)
+
+    if args.convert:
+        write_bin_matrix(args.convert)
+        return 0
+
+    policy = DTypePolicy.from_names(param.dtype, param.index_dtype)
+    policy.ensure_x64()
+
+    import jax
+
+    from sparsebench_tpu.formats import from_csr
+    from sparsebench_tpu.profiler import Profiler, Region, trace
+    from sparsebench_tpu.solvers.cg import check_residual, init_vectors, solve_cg
+    from sparsebench_tpu.solvers.profiled import bench_spmv, solve_cg_profiled
+
+    devices = jax.devices()
+    print(BANNER)
+    print(
+        f"sparsebench_tpu {__version__} | format {param.fmt} | "
+        f"precision {param.dtype}/{param.index_dtype} | "
+        f"{len(devices)}x {devices[0].device_kind}"
+    )
+
+    generated = param.filename in ("generate", "generate7P")
+
+    t0 = time.perf_counter()
+    if param.shards > 1:
+        from sparsebench_tpu.parallel.driver import run_distributed
+
+        return run_distributed(param, policy, args)
+    csr = init_matrix(param)
+    A = from_csr(
+        param.fmt, csr, policy, C=param.chunk_height, sigma=param.sigma
+    )
+    print(f"Setup took {time.perf_counter() - t0:.2f}s")
+
+    prof = Profiler()
+    model_nnz = csr.model_total_nnz if csr.model_total_nnz > 0 else csr.total_nnz
+    prof.init_factors(
+        csr.total_nr, model_nnz, policy.value_bytes, policy.index_bytes
+    )
+
+    iterations = 0
+    with trace(args.trace):
+        if param.bench == "cg":
+            print("Test type: CG")
+            x0, b, xexact = init_vectors(csr, dtype=policy.value, generated=generated)
+            if args.profile:
+                res = solve_cg_profiled(
+                    A, b, prof, itermax=param.itermax, eps=param.eps
+                )
+            else:
+                res = solve_cg(A, b, itermax=param.itermax, eps=param.eps)
+                prof.times[Region.SPMVM] = res.solve_seconds  # aggregate only
+            iterations = res.iterations
+            if xexact is not None:
+                diff = check_residual(res.x, xexact)
+                print(f"Difference between computed and exact  = {diff:f}")
+        elif param.bench == "spmv":
+            print("Test type: SPMVM")
+            bench_spmv(A, prof, itermax=param.itermax, fused_reps=20)
+            iterations = param.itermax - 1 if param.itermax > 1 else 1
+        elif param.bench == "gmres":
+            print("Test type: GMRES")
+            from sparsebench_tpu.solvers.gmres import solve_gmres
+
+            b = np.ones(csr.nr, dtype=policy.value)
+            res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps)
+            iterations = res.iterations
+        elif param.bench == "cheb":
+            print("Test type: CHEBFD")
+            from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
+
+            x0, b, xexact = init_vectors(csr, dtype=policy.value, generated=generated)
+            res = solve_chebyshev(A, b, itermax=param.itermax, eps=param.eps)
+            iterations = res.iterations
+            if xexact is not None:
+                diff = check_residual(res.x, xexact)
+                print(f"Difference between computed and exact  = {diff:f}")
+
+    if args.profile or param.bench == "spmv":
+        print(prof.report(iterations))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

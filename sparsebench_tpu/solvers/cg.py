@@ -1,0 +1,241 @@
+"""Conjugate-Gradient solver (reference src/CGSolver.c).
+
+Unpreconditioned HPCG-style CG with the reference's exact iteration
+structure (src/CGSolver.c:94-129):
+
+    init:  p = x0; exchange(p); Ap = A p; r = b - Ap; rtrans = r.r
+    k = 1 .. itermax-1 while normr > eps:
+        k == 1:  p = r
+        else:    rtrans, old = r.r, rtrans; beta = rtrans/old; p = r + beta p
+        normr = sqrt(rtrans)
+        exchange(p); Ap = A p
+        alpha = rtrans / (p . Ap)
+        x += alpha p;  r -= alpha Ap
+
+TPU-first differences from the reference:
+  * the whole loop is one ``lax.while_loop`` inside a single jit — no
+    host round-trips per iteration; the residual history is recorded into
+    a preallocated on-device array and printed after the solve (the
+    reference prints from inside the loop, src/CGSolver.c:118-120 —
+    same text, different time);
+  * communication is injected: ``exchange`` fills the halo tail of p and
+    ``allsum`` reduces dot products (identity on a single device; ppermute /
+    psum inside shard_map for the distributed solve) — per iteration that
+    is exactly the reference's 2 allreduces + 1 halo exchange (SURVEY §3.1);
+  * row-permuting formats (SELL-C-sigma) are handled by permuting b/x0 once
+    and un-permuting x at the end, so the hot loop runs natively in the
+    format's row order. The reference never applies its SCS permutation in
+    CG — a latent bug (SURVEY.md §7) fixed here structurally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_identity = lambda v: v  # noqa: E731
+
+
+def safe_div(num, den):
+    """num/den with 0 when den == 0 (exact-convergence guard, see cg_loop)."""
+    return jnp.where(den != 0, num / jnp.where(den != 0, den, 1), 0)
+
+
+@dataclasses.dataclass
+class CGResult:
+    x: np.ndarray                    # solution, original row order
+    iterations: int                  # reference's returned k (CGSolver.c:138)
+    residual_history: np.ndarray     # normr per iteration; [0] = initial
+    final_normr: float
+    solve_seconds: float
+
+
+def cg_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+):
+    """Pure jittable CG. ``A`` is any device format (pytree); ``b``/``x0``
+    are length-nr vectors already in the format's row order. Returns
+    (x, k, history[itermax]) with history[j] = normr at iteration j
+    (nan where not reached).
+    """
+    nr = b.shape[0]
+    nc = A.nc
+    vdt = b.dtype
+    sdt = acc_dtype or vdt
+
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+
+    def dot(u, v):
+        # elementwise multiply + tree-sum, NOT jnp.dot: XLA's dot lowering
+        # (CPU gemv, TPU MXU) loses precision (~1e-3 relative observed on
+        # the CPU backend for f64!) which flips r.r negative at machine-zero
+        # residuals; sum() lowers to an accurate tree reduction everywhere.
+        return allsum(jnp.sum(u.astype(sdt) * v.astype(sdt)))
+
+    def widen(v):
+        # length-nc working vector with halo tail (reference allocates p at
+        # ncol, src/CGSolver.c:70)
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
+
+    # ---- init (reference src/CGSolver.c:94-104)
+    p = exchange(widen(x0))
+    Ap = spmv(p)
+    r = b - Ap
+    rtrans0 = dot(r, r)
+    normr0 = jnp.sqrt(rtrans0)
+
+    history0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+
+    def cond(state):
+        k, _x, _p, _r, _rtrans, normr, _hist, done = state
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
+        )
+
+    def body(state):
+        k, x, p, r, rtrans, _normr, hist, done = state
+
+        def first(_):
+            return rtrans, widen(r)
+
+        def rest(_):
+            new_rtrans = dot(r, r)
+            beta = (safe_div(new_rtrans, rtrans)).astype(vdt)
+            return new_rtrans, widen(r) + beta * p
+
+        rtrans, p = jax.lax.cond(k == 1, first, rest, None)
+        normr = jnp.sqrt(rtrans)
+        hist = hist.at[k].set(normr)
+
+        p = exchange(p)
+        Ap = spmv(p)
+        # Breakdown guard: at machine-zero residual pAp underflows and
+        # alpha = rtrans/pAp explodes — the reference then poisons x with
+        # inf - inf = NaN (src/CGSolver.c:124-127). We detect the breakdown
+        # (pAp no longer a healthy positive multiple of rtrans), freeze the
+        # converged state, and exit.
+        pAp = dot(p[:nr], Ap)
+        breakdown = pAp <= rtrans * 1e-30
+        alpha = jnp.where(breakdown, 0, safe_div(rtrans, pAp)).astype(vdt)
+        x = x + alpha * p[:nr]
+        r = r - alpha * Ap
+        return k + 1, x, p, r, rtrans, normr, hist, breakdown
+
+    state = (jnp.asarray(1), x0, p, r, rtrans0, normr0, history0,
+             jnp.asarray(False))
+    k, x, p, r, rtrans, normr, hist, _done = jax.lax.while_loop(
+        cond, body, state
+    )
+    return x, k, hist
+
+
+def solve_cg(
+    A,
+    b: np.ndarray,
+    *,
+    x0: Optional[np.ndarray] = None,
+    itermax: int = 150,
+    eps: float = 0.0,
+    exchange: Callable = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    verbose: bool = True,
+) -> CGResult:
+    """Host driver: permutation handling, jit, timing, residual printing.
+
+    ``b`` is in original row order; the result ``x`` likewise.
+    """
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
+    else:
+        x0 = jnp.asarray(x0)
+
+    permuted = getattr(A, "permuted_output", False)
+    if permuted:
+        b_in = A.permute_vector(b)
+        x0_in = A.permute_vector(x0)
+    else:
+        b_in, x0_in = b, x0
+
+    loop = jax.jit(
+        partial(cg_loop, itermax=itermax, exchange=exchange, allsum=allsum,
+                acc_dtype=acc_dtype),
+        static_argnames=(),
+    )
+    eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)
+
+    # warm-up compile outside the timed section (the reference's compile cost
+    # is paid at build time; ours at first trace)
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    jax.block_until_ready(x_dev)
+
+    t0 = time.perf_counter()
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    jax.block_until_ready(x_dev)
+    t1 = time.perf_counter()
+
+    if permuted:
+        x_dev = A.unpermute_vector(x_dev)
+
+    k = int(k_dev)
+    hist = np.asarray(hist_dev)
+    if verbose:
+        print(f"Initial Residual = {hist[0]:E}")
+        print_freq = min(max(itermax // 10, 1), 50)  # CGSolver.c:85-91
+        for j in range(1, k):
+            if j % print_freq == 0 or j + 1 == itermax:
+                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
+
+    final = hist[k - 1] if k > 1 else hist[0]
+    return CGResult(
+        x=np.asarray(x_dev),
+        iterations=k,
+        residual_history=hist[:k],
+        final_normr=float(final),
+        solve_seconds=t1 - t0,
+    )
+
+
+def check_residual(
+    x: np.ndarray, xexact: np.ndarray, allmax: Callable = _identity
+) -> float:
+    """max|x - xexact| (reference solverCheckResidual, src/CGSolver.c:40-60)."""
+    local = jnp.max(jnp.abs(jnp.asarray(x) - jnp.asarray(xexact)))
+    return float(allmax(local))
+
+
+def init_vectors(csr, dtype=np.float64, generated: bool = True):
+    """Reference initVectors (src/CGSolver.c:19-38): x=0; for generated
+    problems b = 27 - (nnzrow - 1) with exact solution x == 1, else b = 1.
+
+    The reference only defines this under ``#ifdef CRS`` (CGSolver.c:21) —
+    a bug for SCS/CCRS builds (SURVEY §2.10); here it works for any format
+    because it operates on the CSR intermediate before conversion.
+    """
+    nr = csr.nr
+    x = np.zeros(nr, dtype=dtype)
+    if generated:
+        nnzrow = csr.row_lengths
+        b = (27.0 - (nnzrow - 1)).astype(dtype)
+        xexact = np.ones(nr, dtype=dtype)
+    else:
+        b = np.ones(nr, dtype=dtype)
+        xexact = None
+    return x, b, xexact

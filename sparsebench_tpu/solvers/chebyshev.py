@@ -1,0 +1,190 @@
+"""Chebyshev semi-iteration solver (the reference's CHEBFD bench type).
+
+The reference lists CHEBFD in its bench-type enum but has no implementation
+at all — not even an empty case (src/main.c:22, switch at 192-224). This is
+a real implementation: Chebyshev iteration is the communication-optimal
+iterative method (no inner products -> no per-iteration allreduce), which on
+a TPU mesh removes 2 of the 3 collectives a CG iteration needs (SURVEY
+§3.1) — only the halo exchange remains.
+
+Needs spectral bounds [lmin, lmax]; if absent they are estimated with a
+short Lanczos process (device matvecs, tiny tridiagonal eigensolve on host)
+with safety margins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_identity = lambda v: v  # noqa: E731
+
+
+@dataclasses.dataclass
+class ChebyshevResult:
+    x: np.ndarray
+    iterations: int
+    residual_history: np.ndarray
+    final_normr: float
+    solve_seconds: float
+    bounds: Tuple[float, float]
+
+
+def estimate_bounds(
+    A, nr: int, dtype, exchange=_identity, allsum=_identity, steps: int = 25,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Lanczos extreme-eigenvalue estimate with safety margins."""
+    nc = A.nc
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+
+    def widen(v):
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, dtype)])
+
+    @jax.jit
+    def matvec(v):
+        return spmv(exchange(widen(v)))
+
+    rng = np.random.default_rng(seed)
+    v = jnp.asarray(rng.standard_normal(nr).astype(dtype))
+    v = v / jnp.sqrt(allsum(jnp.sum(v * v)))
+    v_prev = jnp.zeros_like(v)
+    alphas, betas = [], []
+    beta = 0.0
+    steps = min(steps, nr)
+    for _ in range(steps):
+        w = matvec(v)
+        alpha = float(allsum(jnp.sum(v * w)))
+        w = w - alpha * v - beta * v_prev
+        beta_new = float(jnp.sqrt(allsum(jnp.sum(w * w))))
+        alphas.append(alpha)
+        betas.append(beta_new)
+        if beta_new < 1e-12:
+            break
+        v_prev, v = v, w / beta_new
+        beta = beta_new
+
+    T = np.diag(alphas)
+    off = np.asarray(betas[: len(alphas) - 1])
+    T += np.diag(off, 1) + np.diag(off, -1)
+    ev = np.linalg.eigvalsh(T)
+    lmin, lmax = float(ev[0]), float(ev[-1])
+    # Lanczos underestimates the spread on few steps; widen defensively.
+    spread = max(lmax - lmin, 1e-30)
+    return max(lmin - 0.1 * spread, 1e-8 * lmax), lmax * 1.05
+
+
+def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
+               allsum=_identity):
+    """Jittable Chebyshev iteration (standard 3-term recurrence)."""
+    nr = b.shape[0]
+    nc = A.nc
+    vdt = b.dtype
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+
+    def widen(v):
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
+
+    def matvec(v):
+        return spmv(exchange(widen(v)))
+
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma1 = theta / delta
+
+    r0 = b - matvec(x0)
+    normr0 = jnp.sqrt(allsum(jnp.sum(r0 * r0)))
+    hist0 = jnp.full(itermax, jnp.nan, vdt).at[0].set(normr0)
+
+    p0 = r0 / theta
+    x1 = x0 + p0
+    r1 = r0 - matvec(p0)
+    rho0 = jnp.asarray(1.0 / sigma1, vdt)
+
+    def cond(state):
+        k, _x, _r, _p, _rho, normr, _h = state
+        return jnp.logical_and(k < itermax, normr > eps)
+
+    def body(state):
+        k, x, r, p, rho, _normr, h = state
+        # residual norm tracked for parity/reporting only — note this is the
+        # single remaining allreduce; production Chebyshev can drop it.
+        normr = jnp.sqrt(allsum(jnp.sum(r * r)))
+        h = h.at[k].set(normr)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        p = rho_new * rho * p + (2.0 * rho_new / delta) * r
+        x = x + p
+        r = r - matvec(p)
+        return k + 1, x, r, p, rho_new, normr, h
+
+    state = (jnp.asarray(1), x1, r1, p0, rho0, normr0, hist0)
+    k, x, r, p, rho, normr, h = jax.lax.while_loop(cond, body, state)
+    return x, k, h
+
+
+def solve_chebyshev(
+    A,
+    b: np.ndarray,
+    *,
+    x0: Optional[np.ndarray] = None,
+    itermax: int = 150,
+    eps: float = 0.0,
+    bounds: Optional[Tuple[float, float]] = None,
+    exchange: Callable = _identity,
+    allsum: Callable = _identity,
+    verbose: bool = True,
+) -> ChebyshevResult:
+    b = jnp.asarray(b)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    permuted = getattr(A, "permuted_output", False)
+    if permuted:
+        b_in, x0_in = A.permute_vector(b), A.permute_vector(x0)
+    else:
+        b_in, x0_in = b, x0
+
+    if bounds is None:
+        bounds = estimate_bounds(
+            A, b.shape[0], b.dtype, exchange=exchange, allsum=allsum
+        )
+    lmin, lmax = bounds
+    if verbose:
+        print(f"Chebyshev bounds: lmin = {lmin:.4e} lmax = {lmax:.4e}")
+
+    loop = jax.jit(
+        partial(cheby_loop, itermax=itermax, lmin=lmin, lmax=lmax,
+                exchange=exchange, allsum=allsum)
+    )
+    eps_arr = jnp.asarray(eps, b.dtype)
+    x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    jax.block_until_ready(x_dev)
+    t0 = time.perf_counter()
+    x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    jax.block_until_ready(x_dev)
+    t1 = time.perf_counter()
+
+    if permuted:
+        x_dev = A.unpermute_vector(x_dev)
+    k = int(k_dev)
+    hist = np.asarray(h_dev)[:k]
+    if verbose:
+        print(f"Chebyshev performed {k} iterations and took {t1 - t0:.2f}s "
+              f"(final residual {hist[-1]:E})")
+    return ChebyshevResult(
+        x=np.asarray(x_dev),
+        iterations=k,
+        residual_history=hist,
+        final_normr=float(hist[-1]),
+        solve_seconds=t1 - t0,
+        bounds=(lmin, lmax),
+    )

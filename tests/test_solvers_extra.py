@@ -1,0 +1,53 @@
+"""GMRES and Chebyshev solver tests (bench types the reference declares but
+never implements, src/main.c:22,217-222)."""
+
+import numpy as np
+
+import jax
+
+from sparsebench_tpu.formats import from_csr
+from sparsebench_tpu.host import HostCSR, generate_stencil, read_mm
+from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
+from sparsebench_tpu.solvers.gmres import solve_gmres
+
+jax.config.update("jax_enable_x64", True)
+
+
+def test_gmres_solves_spd_stencil():
+    csr = generate_stencil(6, 6, 6)
+    b = np.random.default_rng(0).standard_normal(csr.nr)
+    A = from_csr("sell", csr)
+    res = solve_gmres(A, b, itermax=120, eps=1e-10, verbose=False)
+    np.testing.assert_allclose(csr.spmv(res.x), b, rtol=0, atol=1e-8)
+
+
+def test_gmres_solves_nonsymmetric(test_matrices_dir):
+    """test0 is non-symmetric — CG can't touch it, GMRES must."""
+    csr = HostCSR.from_coo(read_mm(str(test_matrices_dir / "test0.mtx")))
+    b = np.arange(1.0, csr.nr + 1)
+    A = from_csr("crs", csr)
+    res = solve_gmres(A, b, itermax=60, eps=1e-12, restart=10, verbose=False)
+    x_ref = np.linalg.solve(csr.to_dense(), b)
+    np.testing.assert_allclose(res.x, x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_chebyshev_solves_spd_stencil():
+    csr = generate_stencil(6, 6, 6)
+    b = np.random.default_rng(1).standard_normal(csr.nr)
+    A = from_csr("crs", csr)
+    res = solve_chebyshev(A, b, itermax=300, eps=1e-9, verbose=False)
+    np.testing.assert_allclose(csr.spmv(res.x), b, rtol=0, atol=1e-6)
+    assert res.bounds[0] > 0
+
+
+def test_chebyshev_with_exact_bounds():
+    csr = generate_stencil(4, 4, 4)
+    d = csr.to_dense()
+    ev = np.linalg.eigvalsh(d)
+    b = np.random.default_rng(2).standard_normal(csr.nr)
+    A = from_csr("dia", csr)
+    res = solve_chebyshev(
+        A, b, itermax=250, eps=1e-10, bounds=(float(ev[0]), float(ev[-1])),
+        verbose=False,
+    )
+    np.testing.assert_allclose(csr.spmv(res.x), b, rtol=0, atol=1e-7)
