@@ -72,6 +72,7 @@ class SellMatrix:
         C: int = 0,
         sigma: int = 0,
         len_quant: int = _LEN_QUANT,
+        forced_chunk_lens: Optional[np.ndarray] = None,
         **_opts,
     ) -> "SellMatrix":
         policy = default_policy(policy)
@@ -91,6 +92,12 @@ class SellMatrix:
         sorted_counts = counts[new_to_old_pad]
         chunk_lens = sorted_counts.reshape(n_chunks, C).max(axis=1)
         chunk_lens_q = np.maximum(len_quant, round_up_arr(chunk_lens, len_quant))
+        if forced_chunk_lens is not None:
+            # distributed builds force one chunk plan across all shards so
+            # per-shard blocks stack into uniform mesh-sharded arrays
+            assert forced_chunk_lens.shape == chunk_lens_q.shape
+            assert np.all(forced_chunk_lens >= chunk_lens)
+            chunk_lens_q = forced_chunk_lens
 
         # Buckets = runs of consecutive chunks with equal quantized length.
         change = np.flatnonzero(np.diff(chunk_lens_q)) + 1
@@ -147,6 +154,24 @@ class SellMatrix:
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
+
+    @staticmethod
+    def plan_chunk_lens(
+        csr: HostCSR, C: int = 0, sigma: int = 0, len_quant: int = _LEN_QUANT
+    ) -> np.ndarray:
+        """Quantized chunk lengths this CSR would use (for cross-shard
+        unification: take the elementwise max over shards, then pass as
+        ``forced_chunk_lens``)."""
+        nr = csr.nr
+        C = C if C >= 1 else _DEFAULT_C
+        sigma = sigma if sigma >= 1 else max(nr, 1)
+        n_chunks = max(1, -(-nr // C))
+        nr_padded = n_chunks * C
+        counts = np.zeros(nr_padded, dtype=np.int64)
+        counts[:nr] = csr.row_lengths
+        sorted_counts = counts[_sigma_sort(counts, sigma)]
+        lens = sorted_counts.reshape(n_chunks, C).max(axis=1)
+        return np.maximum(len_quant, round_up_arr(lens, len_quant))
 
     # ------------------------------------------------------------------ spmv
     def spmv_permuted(self, xp: jnp.ndarray) -> jnp.ndarray:
@@ -211,13 +236,21 @@ class EllMatrix:
 
     @classmethod
     def from_csr(
-        cls, csr: HostCSR, policy: Optional[DTypePolicy] = None, **_opts
+        cls,
+        csr: HostCSR,
+        policy: Optional[DTypePolicy] = None,
+        *,
+        lmax: int = 0,
+        **_opts,
     ) -> "EllMatrix":
         policy = default_policy(policy)
         nr = csr.nr
         nr_p = max(128, round_up(nr, 128))
         lens = csr.row_lengths
-        lmax = int(lens.max()) if nr else 1
+        actual_lmax = int(lens.max()) if nr and csr.nnz else 1
+        if lmax and lmax < actual_lmax:
+            raise ValueError(f"forced lmax {lmax} < actual max row length {actual_lmax}")
+        lmax = lmax or actual_lmax
         val_t = np.zeros((lmax, nr_p), dtype=policy.value)
         col_t = np.zeros((lmax, nr_p), dtype=policy.index)
         rows = np.repeat(np.arange(nr, dtype=np.int64), lens)

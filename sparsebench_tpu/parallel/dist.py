@@ -1,0 +1,281 @@
+"""Distributed (mesh-sharded) matrix build and solver drivers.
+
+This is the reference's MPI SPMD layer (src/comm.c + the solve call tree,
+SURVEY §3.1) rebuilt on ``jax.shard_map`` over a 1-D device mesh:
+
+  * every shard's renumbered local matrix (from
+    :func:`sparsebench_tpu.parallel.partition.partition`) is lowered to the
+    chosen device format, padded to uniform shapes, and stacked along a
+    leading shard axis that is sharded over the mesh;
+  * the *same* ``cg_loop`` / ``cheby_loop`` used on a single device runs
+    inside shard_map, with ``exchange`` bound to ppermute/all_gather and
+    ``allsum`` to psum — per CG iteration exactly 2 scalar psums + 1 halo
+    exchange, the reference's collective structure (comm.c:627-662);
+  * the whole distributed solve is ONE jitted program: XLA overlaps the
+    halo collective with local compute where the schedule allows, something
+    the reference's blocking MPI_Neighbor_alltoallv cannot do.
+
+Row-permuting formats permute per shard; the send-index arrays are
+composed with each shard's permutation at plan time (the reference's
+SCS-under-MPI path forgets this and is broken, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sparsebench_tpu.config import DTypePolicy
+from sparsebench_tpu.formats import get_format
+from sparsebench_tpu.host.csr import HostCSR
+from sparsebench_tpu.parallel.exchange import make_allsum, make_exchange
+from sparsebench_tpu.parallel.partition import Partitioned, partition
+from sparsebench_tpu.solvers.cg import CGResult, cg_loop
+
+AXIS = "shards"
+
+
+def make_mesh(n: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()[:n]
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return jax.make_mesh((n,), (AXIS,), devices=np.asarray(devices))
+
+
+def _pad_stack_leaves(objs):
+    """Stack format pytrees along a new leading shard axis, zero-padding
+    each leaf to the elementwise-max shape. Zero padding is value-safe for
+    every format (padded val entries are 0 and contribute nothing)."""
+    flats = [jax.tree_util.tree_flatten(o) for o in objs]
+    treedef = flats[0][1]
+    for _, td in flats[1:]:
+        if td != treedef:
+            raise ValueError(
+                "shard format objects have mismatched structure; "
+                "normalize static fields before stacking"
+            )
+    stacked = []
+    for leaves in zip(*(f[0] for f in flats)):
+        shapes = np.asarray([l.shape for l in leaves])
+        target = shapes.max(axis=0)
+        padded = [
+            np.pad(np.asarray(l), [(0, t - s) for s, t in zip(l.shape, target)])
+            for l in leaves
+        ]
+        stacked.append(jnp.asarray(np.stack(padded)))
+    return jax.tree_util.tree_unflatten(treedef, stacked)
+
+
+def _normalize_statics(obj, part: Partitioned):
+    """Equalize per-shard static metadata so pytree structures match."""
+    return obj.replace(
+        nnz=part.total_nnz,
+        start_row=0,
+        total_nr=part.total_nr,
+        total_nnz=part.total_nnz,
+    )
+
+
+class DistMatrix:
+    """Mesh-sharded matrix: stacked per-shard device formats + exchange plan."""
+
+    def __init__(
+        self,
+        part: Partitioned,
+        fmt: str,
+        policy: Optional[DTypePolicy] = None,
+        *,
+        C: int = 0,
+        sigma: int = 0,
+        exchange_backend: str = "auto",
+        mesh: Optional[Mesh] = None,
+    ):
+        self.part = part
+        self.fmt = fmt
+        self.policy = policy
+        size = part.plan.size
+        cls = get_format(fmt)
+
+        if fmt == "sell":
+            plans = [
+                cls.plan_chunk_lens(s, C=C, sigma=sigma) for s in part.shards
+            ]
+            unified = np.max(np.stack(plans), axis=0)
+            objs = [
+                cls.from_csr(s, policy, C=C, sigma=sigma, forced_chunk_lens=unified)
+                for s in part.shards
+            ]
+            self.perms = [np.asarray(o.old_to_new, dtype=np.int64) for o in objs]
+        elif fmt in ("ell",):
+            lmax = max(
+                (int(s.row_lengths.max()) if s.nnz else 1) for s in part.shards
+            )
+            objs = [cls.from_csr(s, policy, lmax=lmax) for s in part.shards]
+            self.perms = None
+        elif fmt in ("crs", "ccrs"):
+            objs = [cls.from_csr(s, policy) for s in part.shards]
+            self.perms = None
+        else:
+            raise NotImplementedError(
+                f"format {fmt!r} has no distributed build (dia is local-only; "
+                "use sell/ell/crs for sharded solves)"
+            )
+
+        objs = [_normalize_statics(o, part) for o in objs]
+        self.A = _pad_stack_leaves(objs)
+        self.mesh = mesh if mesh is not None else make_mesh(size)
+        self.exchange = make_exchange(
+            part.plan, AXIS, backend=exchange_backend, perm=self.perms
+        )
+        self.allsum = make_allsum(AXIS)
+        self.permuted = bool(getattr(objs[0], "permuted_output", False))
+
+    # -------------------------------------------------------- vector helpers
+    @property
+    def nr_max(self) -> int:
+        return self.part.plan.nr_max
+
+    def shard_vector(self, v_global: np.ndarray) -> np.ndarray:
+        """Split a global row vector into the stacked (size, nr_max) layout
+        (permuting per shard for row-permuting formats)."""
+        plan = self.part.plan
+        out = np.zeros((plan.size, plan.nr_max), dtype=v_global.dtype)
+        for s, csr in enumerate(self.part.shards):
+            nr_actual = csr.stop_row - csr.start_row + 1
+            out[s, :nr_actual] = v_global[csr.start_row : csr.stop_row + 1]
+            if self.permuted:
+                out[s] = out[s][self._new_to_old(s)]  # v_perm[new] = v[old]
+        return out
+
+    def _new_to_old(self, s: int) -> np.ndarray:
+        inv = np.empty_like(self.perms[s])
+        inv[self.perms[s]] = np.arange(self.perms[s].size)
+        return inv
+
+    def unshard_vector(self, v_stacked: np.ndarray) -> np.ndarray:
+        """Inverse of shard_vector: stacked (size, nr_max) -> global rows."""
+        plan = self.part.plan
+        parts = []
+        for s, csr in enumerate(self.part.shards):
+            v = np.asarray(v_stacked[s])
+            if self.permuted:
+                v = v[self.perms[s]]  # back to original local order
+            nr_actual = csr.stop_row - csr.start_row + 1
+            parts.append(v[:nr_actual])
+        return np.concatenate(parts)
+
+
+def dist_solve_cg(
+    dm: DistMatrix,
+    b_global: np.ndarray,
+    *,
+    itermax: int = 150,
+    eps: float = 0.0,
+    acc_dtype=None,
+    verbose: bool = True,
+) -> CGResult:
+    """Distributed CG: one jitted shard_map program over the mesh."""
+    plan = dm.part.plan
+    b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
+    x0_stacked = jnp.zeros_like(b_stacked)
+
+    loop = partial(
+        cg_loop,
+        itermax=itermax,
+        exchange=dm.exchange,
+        allsum=dm.allsum,
+        acc_dtype=acc_dtype,
+    )
+
+    def local_fn(A_stacked, b, x0, eps_s):
+        A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
+        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s)
+        return x[None], k, hist
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=dm.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    eps_arr = jnp.asarray(eps, dtype=acc_dtype or b_stacked.dtype)
+    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    jax.block_until_ready(x_dev)
+    t0 = time.perf_counter()
+    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    jax.block_until_ready(x_dev)
+    t1 = time.perf_counter()
+
+    k = int(k_dev)
+    hist = np.asarray(hist_dev)
+    x_global = dm.unshard_vector(np.asarray(x_dev))
+
+    if verbose:
+        print(f"Initial Residual = {hist[0]:E}")
+        print_freq = min(max(itermax // 10, 1), 50)
+        for j in range(1, k):
+            if j % print_freq == 0 or j + 1 == itermax:
+                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
+
+    return CGResult(
+        x=x_global,
+        iterations=k,
+        residual_history=hist[:k],
+        final_normr=float(hist[k - 1] if k > 1 else hist[0]),
+        solve_seconds=t1 - t0,
+    )
+
+
+def dist_spmv(dm: DistMatrix, x_global: np.ndarray) -> np.ndarray:
+    """Distributed SpMV (halo exchange + local kernel), for tests/benchmarks."""
+    x_stacked = jnp.asarray(dm.shard_vector(np.asarray(x_global)))
+    halo = dm.part.plan.halo_max
+
+    def local_fn(A_stacked, xs):
+        A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
+        xfull = jnp.concatenate([xs[0], jnp.zeros(halo, xs.dtype)])
+        xfull = dm.exchange(xfull)
+        spmv = A_local.spmv_permuted if dm.permuted else A_local.spmv
+        return spmv(xfull)[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=dm.mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )
+    )
+    y = np.asarray(fn(dm.A, x_stacked))
+    return dm.unshard_vector(y)
+
+
+def build_distributed(
+    shard_csrs: Sequence[HostCSR],
+    fmt: str = "sell",
+    policy: Optional[DTypePolicy] = None,
+    *,
+    C: int = 0,
+    sigma: int = 0,
+    exchange_backend: str = "auto",
+    mesh: Optional[Mesh] = None,
+) -> DistMatrix:
+    """Partition + device build in one call (reference main.c:168-174:
+    commPartition then convertMatrix)."""
+    part = partition(list(shard_csrs))
+    return DistMatrix(
+        part, fmt, policy, C=C, sigma=sigma,
+        exchange_backend=exchange_backend, mesh=mesh,
+    )

@@ -7,12 +7,20 @@ exercised without TPU hardware. Must be set before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend with 8 virtual devices. The environment's
+# sitecustomize imports jax at interpreter startup with JAX_PLATFORMS=axon
+# (the real TPU) already set, so jax's config has captured that value —
+# env mutation here is too late; jax.config.update is required. The
+# XLA_FLAGS env is still read lazily at backend init, so it can be set here.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
