@@ -1,21 +1,25 @@
 """DIA (diagonal) device format — TPU-native fast path for banded matrices.
 
 No reference equivalent: the reference's formats all gather x through a
-column index array. On TPU the gather is the entire cost of SpMV, and for
-banded/stencil matrices (the reference's canonical workloads: the HPCG
-27/7-pt generator, src/matrix.c:30-121, and data/matrix_band_klein.mtx) it
-is avoidable: store the matrix as its ``ndiag`` populated diagonals and
-compute
+column index array. On TPU the gather is the entire cost of SpMV (XLA's
+gather lowering measured ~1 GB/s on v5e), and for banded/stencil matrices
+(the reference's canonical workloads: the HPCG 27/7-pt generator,
+src/matrix.c:30-121, and data/matrix_band_klein.mtx) it is avoidable:
+store the matrix as its ``ndiag`` populated diagonals and compute
 
     y = sum_d  data[d, :] * x[offset_d : offset_d + nr]
 
-— every x access is a contiguous shifted slice, so SpMV runs gather-free at
-pure HBM streaming bandwidth, with index traffic of zero bytes per element
-(vs 4-8 B/nnz for CRS/SELL). Offsets are static metadata; XLA fuses the
-``ndiag`` multiply-accumulate sweeps into one pass.
+— every x access is a contiguous shifted slice. Two execution paths:
+
+  * **Pallas kernel** (ops/dia_pallas.py, default on TPU for f32/bf16):
+    row tiles with the x window VMEM-resident, shifts as sublane slices +
+    lane rolls; streams the diagonal data exactly once — speed-of-light
+    byte count.
+  * **XLA path** (fallback, any backend/dtype): jnp shifted slices; XLA
+    fuses the multiply-adds but re-reads x per diagonal.
 
 Constraints: square local matrices only (halo-renumbered distributed blocks
-destroy the banded structure — the distributed layer splits local/remote
+break the banded structure — the distributed layer splits local/remote
 parts instead), and ``ndiag`` must stay small; ``from_csr`` raises
 ``DiaUnsuitableError`` otherwise so callers can fall back to SELL.
 """
@@ -25,13 +29,15 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.struct as struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from sparsebench_tpu.config import DTypePolicy
-from sparsebench_tpu.formats.base import default_policy
+from sparsebench_tpu.formats.base import default_policy, round_up
 from sparsebench_tpu.formats.registry import register_format
 from sparsebench_tpu.host.csr import HostCSR
+from sparsebench_tpu.ops.dia_pallas import LANES, dia_spmv_pallas, pack_x
 
 _MAX_DIAGS = 64
 
@@ -40,15 +46,23 @@ class DiaUnsuitableError(ValueError):
     """Matrix is not banded enough for DIA storage."""
 
 
+def _backend_is_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
 @register_format("dia")
 @struct.dataclass
 class DiaMatrix:
-    data: jnp.ndarray  # (ndiag, nr) value dtype; data[d, i] = A[i, i + off[d]]
+    # data[d, i] = A[i, i + offsets[d]]; columns padded to nr_pad with zeros
+    data: jnp.ndarray  # (ndiag, nr_pad) value dtype
     offsets: Tuple[int, ...] = struct.field(pytree_node=False)
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
     n_elems: int = struct.field(pytree_node=False)
+    nr_pad: int = struct.field(pytree_node=False)
+    # execution: "pallas" | "xla" | "pallas_interpret" (CPU kernel testing)
+    impl: str = struct.field(pytree_node=False, default="xla")
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
@@ -60,6 +74,7 @@ class DiaMatrix:
         policy: Optional[DTypePolicy] = None,
         *,
         max_diags: int = _MAX_DIAGS,
+        impl: str = "auto",
         **_opts,
     ) -> "DiaMatrix":
         policy = default_policy(policy)
@@ -74,9 +89,17 @@ class DiaMatrix:
             raise DiaUnsuitableError(
                 f"{offsets.size} populated diagonals exceeds max_diags={max_diags}"
             )
-        data = np.zeros((offsets.size, csr.nr), dtype=policy.value)
+        nr_pad = max(LANES, round_up(csr.nr, LANES))
+        data = np.zeros((offsets.size, nr_pad), dtype=policy.value)
         d_idx = np.searchsorted(offsets, keys)
         data[d_idx, rows] = csr.val.astype(policy.value)
+
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if _backend_is_tpu() and policy.value.itemsize <= 4
+                else "xla"
+            )
         return cls(
             data=jnp.asarray(data),
             offsets=tuple(int(o) for o in offsets),
@@ -84,12 +107,27 @@ class DiaMatrix:
             nc=csr.nc,
             nnz=csr.nnz,
             n_elems=offsets.size * csr.nr,
+            nr_pad=nr_pad,
+            impl=impl,
             start_row=csr.start_row,
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.impl in ("pallas", "pallas_interpret"):
+            return self._spmv_pallas(x, self.impl == "pallas_interpret")
+        return self._spmv_xla(x)
+
+    def _spmv_pallas(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+        x2d = pack_x(x[: self.nr], self.offsets, self.nr_pad)
+        data3d = self.data.reshape(self.data.shape[0], -1, LANES)
+        y2d = dia_spmv_pallas(
+            data3d, x2d, self.offsets, self.nr_pad, interpret=interpret
+        )
+        return y2d.reshape(-1)[: self.nr]
+
+    def _spmv_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         nr = self.nr
         x = x[:nr]
         lo = -min(0, min(self.offsets))
@@ -97,7 +135,9 @@ class DiaMatrix:
         xp = jnp.pad(x, (lo, hi))
         y = jnp.zeros(nr, dtype=self.data.dtype)
         for d, off in enumerate(self.offsets):
-            y = y + self.data[d] * jnp.asarray(xp[lo + off : lo + off + nr], self.data.dtype)
+            y = y + self.data[d, :nr] * jnp.asarray(
+                xp[lo + off : lo + off + nr], self.data.dtype
+            )
         return y
 
     @property

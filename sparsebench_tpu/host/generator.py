@@ -21,6 +21,8 @@ scalar triple loops); a C++ fast path lives in sparsebench_tpu/native.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from sparsebench_tpu.host.csr import HostCSR
@@ -46,9 +48,30 @@ def generate_stencil(
     size: int = 1,
     use_7pt: bool = False,
     dtype=np.float64,
+    use_native: bool = True,
 ) -> HostCSR:
     """Generate this rank's block of the stacked 27/7-pt stencil matrix."""
     local_nrow = nx * ny * nz
+    if use_native and not os.environ.get("SB_NO_NATIVE"):
+        from sparsebench_tpu.host.native import generate_stencil_native
+
+        res = generate_stencil_native(nx, ny, nz, rank, size, use_7pt, dtype)
+        if res is not None:
+            row_ptr, col, val = res
+            total_nrow = local_nrow * size
+            start_row = local_nrow * rank
+            return HostCSR(
+                row_ptr=row_ptr,
+                col=col,
+                val=val,
+                nr=local_nrow,
+                nc=local_nrow,
+                start_row=start_row,
+                stop_row=start_row + local_nrow - 1,
+                total_nr=total_nrow,
+                total_nnz=int(row_ptr[-1]) if size == 1 else 27 * total_nrow,
+                model_total_nnz=27 * total_nrow,
+            )
     total_nrow = local_nrow * size
     start_row = local_nrow * rank
 

@@ -44,8 +44,16 @@ def _parse_banner(line: str) -> tuple[str, str, str, str]:
 
 
 def read_mm(path_or_file: Union[str, TextIO]) -> COOMatrix:
-    """Read a Matrix Market file into row-major-sorted COO form."""
+    """Read a Matrix Market file into row-major-sorted COO form.
+
+    Path inputs try the native C++ body parser (native/ingest.cc) first and
+    fall back to the numpy tokenizer; file objects always use the numpy
+    path (behavioral spec for both).
+    """
     if isinstance(path_or_file, str):
+        native = _read_mm_native(path_or_file)
+        if native is not None:
+            return native
         with open(path_or_file, "r") as f:
             return read_mm(f)
     f = path_or_file
@@ -98,6 +106,43 @@ def read_mm(path_or_file: Union[str, TextIO]) -> COOMatrix:
 
     m = COOMatrix(row=row, col=col, val=val, nr=nr, nc=nc)
     return m.sort_row_major()
+
+
+def _read_mm_native(path: str):
+    """Header in Python, body via the C++ parser. Returns None when the
+    native library is unavailable (caller falls back to numpy)."""
+    import os
+
+    if os.environ.get("SB_NO_NATIVE"):
+        return None
+    from sparsebench_tpu.host import native
+
+    if not native.available():
+        return None
+    with open(path, "rb") as f:
+        banner = f.readline().decode("ascii", "replace")
+        _, fmt, field, symmetry = _parse_banner(banner)
+        if fmt != "coordinate":
+            raise MMFormatError("matrix has to be sparse")
+        if field not in ("real", "integer", "pattern"):
+            raise MMFormatError("matrix has to be real or pattern")
+        if symmetry not in ("general", "symmetric"):
+            raise MMFormatError("matrix has to be symmetric or general")
+        line = f.readline().decode("ascii", "replace")
+        while line and (line.startswith("%") or not line.strip()):
+            line = f.readline().decode("ascii", "replace")
+        try:
+            nr, nc, nz = (int(t) for t in line.split())
+        except ValueError as e:
+            raise MMFormatError(f"bad size line: {line!r}") from e
+        offset = f.tell()
+    res = native.mm_parse_body_native(
+        path, offset, nz, field == "pattern", symmetry == "symmetric"
+    )
+    if res is None:
+        return None
+    row, col, val = res
+    return COOMatrix(row=row, col=col, val=val, nr=nr, nc=nc)
 
 
 def read_mm_string(text: str) -> COOMatrix:

@@ -1,0 +1,179 @@
+"""Pallas TPU kernel for DIA (diagonal-format) SpMV.
+
+The XLA-level DIA SpMV (formats/dia.py) re-reads the shifted x vector from
+HBM once per diagonal (~27x for the stencil problems). This kernel tiles
+rows and keeps the x window resident in VMEM, so per tile:
+
+    traffic = diag data (streamed once) + x window (once) + y (once)
+
+which is the speed-of-light byte count for the operator. All shifted x
+accesses decompose into a static sublane slice (shift // 128) plus a lane
+roll (shift % 128) with a cross-row carry select — pure VPU register moves,
+no gathers (XLA's gather lowering measured ~1 GB/s on v5e; shifts run at
+full vector throughput).
+
+Pipelining: the diagonal data and y tiles are pallas-blocked (automatic
+HBM<->VMEM double buffering); the overlapping x window (stride = tile,
+size = tile + span) cannot be expressed as a BlockSpec, so it is DMA'd
+manually from an unblocked HBM ref into VMEM scratch each grid step. The
+window is ~1/ndiag of the per-tile traffic, so even an unoverlapped copy
+costs a few percent.
+
+Layout contract (built by formats/dia.py when the Pallas path is enabled):
+    data3d : (ndiag, nr_pad/128, 128)  diag values, zero padded
+    x2d    : ((lead + nr_pad + trail)/128, 128) flattened x, zero padded
+             (lead = x_lead_pad(offsets), trail >= span of the last tile)
+    y      : (nr_pad/128, 128)
+
+The kernel is specialized per (offsets, tile) at trace time; offsets are
+static Python ints, so the diagonal loop fully unrolls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEFAULT_TILE_ROWS = 256
+
+
+def _shifted_window(xwin, q: int, r: int, rows: int, variant: str = "roll1"):
+    """(rows, 128) view of the VMEM x window shifted by q*128 + r:
+    out[j, l] = xwin_flat[(q + j)*128 + l + r].
+
+    variant "roll1": roll the (rows+1)-row slice once; the unrolled part
+    (lanes < 128-r) comes from its first ``rows`` rows, the carried part
+    from the one-row-shifted slice. variant "roll2": roll the two row
+    slices separately (two rolls, no post-roll row slices).
+    """
+    if r == 0:
+        return xwin[q : q + rows, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    # roll left by r == roll right by 128 - r (pltpu.roll wants shift >= 0)
+    if variant == "roll1":
+        rolled = pltpu.roll(xwin[q : q + rows + 1, :], shift=LANES - r, axis=1)
+        return jnp.where(
+            lane < LANES - r, rolled[:rows, :], rolled[1 : rows + 1, :]
+        )
+    ra = pltpu.roll(xwin[q : q + rows, :], shift=LANES - r, axis=1)
+    rb = pltpu.roll(xwin[q + 1 : q + 1 + rows, :], shift=LANES - r, axis=1)
+    return jnp.where(lane < LANES - r, ra, rb)
+
+
+def _dia_kernel(
+    x_hbm, data_ref, y_ref, xwin, sem, *, shifts: Tuple[int, ...],
+    rows: int, span: int, variant: str = "roll1",
+):
+    i = pl.program_id(0)
+    # fetch the overlapping x window for this tile: rows [i*rows, i*rows+rows+span)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * rows, rows + span), :], xwin, sem
+    )
+    cp.start()
+    cp.wait()
+    acc = None
+    for d, s in enumerate(shifts):
+        q, r = divmod(s, LANES)
+        xs = _shifted_window(xwin, q, r, rows, variant)
+        term = data_ref[d] * xs
+        acc = term if acc is None else acc + term
+    y_ref[:, :] = acc
+
+
+def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
+                variant="roll1"):
+    grid = (n_rows + tile_rows - 1) // tile_rows
+    kernel = functools.partial(
+        _dia_kernel, shifts=shifts, rows=tile_rows, span=span, variant=variant
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x2d stays in HBM
+            pl.BlockSpec(
+                (ndiag, tile_rows, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid * tile_rows, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows + span, LANES), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "nr_pad", "tile_rows", "interpret", "variant"),
+)
+def dia_spmv_pallas(
+    data3d: jnp.ndarray,      # (ndiag, nr_pad/128, 128)
+    x2d: jnp.ndarray,         # ((lead + nr_pad + trail)/128, 128)
+    offsets: Tuple[int, ...],
+    nr_pad: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+    variant: str = "roll1",
+) -> jnp.ndarray:
+    """Returns y2d (ceil(nr_pad/tile)/128-padded, 128); rows beyond nr are
+    zero because the padded diagonal data is zero."""
+    ndiag = data3d.shape[0]
+    n_rows = nr_pad // LANES
+    lead = x_lead_pad(offsets)
+    shifts = tuple(int(o) + lead for o in offsets)
+    span = _span_rows(shifts)
+    call = _build_call(
+        ndiag, n_rows, shifts, tile_rows, span, data3d.dtype, interpret, variant
+    )
+    # pad data3d rows up to the grid multiple
+    grid_rows = ((n_rows + tile_rows - 1) // tile_rows) * tile_rows
+    if grid_rows != data3d.shape[1]:
+        data3d = jnp.pad(data3d, ((0, 0), (0, grid_rows - data3d.shape[1]), (0, 0)))
+    need_x_rows = grid_rows + span
+    if x2d.shape[0] < need_x_rows:
+        x2d = jnp.pad(x2d, ((0, need_x_rows - x2d.shape[0]), (0, 0)))
+    y = call(x2d, data3d)
+    return y[:n_rows]
+
+
+def _span_rows(shifts) -> int:
+    """x-window rows beyond the tile, padded to a sublane multiple so the
+    manual DMA and the VMEM scratch stay 8-row aligned."""
+    raw = max(shifts) // LANES + 2
+    return ((raw + 7) // 8) * 8
+
+
+def x_lead_pad(offsets: Sequence[int]) -> int:
+    """Leading zero padding (elements, multiple of 128) covering the most
+    negative diagonal shift."""
+    m = -min(0, min(offsets))
+    return ((m + LANES - 1) // LANES) * LANES
+
+
+def pack_x(
+    x: jnp.ndarray,
+    offsets: Sequence[int],
+    nr_pad: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+) -> jnp.ndarray:
+    """Pad + reshape a flat x (length >= nr) into the kernel's x2d layout."""
+    lead = x_lead_pad(offsets)
+    shifts = [int(o) + lead for o in offsets]
+    span = _span_rows(shifts)
+    grid_rows = ((nr_pad // LANES + tile_rows - 1) // tile_rows) * tile_rows
+    total = (grid_rows + span) * LANES
+    xp = jnp.zeros(total, x.dtype).at[lead : lead + x.shape[0]].set(x[: nr_pad])
+    return xp.reshape(-1, LANES)
