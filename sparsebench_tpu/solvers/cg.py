@@ -56,26 +56,7 @@ class CGResult:
     solve_seconds: float
 
 
-def cg_loop(
-    A,
-    b: jnp.ndarray,
-    x0: jnp.ndarray,
-    itermax: int,
-    eps,
-    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
-    allsum: Callable = _identity,
-    acc_dtype=None,
-):
-    """Pure jittable CG. ``A`` is any device format (pytree); ``b``/``x0``
-    are length-nr vectors already in the format's row order. Returns
-    (x, k, history[itermax]) with history[j] = normr at iteration j
-    (nan where not reached).
-    """
-    nr = b.shape[0]
-    nc = A.nc
-    vdt = b.dtype
-    sdt = acc_dtype or vdt
-
+def _make_helpers(A, nr, nc, vdt, sdt, exchange, allsum):
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
 
     def dot(u, v):
@@ -92,19 +73,58 @@ def cg_loop(
             return v
         return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
 
-    # ---- init (reference src/CGSolver.c:94-104)
+    return spmv, dot, widen
+
+
+def cg_init(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    exchange: Callable = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+):
+    """Initial CG state (reference src/CGSolver.c:94-104). The state tuple
+    (k, x, p, r, rtrans, normr, hist, done) is a checkpointable pytree."""
+    nr = b.shape[0]
+    vdt = b.dtype
+    sdt = acc_dtype or vdt
+    spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
+
     p = exchange(widen(x0))
     Ap = spmv(p)
     r = b - Ap
     rtrans0 = dot(r, r)
     normr0 = jnp.sqrt(rtrans0)
-
     history0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+    return (jnp.asarray(1), x0, p, r, rtrans0, normr0, history0,
+            jnp.asarray(False))
+
+
+def cg_run(
+    A,
+    state,
+    k_end: int,
+    eps,
+    exchange: Callable = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+):
+    """Advance CG from ``state`` until k == k_end, convergence, or
+    breakdown (reference hot loop, src/CGSolver.c:107-129). Segmentable:
+    running two segments is bit-identical to one long run, which is what
+    makes checkpoint/resume exact."""
+    _k, x_probe, _p, r_probe, *_ = state
+    nr = r_probe.shape[0]
+    vdt = r_probe.dtype
+    sdt = acc_dtype or vdt
+    spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
 
     def cond(state):
         k, _x, _p, _r, _rtrans, normr, _hist, done = state
         return jnp.logical_and(
-            jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
+            jnp.logical_and(k < k_end, normr > eps), jnp.logical_not(done)
         )
 
     def body(state):
@@ -136,10 +156,27 @@ def cg_loop(
         r = r - alpha * Ap
         return k + 1, x, p, r, rtrans, normr, hist, breakdown
 
-    state = (jnp.asarray(1), x0, p, r, rtrans0, normr0, history0,
-             jnp.asarray(False))
-    k, x, p, r, rtrans, normr, hist, _done = jax.lax.while_loop(
-        cond, body, state
+    return jax.lax.while_loop(cond, body, state)
+
+
+def cg_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+):
+    """Pure jittable CG. ``A`` is any device format (pytree); ``b``/``x0``
+    are length-nr vectors already in the format's row order. Returns
+    (x, k, history[itermax]) with history[j] = normr at iteration j
+    (nan where not reached).
+    """
+    state = cg_init(A, b, x0, itermax, exchange, allsum, acc_dtype)
+    k, x, p, r, rtrans, normr, hist, _done = cg_run(
+        A, state, itermax, eps, exchange, allsum, acc_dtype
     )
     return x, k, hist
 

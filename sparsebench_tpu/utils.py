@@ -1,0 +1,66 @@
+"""Infrastructure utilities (reference components: timing.{h,c},
+affinity.{h,c}, util.{h,c}, allocate.{h,c} — SURVEY §2 rows 14, 15, 17, 18).
+
+TPU translations:
+  * ``get_timestamp`` — monotonic wall clock (reference timing.c:8-20).
+  * ``change_file_ending`` — reference util.c:11-31.
+  * ``device_banner`` — the reference prints a rank -> host/pid/affinity map
+    at startup (commPrintBanner, comm.c:185-274; affinity.c mask dump). The
+    TPU analog is the device mesh table: id, kind, platform, memory stats.
+  * ``device_memory_stats`` — the reference wraps posix_memalign with an
+    exit-on-failure allocator (allocate.c:12-36); on TPU allocation is
+    XLA's arena, so the useful parity surface is introspection, not
+    allocation.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import time
+from typing import List, Optional
+
+
+def get_timestamp() -> float:
+    """Reference getTimeStamp (timing.c:8-14)."""
+    return time.monotonic()
+
+
+def get_timer_resolution() -> float:
+    """Reference getTimeResolution (timing.c:16-20)."""
+    return time.get_clock_info("monotonic").resolution
+
+
+def change_file_ending(filename: str, new_ending: str) -> str:
+    """Reference changeFileEnding (util.c:11-31): swap the extension."""
+    base = filename.rsplit(".", 1)[0]
+    if not new_ending.startswith("."):
+        new_ending = "." + new_ending
+    return base + new_ending
+
+
+def device_memory_stats(device) -> Optional[dict]:
+    try:
+        return device.memory_stats()
+    except Exception:
+        return None
+
+
+def device_banner() -> str:
+    """Device table (reference rank -> host/pid banner, comm.c:240-274)."""
+    import jax
+
+    host = socket.gethostname()
+    pid = os.getpid()
+    lines = [f"Process {pid} on host {host}:"]
+    for d in jax.devices():
+        stats = device_memory_stats(d)
+        mem = ""
+        if stats and "bytes_limit" in stats:
+            used = stats.get("bytes_in_use", 0) / 1e9
+            lim = stats["bytes_limit"] / 1e9
+            mem = f"  mem {used:.1f}/{lim:.1f} GB"
+        lines.append(
+            f"  device {d.id}: {d.device_kind} ({d.platform}){mem}"
+        )
+    return "\n".join(lines)
