@@ -33,18 +33,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def chain_time(step, carry, reps=30, trials=3):
+def chain_time(step, A, carry, reps=30, trials=3):
+    """Time step(A, u) repeated ``reps`` times inside one jitted fori_loop.
+
+    A is a jit *argument*: closing over device arrays would embed them as
+    constants in the HLO (a 100^3 matrix is hundreds of MB of program).
+    """
     import jax
 
     @jax.jit
-    def chain(c):
-        return jax.lax.fori_loop(0, reps, lambda _, u: step(u), c)
+    def chain(A, c):
+        return jax.lax.fori_loop(0, reps, lambda _, u: step(A, u), c)
 
-    jax.block_until_ready(chain(carry))
+    jax.block_until_ready(chain(A, carry))
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(carry))
+        jax.block_until_ready(chain(A, carry))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -68,21 +73,19 @@ def main() -> int:
     model_bytes = csr.nnz * (policy.value_bytes + policy.index_bytes)
 
     results = {}
-    for fmt, opts in [("dia", {}), ("ell", {}), ("sell", {})]:
+    for fmt, opts in [("dia", {}), ("bsell", {}), ("ell", {}), ("sell", {})]:
         try:
             t0 = time.perf_counter()
             A = from_csr(fmt, csr, policy, **opts)
             jax.block_until_ready(jax.tree_util.tree_leaves(A))
             build_s = time.perf_counter() - t0
-            spmv = A.spmv
-
-            def step(u, spmv=spmv, nc=A.nc):
-                y = spmv(u)
+            def step(A, u, nc=A.nc):
+                y = A.spmv(u)
                 if y.shape[0] == nc:
                     return y
                 return jnp.concatenate([y, u[y.shape[0] :]])
 
-            dt = chain_time(step, jnp.ones(A.nc, jnp.float32))
+            dt = chain_time(step, A, jnp.ones(A.nc, jnp.float32))
             gbps = model_bytes / dt / 1e9
             results[fmt] = gbps
             log(f"{fmt}: build {build_s:.1f}s, {dt * 1e3:.3f} ms/spmv, "

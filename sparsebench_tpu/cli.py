@@ -58,7 +58,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Convergence criteria epsilon. Default 0.0.")
     # runtime options (compile-time in the reference, config.mk:1-8)
     ap.add_argument("--fmt", default=None,
-                    choices=["crs", "ccrs", "sell", "ell", "dia"],
+                    choices=["crs", "ccrs", "sell", "ell", "dia", "bsell"],
                     help="Matrix format (reference MTX_FMT). Default sell.")
     ap.add_argument("--dtype", default=None, choices=["f64", "f32", "bf16"],
                     help="Value dtype (reference FLOAT_TYPE). Default f64.")

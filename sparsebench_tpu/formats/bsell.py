@@ -1,0 +1,227 @@
+"""BSELL — block-column SELL, the TPU-native general sparse format.
+
+Motivation and kernel contract: see ops/bsell_pallas.py. Layout summary:
+rows group 128-consecutive per lane-group (8 groups per tile of 1024 rows);
+entries bucket by 128-wide column block; per (lane-group, block) rows pad
+to the longest per-row count, giving "slices" of 128 entries whose columns
+share one block per sublane. No row permutation is involved — unlike
+SELL-C-sigma, BSELL is a drop-in layout (padding is bounded by column
+*locality* rather than row-length skew, so bandwidth-reducing orderings
+help but row sorting is unnecessary).
+
+This is the intended fast path for arbitrary matrices on TPU; `dia` stays
+the fast path for strictly banded ones, and `sell` remains the
+reference-parity SELL-C-sigma implementation (golden-file layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsebench_tpu.config import DTypePolicy
+from sparsebench_tpu.formats.base import default_policy, round_up, take
+from sparsebench_tpu.formats.registry import register_format
+from sparsebench_tpu.host.csr import HostCSR
+from sparsebench_tpu.ops.bsell_pallas import (
+    LANES,
+    SUBLANES,
+    TILE_ROWS,
+    bsell_spmv_pallas,
+)
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # x2d + double-buffered slice blocks
+
+
+def _backend_is_tpu() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def _build_arrays(csr: HostCSR, policy: DTypePolicy):
+    """Vectorized host construction of the slice arrays."""
+    nr, nc = csr.nr, csr.nc
+    n_tiles = max(1, -(-nr // TILE_ROWS))
+    nc_pad = max(LANES, round_up(nc, LANES))
+    nb = nc_pad // LANES
+
+    lens = csr.row_lengths
+    rows = np.repeat(np.arange(nr, dtype=np.int64), lens)
+    col = csr.col
+    group = rows // LANES
+    lane = rows % LANES
+    block = col // LANES
+    lidx = col % LANES
+
+    nnz = csr.nnz
+    if nnz == 0:
+        s_max = 1
+        vals = np.zeros((n_tiles, 1, SUBLANES, LANES), dtype=policy.value)
+        lidx_arr = np.zeros((n_tiles, 1, SUBLANES, LANES), dtype=np.int32)
+        blocks = np.zeros((n_tiles, 1, SUBLANES), dtype=np.int32)
+        return vals, lidx_arr, blocks, n_tiles, 1, nc_pad
+
+    # occurrence index j within each (row, block) run — entries are sorted
+    # by (row, col), so (row, block) runs are contiguous
+    key_rb = rows * nb + block
+    is_new = np.empty(nnz, dtype=bool)
+    is_new[0] = True
+    is_new[1:] = key_rb[1:] != key_rb[:-1]
+    run_start = np.flatnonzero(is_new)
+    run_id = np.cumsum(is_new) - 1
+    j = np.arange(nnz, dtype=np.int64) - run_start[run_id]
+
+    # per-(group, block): Lmax over the group's rows
+    run_len = np.diff(np.append(run_start, nnz))
+    key_gb_run = group[run_start] * nb + block[run_start]
+    order = np.argsort(key_gb_run, kind="stable")
+    kg_sorted = key_gb_run[order]
+    len_sorted = run_len[order]
+    gb_new = np.empty(kg_sorted.size, dtype=bool)
+    gb_new[0] = True
+    gb_new[1:] = kg_sorted[1:] != kg_sorted[:-1]
+    gb_starts = np.flatnonzero(gb_new)
+    gb_keys = kg_sorted[gb_starts]              # ascending (group, block)
+    lmax_gb = np.maximum.reduceat(len_sorted, gb_starts)
+
+    gb_group = gb_keys // nb
+    gb_block = (gb_keys % nb).astype(np.int32)
+    # slice offset of each (group, block): exclusive cumsum of lmax within
+    # its group (gb_keys ascending groups -> per-group segments contiguous)
+    csum = np.cumsum(lmax_gb)
+    grp_new = np.empty(gb_group.size, dtype=bool)
+    grp_new[0] = True
+    grp_new[1:] = gb_group[1:] != gb_group[:-1]
+    grp_first = np.flatnonzero(grp_new)
+    base_before_group = np.zeros(gb_group.size, dtype=np.int64)
+    base_before_group[grp_first[1:]] = csum[grp_first[1:] - 1]
+    base_before_group = np.maximum.accumulate(base_before_group)
+    offset_gb = csum - lmax_gb - base_before_group
+
+    s_per_group = np.zeros(n_tiles * SUBLANES, dtype=np.int64)
+    grp_sizes = csum[np.append(grp_first[1:] - 1, gb_group.size - 1)] - np.where(
+        grp_first > 0, csum[grp_first - 1], 0
+    )
+    s_per_group[gb_group[grp_first]] = grp_sizes
+    s_max = int(s_per_group.max())
+
+    # entry -> slice
+    key_gb_entry = group * nb + block
+    gb_pos = np.searchsorted(gb_keys, key_gb_entry)
+    slice_of = offset_gb[gb_pos] + j
+
+    t = group // SUBLANES
+    s = group % SUBLANES
+
+    vals = np.zeros((n_tiles, s_max, SUBLANES, LANES), dtype=policy.value)
+    lidx_arr = np.zeros((n_tiles, s_max, SUBLANES, LANES), dtype=np.int32)
+    blocks = np.zeros((n_tiles, s_max, SUBLANES), dtype=np.int32)
+    vals[t, slice_of, s, lane] = csr.val.astype(policy.value)
+    lidx_arr[t, slice_of, s, lane] = lidx.astype(np.int32)
+    # fill the block table: (group, block) occupies slices
+    # [offset_gb, offset_gb + lmax)
+    rep = np.repeat(np.arange(gb_keys.size), lmax_gb)
+    slice_ids = np.concatenate(
+        [np.arange(o, o + m) for o, m in zip(offset_gb, lmax_gb)]
+    ) if gb_keys.size else np.zeros(0, np.int64)
+    bt = gb_group[rep] // SUBLANES
+    bs = gb_group[rep] % SUBLANES
+    blocks[bt, slice_ids, bs] = gb_block[rep]
+    return vals, lidx_arr, blocks, n_tiles, s_max, nc_pad
+
+
+@register_format("bsell")
+@struct.dataclass
+class BsellMatrix:
+    vals: jnp.ndarray    # (n_tiles, s_max, 8, 128)
+    lidx: jnp.ndarray    # (n_tiles, s_max, 8, 128) int32 lane indices
+    blocks: jnp.ndarray  # (n_tiles, s_max, 8) int32 column-block ids
+    nr: int = struct.field(pytree_node=False)
+    nc: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+    n_tiles: int = struct.field(pytree_node=False)
+    s_max: int = struct.field(pytree_node=False)
+    nc_pad: int = struct.field(pytree_node=False)
+    n_elems: int = struct.field(pytree_node=False)
+    impl: str = struct.field(pytree_node=False, default="xla")
+    start_row: int = struct.field(pytree_node=False, default=0)
+    total_nr: int = struct.field(pytree_node=False, default=0)
+    total_nnz: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def from_csr(
+        cls,
+        csr: HostCSR,
+        policy: Optional[DTypePolicy] = None,
+        *,
+        impl: str = "auto",
+        min_s_max: int = 0,
+        **_opts,
+    ) -> "BsellMatrix":
+        policy = default_policy(policy)
+        vals, lidx, blocks, n_tiles, s_max, nc_pad = _build_arrays(csr, policy)
+        if min_s_max > s_max:
+            # distributed builds pad the slice axis so shard shapes match
+            pad = min_s_max - s_max
+            vals = np.pad(vals, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            lidx = np.pad(lidx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            blocks = np.pad(blocks, ((0, 0), (0, pad), (0, 0)))
+            s_max = min_s_max
+        if impl == "auto":
+            slice_bytes = s_max * SUBLANES * LANES * (policy.value_bytes + 4)
+            fits = nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
+            impl = (
+                "pallas"
+                if _backend_is_tpu() and policy.value.itemsize <= 4 and fits
+                else "xla"
+            )
+        return cls(
+            vals=jnp.asarray(vals),
+            lidx=jnp.asarray(lidx),
+            blocks=jnp.asarray(blocks),
+            nr=csr.nr,
+            nc=csr.nc,
+            nnz=csr.nnz,
+            n_tiles=n_tiles,
+            s_max=s_max,
+            nc_pad=nc_pad,
+            n_elems=int(np.prod(vals.shape)),
+            impl=impl,
+            start_row=csr.start_row,
+            total_nr=csr.total_nr,
+            total_nnz=csr.total_nnz,
+        )
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        xp = jnp.zeros(self.nc_pad, x.dtype).at[: x.shape[0]].set(x)
+        if self.impl in ("pallas", "pallas_interpret"):
+            y3 = bsell_spmv_pallas(
+                self.blocks,
+                xp.reshape(-1, LANES).astype(self.vals.dtype),
+                self.vals,
+                self.lidx,
+                interpret=self.impl == "pallas_interpret",
+            )
+        else:
+            gcol = self.blocks[:, :, :, None] * LANES + self.lidx
+            g = take(xp, gcol.reshape(-1)).reshape(gcol.shape)
+            y3 = (self.vals * g.astype(self.vals.dtype)).sum(axis=1)
+        return y3.reshape(-1)[: self.nr]
+
+    @property
+    def permuted_output(self) -> bool:
+        return False
+
+    def permute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v
+
+    def unpermute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v
+
+    @property
+    def padding_ratio(self) -> float:
+        """Stored slots / nnz — the format's padding overhead."""
+        return self.n_elems / max(self.nnz, 1)

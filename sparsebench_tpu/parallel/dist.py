@@ -121,6 +121,14 @@ class DistMatrix:
         elif fmt in ("crs", "ccrs"):
             objs = [cls.from_csr(s, policy) for s in part.shards]
             self.perms = None
+        elif fmt == "bsell":
+            probe = [cls.from_csr(s, policy) for s in part.shards]
+            s_max = max(o.s_max for o in probe)
+            objs = [
+                o if o.s_max == s_max else cls.from_csr(s, policy, min_s_max=s_max)
+                for o, s in zip(probe, part.shards)
+            ]
+            self.perms = None
         else:
             raise NotImplementedError(
                 f"format {fmt!r} has no distributed build (dia is local-only; "

@@ -85,7 +85,7 @@ def test_partition_spmv_numpy_oracle():
 # ------------------------------------------------------------ dist spmv / cg
 
 
-@pytest.mark.parametrize("fmt", ["crs", "ell", "sell"])
+@pytest.mark.parametrize("fmt", ["crs", "ell", "sell", "bsell"])
 @pytest.mark.parametrize("size", [2, 4])
 def test_dist_spmv_matches_global(fmt, size):
     shards = _gen_shards(3, 3, 2, size)

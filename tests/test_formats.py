@@ -18,7 +18,7 @@ from sparsebench_tpu.host import HostCSR, generate_stencil, read_mm
 jax.config.update("jax_enable_x64", True)
 
 POLICY = DTypePolicy.from_names("f64", "i32")
-GENERAL_FORMATS = ["crs", "ccrs", "sell", "ell"]
+GENERAL_FORMATS = ["crs", "ccrs", "sell", "ell", "bsell"]
 
 
 def _fixtures(test_matrices_dir):
@@ -82,5 +82,5 @@ def test_dia_rejects_wide_matrices(test_matrices_dir):
 
 
 def test_registry_contents():
-    for name in ("crs", "ccrs", "sell", "ell", "dia"):
+    for name in ("crs", "ccrs", "sell", "ell", "dia", "bsell"):
         assert name in FORMATS
