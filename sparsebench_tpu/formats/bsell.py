@@ -137,7 +137,7 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
 @struct.dataclass
 class BsellMatrix:
     vals: jnp.ndarray    # (n_tiles, s_max, 8, 128)
-    lidx: jnp.ndarray    # (n_tiles, s_max, 8, 128) int32 lane indices
+    lidx: jnp.ndarray    # (n_tiles, s_max, 8, 128) int8/int32 lane indices
     blocks: jnp.ndarray  # (n_tiles, s_max, 8) int32 column-block ids
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
@@ -159,10 +159,15 @@ class BsellMatrix:
         *,
         impl: str = "auto",
         min_s_max: int = 0,
+        index_store: str = "i8",
         **_opts,
     ) -> "BsellMatrix":
         policy = default_policy(policy)
         vals, lidx, blocks, n_tiles, s_max, nc_pad = _build_arrays(csr, policy)
+        if index_store == "i8":
+            # lane indices are < 128: int8 storage cuts index traffic 4x
+            # (5 B/nnz total vs the reference's 12 B/nnz model)
+            lidx = lidx.astype(np.int8)
         if min_s_max > s_max:
             # distributed builds pad the slice axis so shard shapes match
             pad = min_s_max - s_max

@@ -270,6 +270,164 @@ def dist_spmv(dm: DistMatrix, x_global: np.ndarray) -> np.ndarray:
     return dm.unshard_vector(y)
 
 
+def dist_solve_chebyshev(
+    dm: DistMatrix,
+    b_global: np.ndarray,
+    *,
+    itermax: int = 150,
+    eps: float = 0.0,
+    bounds=None,
+    verbose: bool = True,
+):
+    """Distributed Chebyshev iteration: zero per-iteration allreduces except
+    the residual-norm tracking psum — the communication-optimal solve."""
+    from sparsebench_tpu.solvers.chebyshev import ChebyshevResult, cheby_loop
+
+    if bounds is None:
+        bounds = _dist_estimate_bounds(dm, b_global.shape[0], b_global.dtype)
+    lmin, lmax = bounds
+    if verbose:
+        print(f"Chebyshev bounds: lmin = {lmin:.4e} lmax = {lmax:.4e}")
+
+    b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
+    x0_stacked = jnp.zeros_like(b_stacked)
+    loop = partial(
+        cheby_loop, itermax=itermax, lmin=lmin, lmax=lmax,
+        exchange=dm.exchange, allsum=dm.allsum,
+    )
+
+    def local_fn(A_stacked, b, x0, eps_s):
+        A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
+        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s)
+        return x[None], k, hist
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=dm.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P()),
+            check_vma=False,
+        )
+    )
+    eps_arr = jnp.asarray(eps, b_stacked.dtype)
+    x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    jax.block_until_ready(x_dev)
+    t0 = time.perf_counter()
+    x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    jax.block_until_ready(x_dev)
+    t1 = time.perf_counter()
+
+    k = int(k_dev)
+    hist = np.asarray(h_dev)[:k]
+    if verbose:
+        print(f"Chebyshev performed {k} iterations and took {t1 - t0:.2f}s "
+              f"(final residual {hist[-1]:E})")
+    return ChebyshevResult(
+        x=dm.unshard_vector(np.asarray(x_dev)),
+        iterations=k,
+        residual_history=hist,
+        final_normr=float(hist[-1]),
+        solve_seconds=t1 - t0,
+        bounds=(lmin, lmax),
+    )
+
+
+def dist_solve_gmres(
+    dm: DistMatrix,
+    b_global: np.ndarray,
+    *,
+    itermax: int = 150,
+    eps: float = 0.0,
+    restart: int = 30,
+    verbose: bool = True,
+):
+    """Distributed restarted GMRES(m): the Arnoldi cycle runs inside
+    shard_map (basis sharded by rows, orthogonalization dots psummed)."""
+    from sparsebench_tpu.solvers.gmres import GMRESResult, _gmres_cycle
+
+    b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
+    x_stacked = jnp.zeros_like(b_stacked)
+    m = min(restart, itermax)
+    nr_local = dm.nr_max
+    nc_local = dm.nr_max + dm.part.plan.halo_max
+
+    def local_fn(A_stacked, b, x0):
+        A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
+        spmv = (
+            A_local.spmv_permuted
+            if getattr(A_local, "permuted_output", False)
+            else A_local.spmv
+        )
+        x_new, normr = _gmres_cycle(
+            A_local, b[0], x0[0], m=m, exchange=dm.exchange,
+            allsum=dm.allsum, spmv=spmv, nr=nr_local, nc=nc_local,
+        )
+        return x_new[None], normr
+
+    cycle = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=dm.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()),
+            check_vma=False,
+        )
+    )
+
+    hist = []
+    iters = 0
+    normr = np.inf
+    t0 = time.perf_counter()
+    while iters < itermax:
+        x_stacked, normr_dev = cycle(dm.A, b_stacked, x_stacked)
+        normr = float(normr_dev)
+        hist.append(normr)
+        iters += m
+        if verbose:
+            print(f"GMRES cycle {len(hist)}: iterations = {iters} "
+                  f"Residual = {normr:E}")
+        if normr <= eps or not np.isfinite(normr):
+            break
+    t1 = time.perf_counter()
+    return GMRESResult(
+        x=dm.unshard_vector(np.asarray(x_stacked)),
+        iterations=min(iters, itermax),
+        residual_history=np.asarray(hist),
+        final_normr=normr,
+        solve_seconds=t1 - t0,
+    )
+
+
+def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25):
+    """Lanczos bound estimate using the distributed SpMV (host-level loop,
+    one mesh dispatch per step — setup cost only)."""
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n).astype(dtype)
+    v /= np.linalg.norm(v)
+    v_prev = np.zeros_like(v)
+    alphas, betas = [], []
+    beta = 0.0
+    for _ in range(min(steps, n)):
+        w = dist_spmv(dm, v)
+        alpha = float(v @ w)
+        w = w - alpha * v - beta * v_prev
+        beta_new = float(np.linalg.norm(w))
+        alphas.append(alpha)
+        betas.append(beta_new)
+        if beta_new < 1e-12:
+            break
+        v_prev, v = v, w / beta_new
+        beta = beta_new
+    T = np.diag(alphas)
+    off = np.asarray(betas[: len(alphas) - 1])
+    T += np.diag(off, 1) + np.diag(off, -1)
+    ev = np.linalg.eigvalsh(T)
+    lmin, lmax = float(ev[0]), float(ev[-1])
+    spread = max(lmax - lmin, 1e-30)
+    return max(lmin - 0.1 * spread, 1e-8 * lmax), lmax * 1.05
+
+
 def build_distributed(
     shard_csrs: Sequence[HostCSR],
     fmt: str = "sell",

@@ -72,10 +72,23 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         b = np.ones(dm.part.total_nr, dtype=policy.value)
         xexact = None
 
-    if param.bench != "cg":
-        raise SystemExit(f"distributed bench type {param.bench!r} not supported yet")
-    print("Test type: CG")
-    res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps)
+    if param.bench == "cg":
+        print("Test type: CG")
+        res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps)
+    elif param.bench == "cheb":
+        from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
+
+        print("Test type: CHEBFD")
+        res = dist_solve_chebyshev(dm, b, itermax=param.itermax, eps=param.eps)
+    elif param.bench == "gmres":
+        from sparsebench_tpu.parallel.dist import dist_solve_gmres
+
+        print("Test type: GMRES")
+        res = dist_solve_gmres(dm, b, itermax=param.itermax, eps=param.eps)
+    else:
+        raise SystemExit(
+            f"distributed bench type {param.bench!r} not supported"
+        )
     if xexact is not None:
         diff = check_residual(res.x, xexact)
         print(f"Difference between computed and exact  = {diff:f}")

@@ -169,3 +169,27 @@ def test_comm_volume_accounting():
     # interior shards exchange two faces, edge shards one
     assert w[0] < w[1] and w[3] < w[2] or w[0] == w[3]
     assert (part.plan.send_counts_pair.diagonal() == 0).all()
+
+
+def test_dist_chebyshev():
+    from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
+
+    size = 4
+    shards = _gen_shards(5, 5, 2, size)
+    gcsr = _global_csr(5, 5, 2, size)
+    b = np.random.default_rng(3).standard_normal(gcsr.nr)
+    dm = build_distributed(shards, fmt="sell")
+    res = dist_solve_chebyshev(dm, b, itermax=300, eps=1e-8, verbose=False)
+    np.testing.assert_allclose(gcsr.spmv(res.x), b, rtol=0, atol=1e-5)
+
+
+def test_dist_gmres():
+    from sparsebench_tpu.parallel.dist import dist_solve_gmres
+
+    size = 4
+    shards = _gen_shards(4, 4, 2, size)
+    gcsr = _global_csr(4, 4, 2, size)
+    b = np.random.default_rng(4).standard_normal(gcsr.nr)
+    dm = build_distributed(shards, fmt="crs")
+    res = dist_solve_gmres(dm, b, itermax=90, eps=1e-10, restart=30, verbose=False)
+    np.testing.assert_allclose(gcsr.spmv(res.x), b, rtol=0, atol=1e-7)

@@ -1,0 +1,139 @@
+"""Head-to-head parity vs the actual C reference binary.
+
+Builds the reference (serial, GCC, .bmx stubbed — no MPI in this image)
+from /root/reference into a temp dir and compares its printed residual
+history and exact-solution check against our solver on the same problems.
+This is the strongest form of the BASELINE.md correctness target
+("residual histories match the C reference").
+
+Skipped when /root/reference or a C toolchain is unavailable.
+"""
+
+import pathlib
+import re
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax
+
+from sparsebench_tpu.formats import from_csr
+from sparsebench_tpu.host import HostCSR, generate_stencil, read_mm
+from sparsebench_tpu.solvers.cg import init_vectors, solve_cg
+
+jax.config.update("jax_enable_x64", True)
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_binary(tmp_path_factory):
+    if not REFERENCE.exists() or shutil.which("gcc") is None:
+        pytest.skip("reference source or gcc unavailable")
+    build = tmp_path_factory.mktemp("refbuild")
+    shutil.copytree(REFERENCE, build, dirs_exist_ok=True)
+    cfg = build / "config.mk"
+    cfg.write_text(
+        cfg.read_text()
+        .replace("TOOLCHAIN ?= ICC", "TOOLCHAIN ?= GCC")
+        .replace("ENABLE_MPI ?= true", "ENABLE_MPI ?= false")
+    )
+    mk = build / "mk" / "include_GCC.mk"
+    mk.write_text(mk.read_text().replace("-std=c23", "-std=c2x"))
+    # matrixBinfile.c unconditionally includes mpi.h; stub it (serial
+    # parity runs never touch .bmx)
+    (build / "src" / "matrixBinfile.c").write_text(
+        '#include <stdio.h>\n#include <stdlib.h>\n'
+        '#include "matrixBinfile.h"\n'
+        "void matrixBinWrite(GMatrix* m, Comm* c, char* f)"
+        "{(void)m;(void)c;(void)f;exit(1);}\n"
+        "void matrixBinRead(GMatrix* m, Comm* c, char* f)"
+        "{(void)m;(void)c;(void)f;exit(1);}\n"
+    )
+    r = subprocess.run(["make"], cwd=build, capture_output=True, text=True)
+    exe = build / "sparseBench-CRS-GCC"
+    if r.returncode != 0 or not exe.exists():
+        pytest.skip(f"reference build failed: {r.stderr[-400:]}")
+    return exe
+
+
+def _run_reference(exe, args):
+    r = subprocess.run(
+        [str(exe), *args], cwd=exe.parent, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    hist = {}
+    initial = None
+    diff = None
+    for line in r.stdout.splitlines():
+        m = re.match(r"Initial Residual = (\S+)", line)
+        if m:
+            initial = float(m.group(1))
+        m = re.match(r"Iteration = (\d+) Residual = (\S+)", line)
+        if m:
+            hist[int(m.group(1))] = float(m.group(2))
+        m = re.match(r"Difference between computed and exact\s+= (\S+)", line)
+        if m:
+            diff = float(m.group(1))
+    return initial, hist, diff
+
+
+def test_generated_residual_history(reference_binary):
+    """itermax=10 -> printFreq=1: every iteration printed and compared."""
+    nx = ny = nz = 12
+    initial, hist, diff = _run_reference(
+        reference_binary, ["-x", str(nx), "-y", str(ny), "-z", str(nz), "-i", "10"]
+    )
+    csr = generate_stencil(nx, ny, nz)
+    _, b, xexact = init_vectors(csr)
+    res = solve_cg(from_csr("crs", csr), b, itermax=10, verbose=False)
+
+    assert initial is not None and hist
+    # the reference prints %E (6 significant digits) -> parse error ~5e-7
+    np.testing.assert_allclose(res.residual_history[0], initial, rtol=1e-6)
+    for k, v in hist.items():
+        np.testing.assert_allclose(
+            res.residual_history[k], v, rtol=5e-6,
+            err_msg=f"iteration {k}",
+        )
+    assert diff is not None
+    ours = np.abs(res.x - xexact).max()
+    # at least as accurate as the reference (its print has 6 decimals)
+    assert ours <= diff + 1e-5
+
+
+def test_generated_long_run_printed_subset(reference_binary):
+    """150-iteration default: compare the printed every-15th residuals."""
+    initial, hist, _ = _run_reference(
+        reference_binary, ["-x", "8", "-y", "8", "-z", "8", "-i", "60"]
+    )
+    csr = generate_stencil(8, 8, 8)
+    _, b, _ = init_vectors(csr)
+    res = solve_cg(from_csr("sell", csr), b, itermax=60, verbose=False)
+    np.testing.assert_allclose(res.residual_history[0], initial, rtol=1e-6)
+    for k, v in hist.items():
+        if k < len(res.residual_history) and v > 1e-14:
+            np.testing.assert_allclose(
+                res.residual_history[k], v, rtol=1e-4, err_msg=f"iter {k}"
+            )
+
+
+def test_mm_matrix_residual_history(reference_binary, data_dir):
+    """Matrix-Market path on the bundled band matrix (b = 1)."""
+    initial, hist, _ = _run_reference(
+        reference_binary,
+        ["-m", "./data/matrix_band_klein.mtx", "-i", "10"],
+    )
+    csr = HostCSR.from_coo(read_mm(str(data_dir / "matrix_band_klein.mtx")))
+    x0, b, _ = init_vectors(csr, generated=False)
+    res = solve_cg(from_csr("crs", csr), b, itermax=10, verbose=False)
+    np.testing.assert_allclose(res.residual_history[0], initial, rtol=1e-6)
+    for k, v in hist.items():
+        if k < len(res.residual_history):
+            np.testing.assert_allclose(
+                res.residual_history[k], v, rtol=1e-6, atol=1e-12,
+                err_msg=f"iter {k}",
+            )
