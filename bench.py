@@ -41,15 +41,23 @@ def chain_time(step, A, carry, reps=30, trials=3):
     """
     import jax
 
+    import jax.numpy as jnp
+
     @jax.jit
     def chain(A, c):
-        return jax.lax.fori_loop(0, reps, lambda _, u: step(A, u), c)
+        out = jax.lax.fori_loop(0, reps, lambda _, u: step(A, u), c)
+        # scalar summary forces the device to finish ALL iterations before
+        # the host readback completes — block_until_ready alone has been
+        # observed returning early through the axon relay
+        return out, jnp.sum(out)
 
-    jax.block_until_ready(chain(A, carry))
+    _, sval = chain(A, carry)
+    float(sval)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(A, carry))
+        _, sval = chain(A, carry)
+        float(sval)  # host sync on a value dependent on every iteration
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 

@@ -13,7 +13,10 @@ jittable ``spmv``. TPU-native additions beyond the reference's lineup:
            arXiv:1307.6209); sigma-sorted, chunked, padded to lane tiles
 ``ell``    padded ELLPACK (SELL with one global chunk); simplest dense layout
 ``dia``    diagonal storage for banded/stencil matrices — gather-free SpMV
-           from shifted slices; the fast path for the HPCG generator problem
+           from shifted slices; Pallas kernel with VMEM-resident x window
+``bsell``  block-column SELL — the TPU-native general format: per-slice
+           lane-gathers from 128-wide column blocks, whole x VMEM-resident,
+           int8 local indices (5 B/nnz); see ops/bsell_pallas.py
 =========  ====================================================================
 """
 
