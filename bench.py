@@ -33,7 +33,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def chain_time(step, A, carry, reps=30, trials=3):
+def chain_time(step, A, carry, reps=30, trials=5):
     """Time step(A, u) repeated ``reps`` times inside one jitted fori_loop.
 
     A is a jit *argument*: closing over device arrays would embed them as

@@ -75,6 +75,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Per-region timing report (reference profiler table)")
     ap.add_argument("--trace", metavar="DIR", default=None,
                     help="Write an XLA profiler trace (LIKWID analog)")
+    ap.add_argument("--checkpoint", metavar="PATH", default=None,
+                    help="Checkpoint solver state to PATH and resume from it")
+    ap.add_argument("--checkpoint-every", type=int, default=50,
+                    help="Iterations between checkpoints (default 50)")
+    ap.add_argument("--banner", action="store_true",
+                    help="Print the device table (reference affinity map)")
     ap.add_argument("--version", action="version", version=__version__)
     return ap
 
@@ -166,6 +172,10 @@ def main(argv: Optional[list] = None) -> int:
         f"precision {param.dtype}/{param.index_dtype} | "
         f"{len(devices)}x {devices[0].device_kind}"
     )
+    if args.banner:
+        from sparsebench_tpu.utils import device_banner
+
+        print(device_banner())
 
     generated = param.filename in ("generate", "generate7P")
 
@@ -191,7 +201,17 @@ def main(argv: Optional[list] = None) -> int:
         if param.bench == "cg":
             print("Test type: CG")
             x0, b, xexact = init_vectors(csr, dtype=policy.value, generated=generated)
-            if args.profile:
+            if args.checkpoint:
+                from sparsebench_tpu.solvers.checkpoint import (
+                    solve_cg_checkpointed,
+                )
+
+                res = solve_cg_checkpointed(
+                    A, b, checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every,
+                    itermax=param.itermax, eps=param.eps,
+                )
+            elif args.profile:
                 res = solve_cg_profiled(
                     A, b, prof, itermax=param.itermax, eps=param.eps
                 )
