@@ -56,6 +56,9 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         exchange_backend=param.exchange,
     )
     print(f"Setup took {time.perf_counter() - t0:.2f}s")
+    from sparsebench_tpu.debug import maybe_dump_partition
+
+    maybe_dump_partition(dm.part)  # SB_VERBOSE: out-<shard>.txt dumps
     plan = dm.part.plan
     print(
         f"Partition: {size} shards x {plan.nr_max} rows, halo {plan.halo_max}, "

@@ -1,0 +1,68 @@
+"""Utils + debug-dump module tests (reference timing/affinity/util/VERBOSE
+dump analogs, SURVEY §2 rows 14-18 and §5 observability)."""
+
+import io
+import os
+
+import numpy as np
+
+from sparsebench_tpu import debug, utils
+from sparsebench_tpu.host import generate_stencil
+from sparsebench_tpu.parallel.partition import partition
+
+
+def test_timestamp_and_resolution():
+    t0 = utils.get_timestamp()
+    t1 = utils.get_timestamp()
+    assert t1 >= t0
+    assert utils.get_timer_resolution() > 0
+
+
+def test_change_file_ending():
+    # reference changeFileEnding (util.c:11-31)
+    assert utils.change_file_ending("m.mtx", ".bmx") == "m.bmx"
+    assert utils.change_file_ending("a/b/c.mtx", "bmx") == "a/b/c.bmx"
+
+
+def test_device_banner_mentions_devices():
+    s = utils.device_banner()
+    assert "device 0:" in s
+
+
+def test_dump_csr_and_vector():
+    csr = generate_stencil(2, 2, 2)
+    f = io.StringIO()
+    debug.dump_csr(csr, f, label="G")
+    out = f.getvalue()
+    assert "G: nr=8" in out and "rowPtr:" in out and "row 0:" in out
+    f = io.StringIO()
+    debug.dump_vector(np.asarray([1.0, 2.5]), f, label="v")
+    assert "v[2]: 1.000000, 2.500000" in f.getvalue()
+
+
+def test_dump_device_matrix():
+    from sparsebench_tpu.formats import from_csr
+
+    csr = generate_stencil(2, 2, 2)
+    A = from_csr("crs", csr)
+    f = io.StringIO()
+    debug.dump_device_matrix(A, f)
+    assert "CRSMatrix" in f.getvalue()
+
+
+def test_partition_dump_files(tmp_path, monkeypatch):
+    monkeypatch.setenv("SB_VERBOSE", "1")
+    shards = [generate_stencil(2, 2, 2, rank=r, size=2) for r in range(2)]
+    part = partition(shards)
+    debug.maybe_dump_partition(part, directory=str(tmp_path))
+    for s in range(2):
+        p = tmp_path / f"out-{s}.txt"
+        assert p.exists()
+        assert "halo:" in p.read_text()
+
+
+def test_dump_disabled_without_env(tmp_path, monkeypatch):
+    monkeypatch.delenv("SB_VERBOSE", raising=False)
+    shards = [generate_stencil(2, 2, 2, rank=r, size=2) for r in range(2)]
+    debug.maybe_dump_partition(partition(shards), directory=str(tmp_path))
+    assert not list(tmp_path.glob("out-*.txt"))
