@@ -71,6 +71,7 @@ def main() -> int:
     from sparsebench_tpu.host import generate_stencil
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    fmts = sys.argv[2].split(",") if len(sys.argv) > 2 else ["dia", "bsell"]
     policy = DTypePolicy.from_names("f32", "i32")
     log(f"devices: {jax.devices()}")
 
@@ -81,10 +82,10 @@ def main() -> int:
     model_bytes = csr.nnz * (policy.value_bytes + policy.index_bytes)
 
     results = {}
-    for fmt, opts in [("dia", {}), ("bsell", {}), ("ell", {}), ("sell", {})]:
+    for fmt in fmts:
         try:
             t0 = time.perf_counter()
-            A = from_csr(fmt, csr, policy, **opts)
+            A = from_csr(fmt, csr, policy)
             jax.block_until_ready(jax.tree_util.tree_leaves(A))
             build_s = time.perf_counter() - t0
             def step(A, u, nc=A.nc):

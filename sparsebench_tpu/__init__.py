@@ -18,6 +18,10 @@ Design stance (TPU-first, not a port):
     format before the solve.
 """
 
+from sparsebench_tpu import _malloc_tuning
+
+_malloc_tuning.apply()
+
 from sparsebench_tpu.version import __version__
 
 from sparsebench_tpu.config import Parameter, read_parameter, DTypePolicy

@@ -124,9 +124,11 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     # fill the block table: (group, block) occupies slices
     # [offset_gb, offset_gb + lmax)
     rep = np.repeat(np.arange(gb_keys.size), lmax_gb)
-    slice_ids = np.concatenate(
-        [np.arange(o, o + m) for o, m in zip(offset_gb, lmax_gb)]
-    ) if gb_keys.size else np.zeros(0, np.int64)
+    # vectorized per-(g,b) arange: offset + within-run position
+    total = int(lmax_gb.sum())
+    run_starts = np.cumsum(lmax_gb) - lmax_gb
+    within = np.arange(total, dtype=np.int64) - np.repeat(run_starts, lmax_gb)
+    slice_ids = np.repeat(offset_gb, lmax_gb) + within
     bt = gb_group[rep] // SUBLANES
     bs = gb_group[rep] % SUBLANES
     blocks[bt, slice_ids, bs] = gb_block[rep]
