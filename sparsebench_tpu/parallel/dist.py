@@ -132,7 +132,7 @@ class DistMatrix:
         else:
             raise NotImplementedError(
                 f"format {fmt!r} has no distributed build (dia is local-only; "
-                "use sell/ell/crs for sharded solves)"
+                "use sell/ell/crs/bsell for sharded solves)"
             )
 
         objs = [_normalize_statics(o, part) for o in objs]
@@ -218,13 +218,11 @@ def dist_solve_cg(
 
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b_stacked.dtype)
     x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
-    jax.block_until_ready(x_dev)
+    int(k_dev)
     t0 = time.perf_counter()
     x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
-    jax.block_until_ready(x_dev)
+    k = int(k_dev)  # scalar readback = reliable sync (see cg.py)
     t1 = time.perf_counter()
-
-    k = int(k_dev)
     hist = np.asarray(hist_dev)
     x_global = dm.unshard_vector(np.asarray(x_dev))
 
@@ -312,13 +310,11 @@ def dist_solve_chebyshev(
     )
     eps_arr = jnp.asarray(eps, b_stacked.dtype)
     x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
-    jax.block_until_ready(x_dev)
+    int(k_dev)
     t0 = time.perf_counter()
     x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
-    jax.block_until_ready(x_dev)
+    k = int(k_dev)  # scalar readback = reliable sync (see cg.py)
     t1 = time.perf_counter()
-
-    k = int(k_dev)
     hist = np.asarray(h_dev)[:k]
     if verbose:
         print(f"Chebyshev performed {k} iterations and took {t1 - t0:.2f}s "

@@ -88,6 +88,22 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
 
         print("Test type: GMRES")
         res = dist_solve_gmres(dm, b, itermax=param.itermax, eps=param.eps)
+    elif param.bench == "spmv":
+        import numpy as _np
+
+        from sparsebench_tpu.parallel.dist import dist_spmv
+
+        print("Test type: SPMVM")
+        x = _np.ones(dm.part.total_nr, dtype=policy.value)
+        y = dist_spmv(dm, x)  # compile warm-up
+        t0 = time.perf_counter()
+        iters = max(param.itermax - 1, 1)  # reference main.c:213-215
+        for _ in range(iters):
+            y = dist_spmv(dm, x)
+        dt = (time.perf_counter() - t0) / iters
+        print(f"spMVM per-iteration time: {dt * 1e3:.3f} ms "
+              f"(includes host dispatch per call)")
+        return 0
     else:
         raise SystemExit(
             f"distributed bench type {param.bench!r} not supported"

@@ -220,17 +220,17 @@ def solve_cg(
     # warm-up compile outside the timed section (the reference's compile cost
     # is paid at build time; ours at first trace)
     x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr)
-    jax.block_until_ready(x_dev)
+    int(k_dev)
 
     t0 = time.perf_counter()
     x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr)
-    jax.block_until_ready(x_dev)
+    # sync via a scalar that depends on the whole loop: block_until_ready
+    # has been observed returning early through the axon relay
+    k = int(k_dev)
     t1 = time.perf_counter()
 
     if permuted:
         x_dev = A.unpermute_vector(x_dev)
-
-    k = int(k_dev)
     hist = np.asarray(hist_dev)
     if verbose:
         print(f"Initial Residual = {hist[0]:E}")

@@ -167,15 +167,14 @@ def solve_chebyshev(
     )
     eps_arr = jnp.asarray(eps, b.dtype)
     x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr)
-    jax.block_until_ready(x_dev)
+    int(k_dev)
     t0 = time.perf_counter()
     x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr)
-    jax.block_until_ready(x_dev)
+    k = int(k_dev)  # scalar readback = reliable sync (see cg.py)
     t1 = time.perf_counter()
 
     if permuted:
         x_dev = A.unpermute_vector(x_dev)
-    k = int(k_dev)
     hist = np.asarray(h_dev)[:k]
     if verbose:
         print(f"Chebyshev performed {k} iterations and took {t1 - t0:.2f}s "
