@@ -53,8 +53,11 @@ def _backend_is_tpu() -> bool:
 @register_format("dia")
 @struct.dataclass
 class DiaMatrix:
-    # data[d, i] = A[i, i + offsets[d]]; columns padded to nr_pad with zeros
-    data: jnp.ndarray  # (ndiag, nr_pad) value dtype
+    # data3d[d, j, l] = A[i, i + offsets[d]] with i = j*128 + l (zero padded)
+    # stored 3-D (the kernel's block layout) so no in-jit reshape is needed:
+    # reshaping the 2-D form inside lax loop bodies produced layout
+    # mismatches feeding the pallas blocked copy (garbage outputs)
+    data: jnp.ndarray  # (ndiag, nr_pad/128, 128) value dtype
     offsets: Tuple[int, ...] = struct.field(pytree_node=False)
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
@@ -93,14 +96,16 @@ class DiaMatrix:
         data = np.zeros((offsets.size, nr_pad), dtype=policy.value)
         d_idx = np.searchsorted(offsets, keys)
         data[d_idx, rows] = csr.val.astype(policy.value)
+        data = data.reshape(offsets.size, nr_pad // LANES, LANES)
 
-        if impl == "auto":
+        auto = impl == "auto"
+        if auto:
             impl = (
                 "pallas"
                 if _backend_is_tpu() and policy.value.itemsize <= 4
                 else "xla"
             )
-        return cls(
+        obj = cls(
             data=jnp.asarray(data),
             offsets=tuple(int(o) for o in offsets),
             nr=csr.nr,
@@ -113,6 +118,11 @@ class DiaMatrix:
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
+        if auto and obj.impl == "pallas" and not _self_check(obj, csr):
+            # transient kernel/runtime corruption observed on the dev TPU
+            # relay: verify once at build, fall back to the XLA path
+            obj = obj.replace(impl="xla")
+        return obj
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.impl in ("pallas", "pallas_interpret"):
@@ -120,10 +130,9 @@ class DiaMatrix:
         return self._spmv_xla(x)
 
     def _spmv_pallas(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-        x2d = pack_x(x[: self.nr], self.offsets, self.nr_pad)
-        data3d = self.data.reshape(self.data.shape[0], -1, LANES)
+        x1d = pack_x(x[: self.nr], self.offsets, self.nr_pad)
         y2d = dia_spmv_pallas(
-            data3d, x2d, self.offsets, self.nr_pad, interpret=interpret
+            self.data, x1d, self.offsets, self.nr_pad, interpret=interpret
         )
         return y2d.reshape(-1)[: self.nr]
 
@@ -133,9 +142,10 @@ class DiaMatrix:
         lo = -min(0, min(self.offsets))
         hi = max(0, max(self.offsets))
         xp = jnp.pad(x, (lo, hi))
+        data2d = self.data.reshape(self.data.shape[0], -1)
         y = jnp.zeros(nr, dtype=self.data.dtype)
         for d, off in enumerate(self.offsets):
-            y = y + self.data[d, :nr] * jnp.asarray(
+            y = y + data2d[d, :nr] * jnp.asarray(
                 xp[lo + off : lo + off + nr], self.data.dtype
             )
         return y
@@ -149,3 +159,23 @@ class DiaMatrix:
 
     def unpermute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
         return v
+
+
+def _self_check(obj: "DiaMatrix", csr: HostCSR) -> bool:
+    """One compiled spmv against host row sums (A @ 1). Catches persistent
+    kernel miscompiles/corruption; transient flakiness is additionally
+    guarded by callers validating results (bench.py)."""
+    import numpy as np
+
+    try:
+        y = np.asarray(obj.spmv(jnp.ones(obj.nc, obj.data.dtype)))
+    except Exception:
+        return False
+    want = np.zeros(csr.nr)
+    np.add.at(
+        want,
+        np.repeat(np.arange(csr.nr), np.diff(csr.row_ptr)),
+        csr.val.astype(np.float64),
+    )
+    scale = np.abs(want).max() or 1.0
+    return bool(np.isfinite(y).all() and np.abs(y - want).max() <= 1e-2 * scale)

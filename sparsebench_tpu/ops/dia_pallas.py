@@ -2,7 +2,7 @@
 
 The XLA-level DIA SpMV (formats/dia.py) re-reads the shifted x vector from
 HBM once per diagonal (~27x for the stencil problems). This kernel tiles
-rows and keeps the x window resident in VMEM, so per tile:
+rows and keeps the x window VMEM-resident, so per tile:
 
     traffic = diag data (streamed once) + x window (once) + y (once)
 
@@ -15,14 +15,18 @@ full vector throughput).
 Pipelining: the diagonal data and y tiles are pallas-blocked (automatic
 HBM<->VMEM double buffering); the overlapping x window (stride = tile,
 size = tile + span) cannot be expressed as a BlockSpec, so it is DMA'd
-manually from an unblocked HBM ref into VMEM scratch each grid step. The
-window is ~1/ndiag of the per-tile traffic, so even an unoverlapped copy
-costs a few percent.
+manually from an unblocked HBM ref into VMEM scratch each grid step.
+
+The x operand is deliberately **1-D**. A 2-D (N, 128) operand was observed
+to receive a different (tiled) layout when the kernel ran inside
+lax.while_loop / fori_loop bodies, silently breaking the manual DMA's raw
+index math (41% of outputs garbage); a 1-D array has a unique layout in
+every context. The kernel reshapes the loaded window to (rows+span, 128)
+as a value, which is free for a contiguous buffer.
 
 Layout contract (built by formats/dia.py when the Pallas path is enabled):
     data3d : (ndiag, nr_pad/128, 128)  diag values, zero padded
-    x2d    : ((lead + nr_pad + trail)/128, 128) flattened x, zero padded
-             (lead = x_lead_pad(offsets), trail >= span of the last tile)
+    x1d    : (lead + nr_pad + trail,)  flat x, zero padded
     y      : (nr_pad/128, 128)
 
 The kernel is specialized per (offsets, tile) at trace time; offsets are
@@ -43,7 +47,7 @@ LANES = 128
 DEFAULT_TILE_ROWS = 256
 
 
-def _shifted_window(xwin, q: int, r: int, rows: int, variant: str = "roll1"):
+def _shifted_window(xw2, q: int, r: int, rows: int, variant: str = "roll1"):
     """(rows, 128) view of the VMEM x window shifted by q*128 + r:
     out[j, l] = xwin_flat[(q + j)*128 + l + r].
 
@@ -53,16 +57,16 @@ def _shifted_window(xwin, q: int, r: int, rows: int, variant: str = "roll1"):
     slices separately (two rolls, no post-roll row slices).
     """
     if r == 0:
-        return xwin[q : q + rows, :]
+        return xw2[q : q + rows, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     # roll left by r == roll right by 128 - r (pltpu.roll wants shift >= 0)
     if variant == "roll1":
-        rolled = pltpu.roll(xwin[q : q + rows + 1, :], shift=LANES - r, axis=1)
+        rolled = pltpu.roll(xw2[q : q + rows + 1, :], shift=LANES - r, axis=1)
         return jnp.where(
             lane < LANES - r, rolled[:rows, :], rolled[1 : rows + 1, :]
         )
-    ra = pltpu.roll(xwin[q : q + rows, :], shift=LANES - r, axis=1)
-    rb = pltpu.roll(xwin[q + 1 : q + 1 + rows, :], shift=LANES - r, axis=1)
+    ra = pltpu.roll(xw2[q : q + rows, :], shift=LANES - r, axis=1)
+    rb = pltpu.roll(xw2[q + 1 : q + 1 + rows, :], shift=LANES - r, axis=1)
     return jnp.where(lane < LANES - r, ra, rb)
 
 
@@ -71,16 +75,18 @@ def _dia_kernel(
     rows: int, span: int, variant: str = "roll1",
 ):
     i = pl.program_id(0)
-    # fetch the overlapping x window for this tile: rows [i*rows, i*rows+rows+span)
+    # fetch the overlapping x window for this tile:
+    # elements [i*rows*128, (i*rows + rows + span)*128)
     cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * rows, rows + span), :], xwin, sem
+        x_hbm.at[pl.ds(i * rows * LANES, (rows + span) * LANES)], xwin, sem
     )
     cp.start()
     cp.wait()
+    xw2 = xwin[:].reshape(rows + span, LANES)  # free: contiguous buffer
     acc = None
     for d, s in enumerate(shifts):
         q, r = divmod(s, LANES)
-        xs = _shifted_window(xwin, q, r, rows, variant)
+        xs = _shifted_window(xw2, q, r, rows, variant)
         term = data_ref[d] * xs
         acc = term if acc is None else acc + term
     y_ref[:, :] = acc
@@ -96,7 +102,8 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x2d stays in HBM
+            # 1-D, unblocked, HBM: unique layout in every calling context
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (ndiag, tile_rows, LANES),
                 lambda i: (0, i, 0),
@@ -108,7 +115,7 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((grid * tile_rows, LANES), dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_rows + span, LANES), dtype),
+            pltpu.VMEM(((tile_rows + span) * LANES,), dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -121,15 +128,15 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
 )
 def dia_spmv_pallas(
     data3d: jnp.ndarray,      # (ndiag, nr_pad/128, 128)
-    x2d: jnp.ndarray,         # ((lead + nr_pad + trail)/128, 128)
+    x1d: jnp.ndarray,         # (lead + nr_pad + trail,)
     offsets: Tuple[int, ...],
     nr_pad: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
     interpret: bool = False,
     variant: str = "roll1",
 ) -> jnp.ndarray:
-    """Returns y2d (ceil(nr_pad/tile)/128-padded, 128); rows beyond nr are
-    zero because the padded diagonal data is zero."""
+    """Returns y2d (grid-padded rows, 128); rows beyond nr are zero because
+    the padded diagonal data is zero."""
     ndiag = data3d.shape[0]
     n_rows = nr_pad // LANES
     lead = x_lead_pad(offsets)
@@ -142,10 +149,10 @@ def dia_spmv_pallas(
     grid_rows = ((n_rows + tile_rows - 1) // tile_rows) * tile_rows
     if grid_rows != data3d.shape[1]:
         data3d = jnp.pad(data3d, ((0, 0), (0, grid_rows - data3d.shape[1]), (0, 0)))
-    need_x_rows = grid_rows + span
-    if x2d.shape[0] < need_x_rows:
-        x2d = jnp.pad(x2d, ((0, need_x_rows - x2d.shape[0]), (0, 0)))
-    y = call(x2d, data3d)
+    need_x = (grid_rows + span) * LANES
+    if x1d.shape[0] < need_x:
+        x1d = jnp.pad(x1d, (0, need_x - x1d.shape[0]))
+    y = call(x1d, data3d)
     return y[:n_rows]
 
 
@@ -169,11 +176,10 @@ def pack_x(
     nr_pad: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
 ) -> jnp.ndarray:
-    """Pad + reshape a flat x (length >= nr) into the kernel's x2d layout."""
+    """Pad a flat x (length >= nr) into the kernel's 1-D layout."""
     lead = x_lead_pad(offsets)
     shifts = [int(o) + lead for o in offsets]
     span = _span_rows(shifts)
     grid_rows = ((nr_pad // LANES + tile_rows - 1) // tile_rows) * tile_rows
     total = (grid_rows + span) * LANES
-    xp = jnp.zeros(total, x.dtype).at[lead : lead + x.shape[0]].set(x[: nr_pad])
-    return xp.reshape(-1, LANES)
+    return jnp.zeros(total, x.dtype).at[lead : lead + x.shape[0]].set(x[: nr_pad])
