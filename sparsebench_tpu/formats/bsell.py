@@ -177,7 +177,8 @@ class BsellMatrix:
             lidx = np.pad(lidx, ((0, 0), (0, pad), (0, 0), (0, 0)))
             blocks = np.pad(blocks, ((0, 0), (0, pad), (0, 0)))
             s_max = min_s_max
-        if impl == "auto":
+        auto = impl == "auto"
+        if auto:
             slice_bytes = s_max * SUBLANES * LANES * (policy.value_bytes + 4)
             fits = nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
             impl = (
@@ -185,7 +186,7 @@ class BsellMatrix:
                 if _backend_is_tpu() and policy.value.itemsize <= 4 and fits
                 else "xla"
             )
-        return cls(
+        obj = cls(
             vals=jnp.asarray(vals),
             lidx=jnp.asarray(lidx),
             blocks=jnp.asarray(blocks),
@@ -201,6 +202,10 @@ class BsellMatrix:
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
+        if auto and obj.impl == "pallas" and not _self_check(obj, csr):
+            # kernel/runtime verification at build (see formats/dia.py)
+            obj = obj.replace(impl="xla")
+        return obj
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         xp = jnp.zeros(self.nc_pad, x.dtype).at[: x.shape[0]].set(x)
@@ -232,3 +237,20 @@ class BsellMatrix:
     def padding_ratio(self) -> float:
         """Stored slots / nnz — the format's padding overhead."""
         return self.n_elems / max(self.nnz, 1)
+
+
+def _self_check(obj: "BsellMatrix", csr: HostCSR) -> bool:
+    """One compiled spmv against host row sums (A @ 1); falls back to the
+    XLA path on mismatch (same guard as formats/dia.py)."""
+    try:
+        y = np.asarray(obj.spmv(jnp.ones(obj.nc, obj.vals.dtype)))
+    except Exception:
+        return False
+    want = np.zeros(csr.nr)
+    np.add.at(
+        want,
+        np.repeat(np.arange(csr.nr), np.diff(csr.row_ptr)),
+        csr.val.astype(np.float64),
+    )
+    scale = np.abs(want).max() or 1.0
+    return bool(np.isfinite(y).all() and np.abs(y - want).max() <= 1e-2 * scale)
