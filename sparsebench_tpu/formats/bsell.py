@@ -204,6 +204,10 @@ class BsellMatrix:
         )
         if auto and obj.impl == "pallas" and not _self_check(obj, csr):
             # kernel/runtime verification at build (see formats/dia.py)
+            import sys
+
+            print("bsell: pallas self-check failed; using XLA path",
+                  file=sys.stderr)
             obj = obj.replace(impl="xla")
         return obj
 
@@ -242,9 +246,16 @@ class BsellMatrix:
 def _self_check(obj: "BsellMatrix", csr: HostCSR) -> bool:
     """One compiled spmv against host row sums (A @ 1); falls back to the
     XLA path on mismatch (same guard as formats/dia.py)."""
-    try:
-        y = np.asarray(obj.spmv(jnp.ones(obj.nc, obj.vals.dtype)))
-    except Exception:
+    import sys
+
+    for attempt in range(2):  # the remote compile service flakes transiently
+        try:
+            y = np.asarray(obj.spmv(jnp.ones(obj.nc, obj.vals.dtype)))
+            break
+        except Exception as e:
+            print(f"bsell pallas self-check attempt {attempt} raised: {e!r}",
+                  file=sys.stderr)
+    else:
         return False
     want = np.zeros(csr.nr)
     np.add.at(

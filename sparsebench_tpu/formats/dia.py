@@ -78,6 +78,7 @@ class DiaMatrix:
         *,
         max_diags: int = _MAX_DIAGS,
         impl: str = "auto",
+        compress: bool = True,
         **_opts,
     ) -> "DiaMatrix":
         policy = default_policy(policy)
@@ -97,6 +98,16 @@ class DiaMatrix:
         d_idx = np.searchsorted(offsets, keys)
         data[d_idx, rows] = csr.val.astype(policy.value)
         data = data.reshape(offsets.size, nr_pad // LANES, LANES)
+        if compress and data.dtype == np.float32:
+            # lossless bf16 compression: when every value round-trips
+            # exactly (true for the generator's 27/-1 stencil values),
+            # halve the dominant traffic term at zero accuracy cost;
+            # the kernel accumulates in the x dtype
+            import ml_dtypes
+
+            bf = data.astype(ml_dtypes.bfloat16)
+            if np.array_equal(bf.astype(np.float32), data):
+                data = bf
 
         auto = impl == "auto"
         if auto:
@@ -121,6 +132,10 @@ class DiaMatrix:
         if auto and obj.impl == "pallas" and not _self_check(obj, csr):
             # transient kernel/runtime corruption observed on the dev TPU
             # relay: verify once at build, fall back to the XLA path
+            import sys
+
+            print("dia: pallas self-check failed; using XLA path",
+                  file=sys.stderr)
             obj = obj.replace(impl="xla")
         return obj
 
@@ -143,11 +158,10 @@ class DiaMatrix:
         hi = max(0, max(self.offsets))
         xp = jnp.pad(x, (lo, hi))
         data2d = self.data.reshape(self.data.shape[0], -1)
-        y = jnp.zeros(nr, dtype=self.data.dtype)
+        # accumulate in the x dtype (data may be stored compressed bf16)
+        y = jnp.zeros(nr, dtype=x.dtype)
         for d, off in enumerate(self.offsets):
-            y = y + data2d[d, :nr] * jnp.asarray(
-                xp[lo + off : lo + off + nr], self.data.dtype
-            )
+            y = y + data2d[d, :nr].astype(x.dtype) * xp[lo + off : lo + off + nr]
         return y
 
     @property
@@ -167,9 +181,16 @@ def _self_check(obj: "DiaMatrix", csr: HostCSR) -> bool:
     guarded by callers validating results (bench.py)."""
     import numpy as np
 
-    try:
-        y = np.asarray(obj.spmv(jnp.ones(obj.nc, obj.data.dtype)))
-    except Exception:
+    import sys
+
+    for attempt in range(2):  # the remote compile service flakes transiently
+        try:
+            y = np.asarray(obj.spmv(jnp.ones(obj.nc, jnp.float32)))
+            break
+        except Exception as e:
+            print(f"dia pallas self-check attempt {attempt} raised: {e!r}",
+                  file=sys.stderr)
+    else:
         return False
     want = np.zeros(csr.nr)
     np.add.at(

@@ -82,18 +82,22 @@ def _dia_kernel(
     )
     cp.start()
     cp.wait()
+    out_dtype = y_ref.dtype
     xw2 = xwin[:].reshape(rows + span, LANES)  # free: contiguous buffer
     acc = None
     for d, s in enumerate(shifts):
         q, r = divmod(s, LANES)
         xs = _shifted_window(xw2, q, r, rows, variant)
-        term = data_ref[d] * xs
+        # diag data may be stored compressed (bf16); accumulate in x dtype
+        term = data_ref[d].astype(out_dtype) * xs
         acc = term if acc is None else acc + term
     y_ref[:, :] = acc
 
 
 def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
                 variant="roll1"):
+    # ``dtype`` is the x/output dtype; the data operand keeps its own
+    # (possibly compressed) dtype
     grid = (n_rows + tile_rows - 1) // tile_rows
     kernel = functools.partial(
         _dia_kernel, shifts=shifts, rows=tile_rows, span=span, variant=variant
@@ -115,7 +119,7 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((grid * tile_rows, LANES), dtype),
         scratch_shapes=[
-            pltpu.VMEM(((tile_rows + span) * LANES,), dtype),
+            pltpu.VMEM(((tile_rows + span) * LANES,), dtype),  # x dtype
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -143,7 +147,7 @@ def dia_spmv_pallas(
     shifts = tuple(int(o) + lead for o in offsets)
     span = _span_rows(shifts)
     call = _build_call(
-        ndiag, n_rows, shifts, tile_rows, span, data3d.dtype, interpret, variant
+        ndiag, n_rows, shifts, tile_rows, span, x1d.dtype, interpret, variant
     )
     # pad data3d rows up to the grid multiple
     grid_rows = ((n_rows + tile_rows - 1) // tile_rows) * tile_rows
