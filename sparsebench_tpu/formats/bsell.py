@@ -162,10 +162,19 @@ class BsellMatrix:
         impl: str = "auto",
         min_s_max: int = 0,
         index_store: str = "i8",
+        compress: bool = True,
         **_opts,
     ) -> "BsellMatrix":
         policy = default_policy(policy)
         vals, lidx, blocks, n_tiles, s_max, nc_pad = _build_arrays(csr, policy)
+        if compress and vals.dtype == np.float32:
+            # lossless bf16 value compression (see formats/dia.py): only
+            # applied when every value round-trips exactly
+            import ml_dtypes
+
+            bf = vals.astype(ml_dtypes.bfloat16)
+            if np.array_equal(bf.astype(np.float32), vals):
+                vals = bf
         if index_store == "i8":
             # lane indices are < 128: int8 storage cuts index traffic 4x
             # (5 B/nnz total vs the reference's 12 B/nnz model)
@@ -216,15 +225,15 @@ class BsellMatrix:
         if self.impl in ("pallas", "pallas_interpret"):
             y3 = bsell_spmv_pallas(
                 self.blocks,
-                xp.reshape(-1, LANES).astype(self.vals.dtype),
+                xp.reshape(-1, LANES),
                 self.vals,
                 self.lidx,
                 interpret=self.impl == "pallas_interpret",
             )
         else:
-            gcol = self.blocks[:, :, :, None] * LANES + self.lidx
+            gcol = self.blocks[:, :, :, None] * LANES + self.lidx.astype(jnp.int32)
             g = take(xp, gcol.reshape(-1)).reshape(gcol.shape)
-            y3 = (self.vals * g.astype(self.vals.dtype)).sum(axis=1)
+            y3 = (self.vals.astype(x.dtype) * g.astype(x.dtype)).sum(axis=1)
         return y3.reshape(-1)[: self.nr]
 
     @property

@@ -79,6 +79,7 @@ class DiaMatrix:
         max_diags: int = _MAX_DIAGS,
         impl: str = "auto",
         compress: bool = True,
+        forced_offsets=None,
         **_opts,
     ) -> "DiaMatrix":
         policy = default_policy(policy)
@@ -89,6 +90,13 @@ class DiaMatrix:
         rows = np.repeat(np.arange(csr.nr, dtype=np.int64), csr.row_lengths)
         keys = csr.col - rows
         offsets = np.unique(keys)
+        if forced_offsets is not None:
+            # distributed builds force one diagonal set across shards so the
+            # per-shard data arrays stack into a uniform mesh-sharded array
+            forced = np.asarray(sorted(forced_offsets), dtype=np.int64)
+            if not np.isin(offsets, forced).all():
+                raise DiaUnsuitableError("forced_offsets misses populated diagonals")
+            offsets = forced
         if offsets.size > max_diags:
             raise DiaUnsuitableError(
                 f"{offsets.size} populated diagonals exceeds max_diags={max_diags}"

@@ -1,0 +1,113 @@
+"""Split DIA+BSELL format for distributed banded matrices.
+
+The halo renumbering destroys the banded structure of a shard's local
+matrix (external columns land in the compacted tail, reference
+comm.c:96-110), so plain DIA cannot represent distributed blocks
+(formats/dia.py constraint). The split: entries with local columns
+(< nr) keep the gather-free DIA fast path; the few boundary entries whose
+columns point into the halo tail go through a BSELL block (whose
+lane-gather kernel handles arbitrary columns). SpMV is the sum of the two
+partial products — both kernels stream their own data once, and the
+boundary part is a tiny fraction (the exchange faces).
+
+Used by the distributed layer for ``--fmt dia``; not registered as a
+standalone format (single-device DIA needs no split).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct as struct
+import jax.numpy as jnp
+import numpy as np
+
+from sparsebench_tpu.config import DTypePolicy
+from sparsebench_tpu.formats.bsell import BsellMatrix
+from sparsebench_tpu.formats.dia import DiaMatrix
+from sparsebench_tpu.host.csr import HostCSR
+
+
+def split_interior_boundary(csr: HostCSR) -> Tuple[HostCSR, HostCSR]:
+    """Partition entries into (cols < nr) interior and halo-tail boundary."""
+    interior_mask = csr.col < csr.nr
+    rows = np.repeat(np.arange(csr.nr, dtype=np.int64), csr.row_lengths)
+
+    def build(mask, nc):
+        counts = np.bincount(rows[mask], minlength=csr.nr).astype(np.int64)
+        row_ptr = np.zeros(csr.nr + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_ptr[1:])
+        return HostCSR(
+            row_ptr=row_ptr,
+            col=csr.col[mask],
+            val=csr.val[mask],
+            nr=csr.nr,
+            nc=nc,
+            start_row=csr.start_row,
+            stop_row=csr.stop_row,
+            total_nr=csr.total_nr,
+            total_nnz=csr.total_nnz,
+        )
+
+    return build(interior_mask, csr.nr), build(~interior_mask, csr.nc)
+
+
+@struct.dataclass
+class DiaSplitMatrix:
+    interior: DiaMatrix
+    boundary: BsellMatrix
+    nr: int = struct.field(pytree_node=False)
+    nc: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+    start_row: int = struct.field(pytree_node=False, default=0)
+    total_nr: int = struct.field(pytree_node=False, default=0)
+    total_nnz: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def from_csr(
+        cls,
+        csr: HostCSR,
+        policy: Optional[DTypePolicy] = None,
+        *,
+        forced_offsets=None,
+        min_s_max: int = 0,
+        **_opts,
+    ) -> "DiaSplitMatrix":
+        interior_csr, boundary_csr = split_interior_boundary(csr)
+        return cls(
+            interior=DiaMatrix.from_csr(
+                interior_csr, policy, forced_offsets=forced_offsets
+            ),
+            boundary=BsellMatrix.from_csr(
+                boundary_csr, policy, min_s_max=min_s_max
+            ),
+            nr=csr.nr,
+            nc=csr.nc,
+            nnz=csr.nnz,
+            start_row=csr.start_row,
+            total_nr=csr.total_nr,
+            total_nnz=csr.total_nnz,
+        )
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.interior.spmv(x) + self.boundary.spmv(x)
+
+    @property
+    def permuted_output(self) -> bool:
+        return False
+
+    def permute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v
+
+    def unpermute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v
+
+    @staticmethod
+    def plan(shard_csrs):
+        """Unified (forced_offsets, min_s_max) so shard builds stack."""
+        offsets = set()
+        for s in shard_csrs:
+            ic, _ = split_interior_boundary(s)
+            rows = np.repeat(np.arange(ic.nr, dtype=np.int64), ic.row_lengths)
+            offsets.update(np.unique(ic.col - rows).tolist())
+        return tuple(sorted(offsets))

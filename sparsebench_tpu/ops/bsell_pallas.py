@@ -42,7 +42,7 @@ _UNROLL_LIMIT = 96
 
 
 def _bsell_kernel(blocks_ref, x_ref, val_ref, lidx_ref, y_ref, *, s_max: int):
-    acc0 = jnp.zeros((SUBLANES, LANES), val_ref.dtype)
+    acc0 = jnp.zeros((SUBLANES, LANES), y_ref.dtype)
 
     def body(p, acc):
         rows = [
@@ -51,7 +51,8 @@ def _bsell_kernel(blocks_ref, x_ref, val_ref, lidx_ref, y_ref, *, s_max: int):
         tbl = jnp.concatenate(rows, axis=0)  # (8, 128) lookup table
         idx = lidx_ref[0, p].astype(jnp.int32)
         g = jnp.take_along_axis(tbl, idx, axis=1)
-        return acc + val_ref[0, p] * g
+        # values may be stored compressed (bf16); accumulate in x dtype
+        return acc + val_ref[0, p].astype(acc.dtype) * g
 
     if s_max <= _UNROLL_LIMIT:
         # static unroll: slice positions become compile-time constants
@@ -105,6 +106,6 @@ def bsell_spmv_pallas(
             (1, SUBLANES, LANES), lambda t: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x2d.dtype),
         interpret=interpret,
     )(blocks, x2d, vals, lidx)

@@ -121,6 +121,31 @@ class DistMatrix:
         elif fmt in ("crs", "ccrs"):
             objs = [cls.from_csr(s, policy) for s in part.shards]
             self.perms = None
+        elif fmt == "dia":
+            from sparsebench_tpu.formats.dia_split import DiaSplitMatrix
+
+            offs = DiaSplitMatrix.plan(part.shards)
+            probe = [
+                DiaSplitMatrix.from_csr(s, policy, forced_offsets=offs)
+                for s in part.shards
+            ]
+            s_max = max(o.boundary.s_max for o in probe)
+            objs = [
+                o
+                if o.boundary.s_max == s_max
+                else DiaSplitMatrix.from_csr(
+                    s, policy, forced_offsets=offs, min_s_max=s_max
+                )
+                for o, s in zip(probe, part.shards)
+            ]
+            objs = [
+                o.replace(
+                    interior=o.interior.replace(nnz=0, start_row=0),
+                    boundary=o.boundary.replace(nnz=0, start_row=0),
+                )
+                for o in objs
+            ]
+            self.perms = None
         elif fmt == "bsell":
             probe = [cls.from_csr(s, policy) for s in part.shards]
             s_max = max(o.s_max for o in probe)
@@ -131,8 +156,8 @@ class DistMatrix:
             self.perms = None
         else:
             raise NotImplementedError(
-                f"format {fmt!r} has no distributed build (dia is local-only; "
-                "use sell/ell/crs/bsell for sharded solves)"
+                f"format {fmt!r} has no distributed build; "
+                "use sell/ell/crs/bsell/dia for sharded solves"
             )
 
         objs = [_normalize_statics(o, part) for o in objs]

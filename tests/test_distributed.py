@@ -193,3 +193,16 @@ def test_dist_gmres():
     dm = build_distributed(shards, fmt="crs")
     res = dist_solve_gmres(dm, b, itermax=90, eps=1e-10, restart=30, verbose=False)
     np.testing.assert_allclose(gcsr.spmv(res.x), b, rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("size", [2, 4])
+def test_dist_dia_split(size):
+    """Distributed DIA (interior diagonals + boundary BSELL block)."""
+    shards = _gen_shards(4, 4, 3, size)
+    gcsr = _global_csr(4, 4, 3, size)
+    dm = build_distributed(shards, fmt="dia")
+    x = np.random.default_rng(5).standard_normal(gcsr.nr)
+    np.testing.assert_allclose(dist_spmv(dm, x), gcsr.spmv(x), rtol=1e-12)
+    _, b, xexact = init_vectors(gcsr)
+    res = dist_solve_cg(dm, b, itermax=60, eps=1e-10, verbose=False)
+    assert np.abs(res.x - xexact).max() < 1e-6
