@@ -71,6 +71,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # TPU-specific
     ap.add_argument("--shards", type=int, default=None,
                     help="Shard the solve over this many mesh devices")
+    ap.add_argument("--exchange", default=None,
+                    choices=["auto", "ppermute", "allgather"],
+                    help="Halo exchange backend for sharded solves")
     ap.add_argument("--profile", action="store_true",
                     help="Per-region timing report (reference profiler table)")
     ap.add_argument("--trace", metavar="DIR", default=None,
@@ -98,6 +101,7 @@ def apply_args(param: Parameter, args: argparse.Namespace) -> Parameter:
         ("eps", "eps"), ("fmt", "fmt"), ("dtype", "dtype"),
         ("index_dtype", "index_dtype"), ("chunk_height", "chunk_height"),
         ("sigma", "sigma"), ("shards", "shards"), ("bench", "bench"),
+        ("exchange", "exchange"),
     ]:
         v = getattr(args, key_cli, None)
         if v is not None:
@@ -127,10 +131,10 @@ def init_matrix(param: Parameter, rank: int = 0, size: int = 1):
         print("Read MTX matrix")
         return HostCSR.from_coo(read_mm(fn))
     if fn.endswith(".bmx"):
+        from sparsebench_tpu.host.binfile import read_bmx_header
+
         print("Read BMX matrix")
-        total_nr, _ = __import__(
-            "sparsebench_tpu.host.binfile", fromlist=["read_bmx_header"]
-        ).read_bmx_header(fn)
+        total_nr, _ = read_bmx_header(fn)
         rng = rank_row_range(rank, size, total_nr) if size > 1 else None
         return read_bmx(fn, row_range=rng, size=size)
     raise SystemExit(f"Unknown matrix file format: {fn}")

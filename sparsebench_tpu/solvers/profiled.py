@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sparsebench_tpu.ops.blas1 import ddot as _ddot, waxpby as _waxpby
 from sparsebench_tpu.profiler import Profiler, Region
 from sparsebench_tpu.solvers.cg import CGResult
 
@@ -59,8 +60,8 @@ def solve_cg_profiled(
     nc = A.nc
     vdt = b_in.dtype
 
-    waxpby = jax.jit(lambda a, x, be, y: a * x + be * y)
-    dot = jax.jit(lambda x, y: allsum(jnp.sum(x * y)))  # sum, not dot: see cg.py
+    waxpby = jax.jit(_waxpby)
+    dot = jax.jit(lambda x, y: allsum(_ddot(x, y)))
     spmv = jax.jit(spmv_fn)
     exch = jax.jit(exchange)
 
