@@ -62,7 +62,8 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
         vals = np.zeros((n_tiles, 1, SUBLANES, LANES), dtype=policy.value)
         lidx_arr = np.zeros((n_tiles, 1, SUBLANES, LANES), dtype=np.int32)
         blocks = np.zeros((n_tiles, 1, SUBLANES), dtype=np.int32)
-        return vals, lidx_arr, blocks, n_tiles, 1, nc_pad
+        win_base = np.zeros((n_tiles, 1, 8), dtype=np.int32)
+        return vals, lidx_arr, blocks, win_base, n_tiles, 1, nc_pad, 1
 
     # occurrence index j within each (row, block) run — entries are sorted
     # by (row, col), so (row, block) runs are contiguous
@@ -118,9 +119,21 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
 
     vals = np.zeros((n_tiles, s_max, SUBLANES, LANES), dtype=policy.value)
     lidx_arr = np.zeros((n_tiles, s_max, SUBLANES, LANES), dtype=np.int32)
-    blocks = np.zeros((n_tiles, s_max, SUBLANES), dtype=np.int32)
     vals[t, slice_of, s, lane] = csr.val.astype(policy.value)
     lidx_arr[t, slice_of, s, lane] = lidx.astype(np.int32)
+    # per-tile x window: [min block, max block] over the tile's slices, so
+    # the windowed kernel DMAs only that span; padding slices point at the
+    # window base (gathering x * 0)
+    gb_tile = gb_group // SUBLANES
+    win_base = np.full(n_tiles, nb, dtype=np.int64)
+    win_hi = np.zeros(n_tiles, dtype=np.int64)
+    np.minimum.at(win_base, gb_tile, gb_block)
+    np.maximum.at(win_hi, gb_tile, gb_block)
+    win_base = np.minimum(win_base, win_hi)  # empty tiles -> 0
+    w_blocks = int(max(1, (win_hi - win_base).max() + 1))
+
+    # block ids relative to win_base; padding slices stay at the base block
+    blocks = np.zeros((n_tiles, s_max, SUBLANES), dtype=np.int64)
     # fill the block table: (group, block) occupies slices
     # [offset_gb, offset_gb + lmax)
     rep = np.repeat(np.arange(gb_keys.size), lmax_gb)
@@ -131,8 +144,12 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     slice_ids = np.repeat(offset_gb, lmax_gb) + within
     bt = gb_group[rep] // SUBLANES
     bs = gb_group[rep] % SUBLANES
-    blocks[bt, slice_ids, bs] = gb_block[rep]
-    return vals, lidx_arr, blocks, n_tiles, s_max, nc_pad
+    blocks[bt, slice_ids, bs] = gb_block[rep] - win_base[bt]
+    return (vals, lidx_arr, blocks.astype(np.int32),
+            np.broadcast_to(
+                win_base.astype(np.int32)[:, None, None], (n_tiles, 1, 8)
+            ).copy(),
+            n_tiles, s_max, nc_pad, w_blocks)
 
 
 @register_format("bsell")
@@ -140,13 +157,15 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
 class BsellMatrix:
     vals: jnp.ndarray    # (n_tiles, s_max, 8, 128)
     lidx: jnp.ndarray    # (n_tiles, s_max, 8, 128) int8/int32 lane indices
-    blocks: jnp.ndarray  # (n_tiles, s_max, 8) int32 column-block ids
+    blocks: jnp.ndarray  # (n_tiles, s_max, 8) int32 blocks RELATIVE to win_base
+    win_base: jnp.ndarray  # (n_tiles, 1, 8) int32 per-tile x window base (replicated)
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
     n_tiles: int = struct.field(pytree_node=False)
     s_max: int = struct.field(pytree_node=False)
     nc_pad: int = struct.field(pytree_node=False)
+    w_blocks: int = struct.field(pytree_node=False)
     n_elems: int = struct.field(pytree_node=False)
     impl: str = struct.field(pytree_node=False, default="xla")
     start_row: int = struct.field(pytree_node=False, default=0)
@@ -166,7 +185,8 @@ class BsellMatrix:
         **_opts,
     ) -> "BsellMatrix":
         policy = default_policy(policy)
-        vals, lidx, blocks, n_tiles, s_max, nc_pad = _build_arrays(csr, policy)
+        (vals, lidx, blocks, win_base, n_tiles, s_max, nc_pad,
+         w_blocks) = _build_arrays(csr, policy)
         if compress and vals.dtype == np.float32:
             # lossless bf16 value compression (see formats/dia.py): only
             # applied when every value round-trips exactly
@@ -189,22 +209,30 @@ class BsellMatrix:
         auto = impl == "auto"
         if auto:
             slice_bytes = s_max * SUBLANES * LANES * (policy.value_bytes + 4)
-            fits = nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
-            impl = (
-                "pallas"
-                if _backend_is_tpu() and policy.value.itemsize <= 4 and fits
-                else "xla"
+            whole_fits = (
+                nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
             )
+            win_fits = (
+                w_blocks * LANES * policy.value_bytes + 2 * slice_bytes
+                < _VMEM_BUDGET
+            )
+            if _backend_is_tpu() and policy.value.itemsize <= 4:
+                impl = ("pallas" if whole_fits
+                        else "pallas_win" if win_fits else "xla")
+            else:
+                impl = "xla"
         obj = cls(
             vals=jnp.asarray(vals),
             lidx=jnp.asarray(lidx),
             blocks=jnp.asarray(blocks),
+            win_base=jnp.asarray(win_base),
             nr=csr.nr,
             nc=csr.nc,
             nnz=csr.nnz,
             n_tiles=n_tiles,
             s_max=s_max,
             nc_pad=nc_pad,
+            w_blocks=w_blocks,
             n_elems=int(np.prod(vals.shape)),
             impl=impl,
             start_row=csr.start_row,
@@ -225,13 +253,32 @@ class BsellMatrix:
         if self.impl in ("pallas", "pallas_interpret"):
             y3 = bsell_spmv_pallas(
                 self.blocks,
+                self.win_base,
                 xp.reshape(-1, LANES),
                 self.vals,
                 self.lidx,
                 interpret=self.impl == "pallas_interpret",
             )
+        elif self.impl in ("pallas_win", "pallas_win_interpret"):
+            from sparsebench_tpu.ops.bsell_pallas import bsell_spmv_windowed
+
+            # pad x so every tile window [base, base+W) is in range
+            xp1 = jnp.concatenate([xp, jnp.zeros(self.w_blocks * LANES, x.dtype)])
+            y3 = bsell_spmv_windowed(
+                self.blocks,
+                self.win_base,
+                xp1.reshape(-1, LANES),
+                self.vals,
+                self.lidx,
+                w_blocks=self.w_blocks,
+                interpret=self.impl == "pallas_win_interpret",
+            )
         else:
-            gcol = self.blocks[:, :, :, None] * LANES + self.lidx.astype(jnp.int32)
+            gcol = (
+                (self.blocks + self.win_base[:, :, :1])[:, :, :, None]
+                * LANES
+                + self.lidx.astype(jnp.int32)
+            )
             g = take(xp, gcol.reshape(-1)).reshape(gcol.shape)
             y3 = (self.vals.astype(x.dtype) * g.astype(x.dtype)).sum(axis=1)
         return y3.reshape(-1)[: self.nr]
@@ -257,15 +304,6 @@ def _self_check(obj: "BsellMatrix", csr: HostCSR) -> bool:
     XLA path on mismatch (same guard as formats/dia.py)."""
     import sys
 
-    for attempt in range(2):  # the remote compile service flakes transiently
-        try:
-            y = np.asarray(obj.spmv(jnp.ones(obj.nc, obj.vals.dtype)))
-            break
-        except Exception as e:
-            print(f"bsell pallas self-check attempt {attempt} raised: {e!r}",
-                  file=sys.stderr)
-    else:
-        return False
     want = np.zeros(csr.nr)
     np.add.at(
         want,
@@ -273,4 +311,17 @@ def _self_check(obj: "BsellMatrix", csr: HostCSR) -> bool:
         csr.val.astype(np.float64),
     )
     scale = np.abs(want).max() or 1.0
-    return bool(np.isfinite(y).all() and np.abs(y - want).max() <= 1e-2 * scale)
+    # retry both exceptions and mismatches: the dev-TPU relay occasionally
+    # corrupts the FIRST execution after a fresh compile
+    for attempt in range(3):
+        try:
+            y = np.asarray(obj.spmv(jnp.ones(obj.nc, jnp.float32)))
+        except Exception as e:
+            print(f"bsell pallas self-check attempt {attempt} raised: {e!r}",
+                  file=sys.stderr)
+            continue
+        if np.isfinite(y).all() and np.abs(y - want).max() <= 1e-2 * scale:
+            return True
+        print(f"bsell pallas self-check attempt {attempt} mismatched",
+              file=sys.stderr)
+    return False

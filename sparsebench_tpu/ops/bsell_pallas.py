@@ -41,14 +41,17 @@ TILE_ROWS = LANES * SUBLANES  # 1024 rows per (8, 128) output tile
 _UNROLL_LIMIT = 96
 
 
-def _bsell_kernel(blocks_ref, x_ref, val_ref, lidx_ref, y_ref, *, s_max: int):
+def _accumulate_slices(get_row, blocks_ref, base, val_ref, lidx_ref, y_ref,
+                       s_max: int):
+    """Shared slice loop: per slice, build the (8,128) lookup table from 8
+    per-sublane x rows fetched by ``get_row``, lane-gather, fma."""
     acc0 = jnp.zeros((SUBLANES, LANES), y_ref.dtype)
 
     def body(p, acc):
         rows = [
-            x_ref[pl.ds(blocks_ref[0, p, s], 1), :] for s in range(SUBLANES)
+            get_row(blocks_ref[0, p, s] + base) for s in range(SUBLANES)
         ]
-        tbl = jnp.concatenate(rows, axis=0)  # (8, 128) lookup table
+        tbl = jnp.concatenate(rows, axis=0).reshape(SUBLANES, LANES)
         idx = lidx_ref[0, p].astype(jnp.int32)
         g = jnp.take_along_axis(tbl, idx, axis=1)
         # values may be stored compressed (bf16); accumulate in x dtype
@@ -65,42 +68,75 @@ def _bsell_kernel(blocks_ref, x_ref, val_ref, lidx_ref, y_ref, *, s_max: int):
         y_ref[0] = jax.lax.fori_loop(0, s_max, body, acc0)
 
 
+def _bsell_kernel(blocks_ref, base_ref, x_ref, val_ref, lidx_ref, y_ref, *,
+                  s_max: int):
+    base = base_ref[0, 0, 0]
+    _accumulate_slices(
+        lambda b: x_ref[pl.ds(b, 1), :], blocks_ref, base, val_ref, lidx_ref,
+        y_ref, s_max,
+    )
+
+
+def _bsell_kernel_windowed(
+    blocks_ref, base_ref, x_hbm, val_ref, lidx_ref, y_ref, xwin, sem, *,
+    s_max: int, w_blocks: int,
+):
+    # DMA only this tile's x window [base, base + W) block rows; block ids
+    # in blocks_ref are already window-relative
+    base = base_ref[0, 0, 0]
+    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(base, w_blocks), :], xwin, sem)
+    cp.start()
+    cp.wait()
+    _accumulate_slices(
+        lambda b: xwin[pl.ds(b, 1), :], blocks_ref,
+        jnp.int32(0), val_ref, lidx_ref, y_ref, s_max,
+    )
+
+
+def _common_specs(s_max):
+    """BlockSpecs shared by both kernels: the block-id table streams per
+    tile into SMEM (a scalar-prefetch operand would pin the WHOLE table in
+    the 1 MB SMEM — it overflows past ~100k rows), as does the per-tile
+    window base; slice data blocks stream into VMEM."""
+    return (
+        pl.BlockSpec(
+            (1, s_max, SUBLANES), lambda t: (t, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec((1, 1, SUBLANES), lambda t: (t, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, s_max, SUBLANES, LANES), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, s_max, SUBLANES, LANES), lambda t: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bsell_spmv_pallas(
-    blocks: jnp.ndarray,   # (n_tiles, S_max, 8) int32 block-id table
+    blocks: jnp.ndarray,   # (n_tiles, S_max, 8) int32 window-relative blocks
+    win_base: jnp.ndarray,  # (n_tiles, 1, 8) int32 per-tile window base (replicated)
     x2d: jnp.ndarray,      # (nc_pad/128, 128) value dtype, VMEM resident
     vals: jnp.ndarray,     # (n_tiles, S_max, 8, 128) value dtype
     lidx: jnp.ndarray,     # (n_tiles, S_max, 8, 128) int8/int32 lane indices
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns y as (n_tiles, 8, 128).
-
-    The block-id table streams per tile into SMEM (a scalar-prefetch
-    operand would pin the WHOLE table in the 1 MB SMEM — it overflows past
-    ~100k rows); dynamic-slice indices read from an SMEM block are fine.
-    """
+    """Whole-x-in-VMEM variant. Returns y as (n_tiles, 8, 128)."""
     n_tiles, s_max = vals.shape[0], vals.shape[1]
-    kernel = functools.partial(_bsell_kernel, s_max=s_max)
+    b_spec, base_spec, v_spec, l_spec = _common_specs(s_max)
     return pl.pallas_call(
-        kernel,
+        functools.partial(_bsell_kernel, s_max=s_max),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(
-                (1, s_max, SUBLANES),
-                lambda t: (t, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            b_spec,
+            base_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d, whole vector
-            pl.BlockSpec(
-                (1, s_max, SUBLANES, LANES),
-                lambda t: (t, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, s_max, SUBLANES, LANES),
-                lambda t: (t, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            v_spec,
+            l_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, SUBLANES, LANES), lambda t: (t, 0, 0),
@@ -108,4 +144,49 @@ def bsell_spmv_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x2d.dtype),
         interpret=interpret,
-    )(blocks, x2d, vals, lidx)
+    )(blocks, win_base, x2d, vals, lidx)
+
+
+@functools.partial(jax.jit, static_argnames=("w_blocks", "interpret"))
+def bsell_spmv_windowed(
+    blocks: jnp.ndarray,    # (n_tiles, S_max, 8) int32 window-relative blocks
+    win_base: jnp.ndarray,  # (n_tiles, 1, 8) int32 per-tile window base (replicated)
+    x2d: jnp.ndarray,       # (>= max base + W, 128) value dtype, HBM
+    vals: jnp.ndarray,
+    lidx: jnp.ndarray,
+    w_blocks: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed variant for x too large for VMEM: each tile DMAs only its
+    [base, base+W) column-block window. Returns y as (n_tiles, 8, 128).
+
+    NOTE the 2-D HBM operand + manual DMA: this pattern was implicated in
+    the lax-loop layout corruption (see ops/dia_pallas.py) — in-loop
+    correctness is covered by tests and the format's build-time self-check
+    guards regressions at runtime.
+    """
+    n_tiles, s_max = vals.shape[0], vals.shape[1]
+    b_spec, base_spec, v_spec, l_spec = _common_specs(s_max)
+    return pl.pallas_call(
+        functools.partial(
+            _bsell_kernel_windowed, s_max=s_max, w_blocks=w_blocks
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            b_spec,
+            base_spec,
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x2d stays in HBM
+            v_spec,
+            l_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda t: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((w_blocks, LANES), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(blocks, win_base, x2d, vals, lidx)

@@ -84,3 +84,17 @@ def test_dia_rejects_wide_matrices(test_matrices_dir):
 def test_registry_contents():
     for name in ("crs", "ccrs", "sell", "ell", "dia", "bsell"):
         assert name in FORMATS
+
+
+def test_bsell_windowed_interpret():
+    """Windowed-x BSELL kernel (for x too large for VMEM) in interpret mode."""
+    from sparsebench_tpu.formats.bsell import BsellMatrix
+
+    csr = generate_stencil(6, 5, 4)
+    x = np.random.default_rng(3).standard_normal(csr.nc).astype(np.float32)
+    A = from_csr("bsell", csr, DTypePolicy.from_names("f32", "i32"))
+    Aw = A.replace(impl="pallas_win_interpret")
+    y = np.asarray(Aw.spmv(x))
+    np.testing.assert_allclose(y, csr.spmv(x.astype(np.float64)), atol=1e-4)
+    Ai = A.replace(impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(Ai.spmv(x)), y, atol=1e-5)
