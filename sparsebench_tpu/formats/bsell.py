@@ -212,15 +212,15 @@ class BsellMatrix:
             whole_fits = (
                 nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
             )
-            win_fits = (
-                w_blocks * LANES * policy.value_bytes + 2 * slice_bytes
-                < _VMEM_BUDGET
+            # pallas_win (beyond-VMEM x) stays explicit opt-in: verified at
+            # small/mid sizes but crashed the TPU worker inside lax loops at
+            # 200^3 (w_blocks=638) — see NOTES.md round-2 items
+            impl = (
+                "pallas"
+                if _backend_is_tpu() and policy.value.itemsize <= 4
+                and whole_fits
+                else "xla"
             )
-            if _backend_is_tpu() and policy.value.itemsize <= 4:
-                impl = ("pallas" if whole_fits
-                        else "pallas_win" if win_fits else "xla")
-            else:
-                impl = "xla"
         obj = cls(
             vals=jnp.asarray(vals),
             lidx=jnp.asarray(lidx),
