@@ -42,7 +42,7 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=64, help="grid edge (n^3 rows)")
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64", "bf16"])
-    ap.add_argument("--formats", default="dia,ell,sell,crs")
+    ap.add_argument("--formats", default="dia,bsell,ell,sell,crs")
     args = ap.parse_args()
 
     import jax
