@@ -51,3 +51,21 @@ def test_chebyshev_with_exact_bounds():
         verbose=False,
     )
     np.testing.assert_allclose(csr.spmv(res.x), b, rtol=0, atol=1e-7)
+
+
+def test_gmres_restart_larger_than_itermax():
+    csr = generate_stencil(4, 4, 4)
+    b = np.random.default_rng(5).standard_normal(csr.nr)
+    A = from_csr("crs", csr)
+    # restart capped at itermax (reference-style bounded iterations)
+    res = solve_gmres(A, b, itermax=8, eps=0.0, restart=30, verbose=False)
+    assert res.iterations <= 8
+
+
+def test_chebyshev_eps_stops_early():
+    csr = generate_stencil(5, 5, 5)
+    b = np.random.default_rng(6).standard_normal(csr.nr)
+    A = from_csr("crs", csr)
+    res = solve_chebyshev(A, b, itermax=500, eps=1e-4, verbose=False)
+    assert res.iterations < 500
+    assert res.final_normr <= 1e-4 * 10  # eps checked on the lagged norm
