@@ -262,12 +262,13 @@ class BsellMatrix:
         elif self.impl in ("pallas_win", "pallas_win_interpret"):
             from sparsebench_tpu.ops.bsell_pallas import bsell_spmv_windowed
 
-            # pad x so every tile window [base, base+W) is in range
+            # pad x so every tile window [base, base+W) is in range;
+            # kept 1-D (unique layout — see ops/bsell_pallas.py)
             xp1 = jnp.concatenate([xp, jnp.zeros(self.w_blocks * LANES, x.dtype)])
             y3 = bsell_spmv_windowed(
                 self.blocks,
                 self.win_base,
-                xp1.reshape(-1, LANES),
+                xp1,
                 self.vals,
                 self.lidx,
                 w_blocks=self.w_blocks,

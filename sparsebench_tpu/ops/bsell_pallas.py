@@ -78,15 +78,23 @@ def _bsell_kernel(blocks_ref, base_ref, x_ref, val_ref, lidx_ref, y_ref, *,
 
 
 def _bsell_kernel_windowed(
-    blocks_ref, base_ref, x_hbm, val_ref, lidx_ref, y_ref, xwin, sem, *,
-    s_max: int, w_blocks: int,
+    blocks_ref, base_ref, x_hbm, val_ref, lidx_ref, y_ref, xflat, xwin, sem,
+    *, s_max: int, w_blocks: int,
 ):
     # DMA only this tile's x window [base, base + W) block rows; block ids
-    # in blocks_ref are already window-relative
+    # in blocks_ref are already window-relative. The x operand and the DMA
+    # destination are 1-D: a 2-D HBM operand received a different layout
+    # inside lax loop bodies, breaking the manual DMA's index math (see
+    # ops/dia_pallas.py — same hazard, same fix). The window is then staged
+    # once into a 2-D VMEM scratch so the slice loop can dynamic-slice a
+    # Ref (cheap) rather than a loaded value.
     base = base_ref[0, 0, 0]
-    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(base, w_blocks), :], xwin, sem)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(base * LANES, w_blocks * LANES)], xflat, sem
+    )
     cp.start()
     cp.wait()
+    xwin[:, :] = xflat[:].reshape(w_blocks, LANES)  # contiguous: free reshape
     _accumulate_slices(
         lambda b: xwin[pl.ds(b, 1), :], blocks_ref,
         jnp.int32(0), val_ref, lidx_ref, y_ref, s_max,
@@ -151,7 +159,7 @@ def bsell_spmv_pallas(
 def bsell_spmv_windowed(
     blocks: jnp.ndarray,    # (n_tiles, S_max, 8) int32 window-relative blocks
     win_base: jnp.ndarray,  # (n_tiles, 1, 8) int32 per-tile window base (replicated)
-    x2d: jnp.ndarray,       # (>= max base + W, 128) value dtype, HBM
+    x1d: jnp.ndarray,       # (>= (max base + W) * 128,) value dtype, HBM
     vals: jnp.ndarray,
     lidx: jnp.ndarray,
     w_blocks: int,
@@ -160,10 +168,10 @@ def bsell_spmv_windowed(
     """Windowed variant for x too large for VMEM: each tile DMAs only its
     [base, base+W) column-block window. Returns y as (n_tiles, 8, 128).
 
-    NOTE the 2-D HBM operand + manual DMA: this pattern was implicated in
-    the lax-loop layout corruption (see ops/dia_pallas.py) — in-loop
-    correctness is covered by tests and the format's build-time self-check
-    guards regressions at runtime.
+    The x operand is deliberately 1-D (unique layout in every calling
+    context — the 2-D form corrupted the manual DMA under lax loops and
+    crashed the TPU worker at 200^3; see ops/dia_pallas.py for the same
+    hazard on the DIA kernel).
     """
     n_tiles, s_max = vals.shape[0], vals.shape[1]
     b_spec, base_spec, v_spec, l_spec = _common_specs(s_max)
@@ -175,7 +183,7 @@ def bsell_spmv_windowed(
         in_specs=[
             b_spec,
             base_spec,
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x2d stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x1d stays in HBM
             v_spec,
             l_spec,
         ],
@@ -183,10 +191,11 @@ def bsell_spmv_windowed(
             (1, SUBLANES, LANES), lambda t: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x1d.dtype),
         scratch_shapes=[
-            pltpu.VMEM((w_blocks, LANES), x2d.dtype),
+            pltpu.VMEM((w_blocks * LANES,), x1d.dtype),  # 1-D DMA landing
+            pltpu.VMEM((w_blocks, LANES), x1d.dtype),    # 2-D sliceable stage
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(blocks, win_base, x2d, vals, lidx)
+    )(blocks, win_base, x1d, vals, lidx)

@@ -380,18 +380,18 @@ def dist_solve_gmres(
             if getattr(A_local, "permuted_output", False)
             else A_local.spmv
         )
-        x_new, normr = _gmres_cycle(
+        x_new, normr, k, brk = _gmres_cycle(
             A_local, b[0], x0[0], m=m, exchange=dm.exchange,
-            allsum=dm.allsum, spmv=spmv, nr=nr_local, nc=nc_local,
+            allsum=dm.allsum, spmv=spmv, nr=nr_local, nc=nc_local, eps=eps,
         )
-        return x_new[None], normr
+        return x_new[None], normr, k, brk
 
     cycle = jax.jit(
         jax.shard_map(
             local_fn,
             mesh=dm.mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P(), P()),
             check_vma=False,
         )
     )
@@ -399,16 +399,21 @@ def dist_solve_gmres(
     hist = []
     iters = 0
     normr = np.inf
+    broke_down = False
     t0 = time.perf_counter()
     while iters < itermax:
-        x_stacked, normr_dev = cycle(dm.A, b_stacked, x_stacked)
+        x_new, normr_dev, k_dev, brk_dev = cycle(dm.A, b_stacked, x_stacked)
+        if bool(brk_dev):
+            broke_down = True  # keep the last good iterate
+            break
+        x_stacked = x_new
         normr = float(normr_dev)
         hist.append(normr)
-        iters += m
+        iters += int(k_dev)
         if verbose:
             print(f"GMRES cycle {len(hist)}: iterations = {iters} "
                   f"Residual = {normr:E}")
-        if normr <= eps or not np.isfinite(normr):
+        if normr <= eps or not np.isfinite(normr) or int(k_dev) < m:
             break
     t1 = time.perf_counter()
     return GMRESResult(
@@ -417,6 +422,7 @@ def dist_solve_gmres(
         residual_history=np.asarray(hist),
         final_normr=normr,
         solve_seconds=t1 - t0,
+        breakdown=broke_down,
     )
 
 

@@ -30,14 +30,27 @@ _identity = lambda v: v  # noqa: E731
 @dataclasses.dataclass
 class GMRESResult:
     x: np.ndarray
-    iterations: int          # total inner iterations performed
+    iterations: int          # total inner iterations performed (exact)
     residual_history: np.ndarray  # per restart cycle
     final_normr: float
     solve_seconds: float
+    breakdown: bool = False  # H went singular before convergence
 
 
-def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc):
-    """One GMRES(m) cycle. Returns (x_new, normr_new)."""
+class GMRESBreakdownError(RuntimeError):
+    """Arnoldi produced a singular Hessenberg before convergence."""
+
+
+def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc, eps=0.0):
+    """One GMRES(m) cycle.
+
+    Returns ``(x_new, normr_new, k_inner, breakdown)`` where ``k_inner`` is
+    the number of Arnoldi steps actually contributing to the solution (the
+    first step whose rotated residual |g[j+1]| meets ``eps``, else m) and
+    ``breakdown`` flags a singular H column before convergence (the
+    preconditionless analog of a hard Arnoldi breakdown). All shapes are
+    static: convergence mid-cycle masks the trailing columns out of the
+    least-squares solve instead of shortening the loop."""
     vdt = b.dtype
 
     def widen(v):
@@ -63,7 +76,7 @@ def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc):
     g = jnp.zeros(m + 1, vdt).at[0].set(beta)
 
     def arnoldi_step(j, carry):
-        V, H, cs, sn, g = carry
+        V, H, cs, sn, g, res = carry
         w = matvec(V[j])
         # Orthogonalize against all basis vectors at once, masking i > j:
         # MXU matmul instead of a ragged modified-Gram-Schmidt loop.
@@ -93,21 +106,37 @@ def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc):
         cs, sn = cs.at[j].set(c), sn.at[j].set(s)
         g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
         H = H.at[:, j].set(h)
-        return V, H, cs, sn, g
+        res = res.at[j].set(jnp.abs(g[j + 1]))  # residual after step j
+        return V, H, cs, sn, g, res
 
-    V, H, cs, sn, g = jax.lax.fori_loop(
-        0, m, arnoldi_step, (V, H, cs, sn, g)
+    res0 = jnp.full(m, jnp.inf, vdt)
+    V, H, cs, sn, g, res = jax.lax.fori_loop(
+        0, m, arnoldi_step, (V, H, cs, sn, g, res0)
     )
 
-    # Back-substitution: H[:m,:m] y = g[:m] (upper triangular after Givens).
-    y = jax.scipy.linalg.solve_triangular(
-        H[:m, :m] + jnp.eye(m, dtype=vdt) * jnp.where(jnp.diag(H[:m, :m]) == 0, 1.0, 0.0),
-        g[:m],
-        lower=False,
+    # Exact inner-iteration count: first step meeting eps, else m. Already-
+    # converged inputs (beta <= eps) use zero steps.
+    conv = res <= eps
+    k = jnp.where(conv.any(), jnp.argmax(conv) + 1, m)
+    k = jnp.where(beta <= eps, 0, k).astype(jnp.int32)
+
+    # Back-substitution on the leading k x k block: H[:m,:m] y = g[:m]
+    # (upper triangular after Givens). Columns >= k are masked to identity
+    # rows with zero rhs, so their y entries are exactly 0 — the static-
+    # shape equivalent of truncating the cycle at convergence.
+    idx = jnp.arange(m)
+    active = idx < k
+    diag = jnp.diag(H[:m, :m])
+    breakdown = jnp.logical_and(active, diag == 0).any()
+    Hm = jnp.where(
+        jnp.logical_and(active[:, None], active[None, :]),
+        H[:m, :m],
+        jnp.eye(m, dtype=vdt),
     )
+    y = jax.scipy.linalg.solve_triangular(Hm, g[:m] * active, lower=False)
     x_new = x0 + jnp.einsum("i,in->n", y, V[:m], preferred_element_type=vdt)
-    normr = jnp.abs(g[m])
-    return x_new, normr
+    normr = jnp.where(k > 0, res[jnp.maximum(k - 1, 0)], beta)
+    return x_new, normr, k, breakdown
 
 
 def solve_gmres(
@@ -136,7 +165,7 @@ def solve_gmres(
     cycle = jax.jit(
         partial(
             _gmres_cycle, m=m, exchange=exchange, allsum=allsum,
-            spmv=spmv, nr=nr, nc=A.nc,
+            spmv=spmv, nr=nr, nc=A.nc, eps=eps,
         )
     )
 
@@ -144,15 +173,21 @@ def solve_gmres(
     iters = 0
     t0 = time.perf_counter()
     normr = np.inf
+    broke_down = False
     while iters < itermax:
-        x, normr_dev = cycle(A, b, x)
+        x_new, normr_dev, k_dev, brk_dev = cycle(A, b, x)
+        if bool(brk_dev):
+            # singular H before convergence: keep the last good iterate
+            broke_down = True
+            break
+        x = x_new
         normr = float(normr_dev)
         hist.append(normr)
-        iters += m
+        iters += int(k_dev)
         if verbose:
             print(f"GMRES cycle {len(hist)}: iterations = {iters} "
                   f"Residual = {normr:E}")
-        if normr <= eps or not np.isfinite(normr):
+        if normr <= eps or not np.isfinite(normr) or int(k_dev) < m:
             break
     solve_seconds = time.perf_counter() - t0
 
@@ -164,4 +199,5 @@ def solve_gmres(
         residual_history=np.asarray(hist),
         final_normr=normr,
         solve_seconds=solve_seconds,
+        breakdown=broke_down,
     )

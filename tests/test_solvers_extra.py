@@ -62,6 +62,48 @@ def test_gmres_restart_larger_than_itermax():
     assert res.iterations <= 8
 
 
+def test_gmres_exact_iterations_midcycle():
+    """A system whose Krylov space is exhausted in n steps must report the
+    exact inner-iteration count, not a multiple of the restart length
+    (VERDICT r1 item 8: `iters += m` overcounted mid-cycle convergence)."""
+    csr = generate_stencil(2, 2, 2)  # n = 8: converges within one m=30 cycle
+    b = np.random.default_rng(7).standard_normal(csr.nr)
+    A = from_csr("crs", csr)
+    res = solve_gmres(A, b, itermax=150, eps=1e-12, restart=30, verbose=False)
+    assert res.iterations <= csr.nr  # exact Krylov bound, far below m=30
+    assert res.final_normr <= 1e-12
+    assert not res.breakdown
+    np.testing.assert_allclose(csr.spmv(res.x), b, rtol=0, atol=1e-9)
+
+
+def test_gmres_one_cycle_exact_count():
+    """Converging exactly at a cycle boundary still counts m, not 2m."""
+    csr = generate_stencil(2, 2, 1)  # n = 4
+    b = np.arange(1.0, 5.0)
+    A = from_csr("crs", csr)
+    res = solve_gmres(A, b, itermax=100, eps=1e-13, restart=4, verbose=False)
+    assert res.iterations <= 4
+    assert res.final_normr <= 1e-13
+
+
+def test_gmres_breakdown_flagged():
+    """A singular system must flag breakdown instead of silently patching
+    the Hessenberg diagonal (VERDICT r1 item 8)."""
+    from sparsebench_tpu.host.coo import COOMatrix
+
+    # singular: rank-1 matrix, b outside its range
+    row = np.array([0, 0, 1, 1])
+    col = np.array([0, 1, 0, 1])
+    val = np.array([1.0, 1.0, 1.0, 1.0])
+    coo = COOMatrix(row=row, col=col, val=val, nr=2, nc=2)
+    csr = HostCSR.from_coo(coo)
+    A = from_csr("crs", csr)
+    b = np.array([1.0, -1.0])  # orthogonal to range(A)
+    res = solve_gmres(A, b, itermax=10, eps=1e-14, restart=5, verbose=False)
+    assert res.breakdown
+    assert np.isfinite(res.x).all()  # last good iterate, not inf/nan
+
+
 def test_chebyshev_eps_stops_early():
     csr = generate_stencil(5, 5, 5)
     b = np.random.default_rng(6).standard_normal(csr.nr)
