@@ -58,8 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Convergence criteria epsilon. Default 0.0.")
     # runtime options (compile-time in the reference, config.mk:1-8)
     ap.add_argument("--fmt", default=None,
-                    choices=["crs", "ccrs", "sell", "ell", "dia", "bsell"],
-                    help="Matrix format (reference MTX_FMT). Default sell.")
+                    choices=["auto", "crs", "ccrs", "sell", "ell", "dia",
+                             "bsell"],
+                    help="Matrix format (reference MTX_FMT). Default auto: "
+                    "dia for banded matrices, else bsell (the TPU Pallas "
+                    "fast paths).")
     ap.add_argument("--dtype", default=None, choices=["f64", "f32", "bf16"],
                     help="Value dtype (reference FLOAT_TYPE). Default f64.")
     ap.add_argument("--index-dtype", default=None, choices=["i32", "i64"],
@@ -188,23 +191,56 @@ def main(argv: Optional[list] = None) -> int:
         from sparsebench_tpu.parallel.driver import run_distributed
 
         return run_distributed(param, policy, args)
-    csr = init_matrix(param)
-    A = from_csr(
-        param.fmt, csr, policy, C=param.chunk_height, sigma=param.sigma
-    )
-    print(f"Setup took {time.perf_counter() - t0:.2f}s")
+
+    csr = None
+    row_counts = None
+    if generated and param.fmt in ("auto", "dia"):
+        # Fast path: the stencil's diagonals are analytically known — build
+        # the DIA format directly, no CSR intermediate (minutes -> seconds
+        # on this host's lazy-memory VM).
+        from sparsebench_tpu.formats.dia import DiaMatrix
+
+        A, row_counts = DiaMatrix.from_stencil(
+            param.nx, param.ny, param.nz,
+            use_7pt=param.filename == "generate7P",
+            policy=policy,
+        )
+        param.fmt = "dia"
+        total_nr, model_nnz = A.total_nr, 27 * A.total_nr
+    else:
+        csr = init_matrix(param)
+        if param.fmt == "auto":
+            from sparsebench_tpu.formats.dia import DiaUnsuitableError
+
+            try:
+                A = from_csr("dia", csr, policy)
+                param.fmt = "dia"
+            except DiaUnsuitableError:
+                A = from_csr("bsell", csr, policy)
+                param.fmt = "bsell"
+        else:
+            A = from_csr(
+                param.fmt, csr, policy, C=param.chunk_height, sigma=param.sigma
+            )
+        total_nr = csr.total_nr
+        model_nnz = (
+            csr.model_total_nnz if csr.model_total_nnz > 0 else csr.total_nnz
+        )
+    print(f"Setup took {time.perf_counter() - t0:.2f}s (format {param.fmt})")
 
     prof = Profiler()
-    model_nnz = csr.model_total_nnz if csr.model_total_nnz > 0 else csr.total_nnz
     prof.init_factors(
-        csr.total_nr, model_nnz, policy.value_bytes, policy.index_bytes
+        total_nr, model_nnz, policy.value_bytes, policy.index_bytes
     )
 
     iterations = 0
     with trace(args.trace):
         if param.bench == "cg":
             print("Test type: CG")
-            x0, b, xexact = init_vectors(csr, dtype=policy.value, generated=generated)
+            x0, b, xexact = init_vectors(
+                csr, dtype=policy.value, generated=generated,
+                row_lengths=row_counts,
+            )
             if args.checkpoint:
                 from sparsebench_tpu.solvers.checkpoint import (
                     solve_cg_checkpointed,
@@ -234,14 +270,17 @@ def main(argv: Optional[list] = None) -> int:
             print("Test type: GMRES")
             from sparsebench_tpu.solvers.gmres import solve_gmres
 
-            b = np.ones(csr.nr, dtype=policy.value)
+            b = np.ones(A.nr, dtype=policy.value)
             res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps)
             iterations = res.iterations
         elif param.bench == "cheb":
             print("Test type: CHEBFD")
             from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
 
-            x0, b, xexact = init_vectors(csr, dtype=policy.value, generated=generated)
+            x0, b, xexact = init_vectors(
+                csr, dtype=policy.value, generated=generated,
+                row_lengths=row_counts,
+            )
             res = solve_chebyshev(A, b, itermax=param.itermax, eps=param.eps)
             iterations = res.iterations
             if xexact is not None:

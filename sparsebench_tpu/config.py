@@ -39,7 +39,9 @@ class Parameter:
     eps: float = 0.0
 
     # --- runtime format selection (compile-time in the reference) ---
-    fmt: str = "sell"          # crs | ccrs | sell | ell | dia | bsell
+    fmt: str = "auto"          # auto | crs | ccrs | sell | ell | dia | bsell
+                               # auto: dia when the matrix is banded enough,
+                               # else bsell — the two TPU Pallas fast paths
     chunk_height: int = 0      # SELL C; 0 = format picks a TPU-friendly default
     sigma: int = 0             # SELL sigma sorting scope; 0 = format default
     dtype: str = "f64"         # value dtype: f64 | f32 | bf16  (ref FLOAT_TYPE)

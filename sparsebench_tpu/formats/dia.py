@@ -26,6 +26,7 @@ parts instead), and ``ndiag`` must stay small; ``from_csr`` raises
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.struct as struct
@@ -40,6 +41,14 @@ from sparsebench_tpu.host.csr import HostCSR
 from sparsebench_tpu.ops.dia_pallas import LANES, dia_spmv_pallas, pack_x
 
 _MAX_DIAGS = 64
+
+# (sz, sy, sx) in the reference generator's loop order (src/matrix.c:71-75).
+_OFFSETS_27 = [
+    (sz, sy, sx)
+    for sz in (-1, 0, 1)
+    for sy in (-1, 0, 1)
+    for sx in (-1, 0, 1)
+]
 
 
 class DiaUnsuitableError(ValueError):
@@ -137,15 +146,146 @@ class DiaMatrix:
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
-        if auto and obj.impl == "pallas" and not _self_check(obj, csr):
+        if auto and obj.impl == "pallas" and os.environ.get("SB_SELF_CHECK"):
             # transient kernel/runtime corruption observed on the dev TPU
-            # relay: verify once at build, fall back to the XLA path
-            import sys
+            # relay: verify once at build, fall back to the XLA path.
+            # Opt-in (SB_SELF_CHECK=1): the check costs a full extra kernel
+            # compile+execute — 15-200 s through this environment's remote
+            # relay — and every driver (bench.py, cli solve paths) already
+            # validates solver output end-to-end.
+            want = np.zeros(csr.nr)
+            np.add.at(
+                want,
+                np.repeat(np.arange(csr.nr), np.diff(csr.row_ptr)),
+                csr.val.astype(np.float64),
+            )
+            if not _self_check(obj, want=want):
+                import sys
 
-            print("dia: pallas self-check failed; using XLA path",
-                  file=sys.stderr)
-            obj = obj.replace(impl="xla")
+                print("dia: pallas self-check failed; using XLA path",
+                      file=sys.stderr)
+                obj = obj.replace(impl="xla")
         return obj
+
+    @classmethod
+    def from_stencil(
+        cls,
+        nx: int,
+        ny: int,
+        nz: int,
+        *,
+        rank: int = 0,
+        size: int = 1,
+        use_7pt: bool = False,
+        policy: Optional[DTypePolicy] = None,
+        impl: str = "auto",
+        compress: bool = True,
+    ) -> Tuple["DiaMatrix", np.ndarray]:
+        """Build the 27/7-pt stencil matrix (reference src/matrix.c:30-121)
+        directly in DIA layout, skipping the CSR intermediate entirely.
+
+        The generated matrix's populated diagonals are analytically known
+        (offset = sz*nx*ny + sy*nx + sx per neighbor), its values are the
+        constants 27.0 / -1.0, and validity per row is three vectorized
+        bound checks — so the whole device format materializes with 27
+        masked stores instead of a 27M-entry repeat/unique/scatter pipeline.
+        On this host that turns a minutes-scale build (first-touch faults
+        over ~1 GB of CSR temporaries) into seconds.
+
+        Returns ``(matrix, row_counts)`` — row_counts feeds the reference's
+        b = 27 - (nnzrow - 1) exact-solution setup (src/CGSolver.c:25-36)
+        without a CSR to count from.
+        """
+        policy = default_policy(policy)
+        local_nrow = nx * ny * nz
+        total_nrow = local_nrow * size
+        start_row = local_nrow * rank
+        plane = nx * ny
+
+        specs = [
+            (sz * plane + sy * nx + sx, sz, sy, sx)
+            for (sz, sy, sx) in _OFFSETS_27
+            if not use_7pt or (sz * sz + sy * sy + sx * sx <= 1)
+        ]
+        offs = [s[0] for s in specs]
+        if len(set(offs)) != len(offs):
+            # degenerate tiny grids (nx or ny <= 2) can alias two neighbor
+            # shifts onto one diagonal — fall back to the general CSR path
+            from sparsebench_tpu.host.generator import generate_stencil
+
+            csr = generate_stencil(nx, ny, nz, rank=rank, size=size,
+                                   use_7pt=use_7pt, dtype=np.float64)
+            return (
+                cls.from_csr(csr, policy, impl=impl, compress=compress),
+                csr.row_lengths,
+            )
+        specs.sort()  # match from_csr's np.unique-sorted offset order
+
+        # bf16 is exact for the stencil's constants; build compressed
+        # directly (from_csr proves round-trip equality, here it is static)
+        use_bf16 = compress and np.dtype(policy.value) == np.float32
+        if use_bf16:
+            import ml_dtypes
+
+            store_dt = np.dtype(ml_dtypes.bfloat16)
+        else:
+            store_dt = policy.value
+
+        nr_pad = max(LANES, round_up(local_nrow, LANES))
+        local = np.arange(local_nrow, dtype=np.int64)
+        ix = local % nx
+        iy = (local // nx) % ny
+        currow = start_row + local
+
+        data = np.zeros((len(specs), nr_pad), dtype=store_dt)
+        counts = np.zeros(local_nrow, dtype=np.int64)
+        for d, (off, sz, sy, sx) in enumerate(specs):
+            col = currow + off
+            m = (
+                (ix + sx >= 0)
+                & (ix + sx < nx)
+                & (iy + sy >= 0)
+                & (iy + sy < ny)
+                & (col >= 0)
+                & (col < total_nrow)
+            )
+            row_d = data[d, :local_nrow]
+            row_d[m] = 27.0 if off == 0 else -1.0
+            counts += m
+
+        # from_csr derives offsets as global_col - local_row, which includes
+        # the rank's start_row shift for stacked multi-rank grids — match it
+        offsets = start_row + np.asarray([s[0] for s in specs], dtype=np.int64)
+        nnz = int(counts.sum())
+        auto = impl == "auto"
+        if auto:
+            impl = (
+                "pallas"
+                if _backend_is_tpu() and policy.value.itemsize <= 4
+                else "xla"
+            )
+        obj = cls(
+            data=jnp.asarray(data.reshape(len(specs), nr_pad // LANES, LANES)),
+            offsets=tuple(int(o) for o in offsets),
+            nr=local_nrow,
+            nc=local_nrow,
+            nnz=nnz,
+            n_elems=len(specs) * local_nrow,
+            nr_pad=nr_pad,
+            impl=impl,
+            start_row=start_row,
+            total_nr=total_nrow,
+            total_nnz=nnz if size == 1 else 27 * total_nrow,
+        )
+        if auto and obj.impl == "pallas" and os.environ.get("SB_SELF_CHECK"):
+            want = 27.0 - (counts - 1)  # row sums of the stencil matrix
+            if not _self_check(obj, want=want):
+                import sys
+
+                print("dia: pallas self-check failed; using XLA path",
+                      file=sys.stderr)
+                obj = obj.replace(impl="xla")
+        return obj, counts
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.impl in ("pallas", "pallas_interpret"):
@@ -183,20 +323,13 @@ class DiaMatrix:
         return v
 
 
-def _self_check(obj: "DiaMatrix", csr: HostCSR) -> bool:
-    """One compiled spmv against host row sums (A @ 1). Catches persistent
-    kernel miscompiles/corruption; transient flakiness is additionally
-    guarded by callers validating results (bench.py)."""
-    import numpy as np
-
+def _self_check(obj: "DiaMatrix", want: np.ndarray) -> bool:
+    """One compiled spmv against host row sums (``want`` = A @ 1). Catches
+    persistent kernel miscompiles/corruption; transient flakiness is
+    additionally guarded by callers validating results (bench.py)."""
     import sys
 
-    want = np.zeros(csr.nr)
-    np.add.at(
-        want,
-        np.repeat(np.arange(csr.nr), np.diff(csr.row_ptr)),
-        csr.val.astype(np.float64),
-    )
+    want = np.asarray(want, dtype=np.float64)
     scale = np.abs(want).max() or 1.0
     # retry both exceptions and mismatches: the dev-TPU relay occasionally
     # corrupts the FIRST execution after a fresh compile

@@ -468,6 +468,16 @@ def build_distributed(
     """Partition + device build in one call (reference main.c:168-174:
     commPartition then convertMatrix)."""
     part = partition(list(shard_csrs))
+    if fmt == "auto":
+        from sparsebench_tpu.formats.dia import DiaUnsuitableError
+
+        try:
+            return DistMatrix(
+                part, "dia", policy, C=C, sigma=sigma,
+                exchange_backend=exchange_backend, mesh=mesh,
+            )
+        except DiaUnsuitableError:
+            fmt = "bsell"
     return DistMatrix(
         part, fmt, policy, C=C, sigma=sigma,
         exchange_backend=exchange_backend, mesh=mesh,

@@ -258,18 +258,20 @@ def check_residual(
     return float(allmax(local))
 
 
-def init_vectors(csr, dtype=np.float64, generated: bool = True):
+def init_vectors(csr=None, dtype=np.float64, generated: bool = True,
+                 row_lengths: Optional[np.ndarray] = None):
     """Reference initVectors (src/CGSolver.c:19-38): x=0; for generated
     problems b = 27 - (nnzrow - 1) with exact solution x == 1, else b = 1.
 
     The reference only defines this under ``#ifdef CRS`` (CGSolver.c:21) —
     a bug for SCS/CCRS builds (SURVEY §2.10); here it works for any format
-    because it operates on the CSR intermediate before conversion.
+    because it operates on the CSR intermediate before conversion, or on
+    ``row_lengths`` alone (the analytic stencil->DIA path has no CSR).
     """
-    nr = csr.nr
+    nnzrow = row_lengths if row_lengths is not None else csr.row_lengths
+    nr = nnzrow.shape[0]
     x = np.zeros(nr, dtype=dtype)
     if generated:
-        nnzrow = csr.row_lengths
         b = (27.0 - (nnzrow - 1)).astype(dtype)
         xexact = np.ones(nr, dtype=dtype)
     else:

@@ -98,3 +98,55 @@ def test_bsell_windowed_interpret():
     np.testing.assert_allclose(y, csr.spmv(x.astype(np.float64)), atol=1e-4)
     Ai = A.replace(impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(Ai.spmv(x)), y, atol=1e-5)
+
+
+def test_dia_from_stencil_matches_from_csr():
+    """The analytic stencil->DIA builder must reproduce the CSR-built DIA
+    exactly (offsets, data, nnz, row counts) including the 7-pt variant,
+    boundary ranks of a stacked multi-rank grid, and the degenerate-grid
+    CSR fallback."""
+    import numpy as np
+
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.formats.dia import DiaMatrix
+    from sparsebench_tpu.host import generate_stencil
+
+    policy = DTypePolicy.from_names("f32", "i32")
+    cases = [
+        dict(dims=(5, 6, 7), use_7pt=False, rank=0, size=1),
+        dict(dims=(5, 6, 7), use_7pt=True, rank=0, size=1),
+        dict(dims=(1, 2, 3), use_7pt=False, rank=0, size=1),  # CSR fallback
+        dict(dims=(4, 5, 3), use_7pt=False, rank=0, size=3),
+        dict(dims=(4, 5, 3), use_7pt=False, rank=2, size=3),
+    ]
+    for case in cases:
+        dims = case.pop("dims")
+        csr = generate_stencil(*dims, dtype=np.float64, **case)
+        B, counts = DiaMatrix.from_stencil(
+            *dims, policy=policy, impl="xla", **case
+        )
+        assert np.array_equal(counts, csr.row_lengths)
+        assert B.nnz == csr.nnz
+        A = DiaMatrix.from_csr(csr, policy, impl="xla")
+        x = np.random.default_rng(7).standard_normal(A.nc).astype(np.float32)
+        ya, yb = np.asarray(A.spmv(x)), np.asarray(B.spmv(x))
+        np.testing.assert_allclose(ya, yb, rtol=1e-6, atol=1e-6)
+        if case.get("size", 1) == 1:
+            assert A.offsets == B.offsets
+            assert np.array_equal(
+                np.asarray(A.data, np.float32), np.asarray(B.data, np.float32)
+            )
+
+
+def test_init_vectors_from_row_counts():
+    import numpy as np
+
+    from sparsebench_tpu.host import generate_stencil
+    from sparsebench_tpu.solvers.cg import init_vectors
+
+    csr = generate_stencil(4, 4, 4, dtype=np.float64)
+    x1, b1, e1 = init_vectors(csr, dtype=np.float64)
+    x2, b2, e2 = init_vectors(
+        None, dtype=np.float64, row_lengths=csr.row_lengths
+    )
+    assert np.array_equal(b1, b2) and np.array_equal(e1, e2)
