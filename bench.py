@@ -1,24 +1,31 @@
-"""Headline benchmark: CG time-to-solution on the reference's default
-workload (27-pt stencil, 100^3, 150 iterations — src/parameter.c:14-19).
+"""Headline benchmark suite for the driver (one JSON line on stdout).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+Headline metric (continuity with round 1): CG time-to-solution on the
+reference's default workload (27-pt stencil, 100^3, 150 iterations —
+src/parameter.c:14-19). ``vs_baseline`` is the speedup over the C
+reference binary executing the identical workload on this host's CPU
+(measured in-situ round 1: 6.41 s solve, serial GCC -O3 build of
+/root/reference, setup excluded both sides; residual histories match to
+print precision, tests/test_reference_parity.py).
 
-Default mode ``cg``: fused-loop CG solve seconds on one TPU chip.
-``vs_baseline`` is the speedup over the C reference binary executing the
-identical workload on this host's CPU (measured in-situ: 6.41 s solve for
-150 iterations, serial GCC -O3 build of /root/reference, setup excluded for
-both sides). Residual histories of the two implementations match to print
-precision (tests/test_reference_parity.py).
-
-``spmv`` mode (python bench.py spmv [n] [fmts]): best effective SpMV
-bandwidth using the reference's byte model ((value+index) bytes per
-nonzero, src/main.c:187-189), vs the BASELINE.json north-star target of
-0.7 * 819 GB/s.
+The ``extra`` dict substantiates the roofline claim (VERDICT round 1 #4):
+  stream_triad_GBps    in-situ HBM STREAM-triad measurement on this chip
+  spmv_GBps            best effective SpMV bandwidth, reference byte model
+                       ((value+index) bytes per nonzero, src/main.c:187-189)
+  spmv_frac_of_stream  spmv_GBps / stream_triad_GBps  (target >= 0.70,
+                       BASELINE.md north star)
+  cg200_seconds        CG 150 iters on hpcg.par's 200^3 workload
+  setup100_seconds / setup200_seconds   analytic stencil->DIA build +
+                       transfer (the reference times setup, main.c:168-179)
 
 All timing syncs via scalar readbacks that depend on the full computation
 (block_until_ready can return early through this environment's TPU relay).
+Every phase revalidates results and is individually fault-tolerant: the
+relay intermittently corrupts or hangs a first post-compile execution.
 Extra diagnostics go to stderr; stdout carries only the JSON line.
+
+Modes: ``python bench.py`` (full suite), ``python bench.py cg [n]``,
+``python bench.py spmv [n] [fmts]``.
 """
 
 from __future__ import annotations
@@ -30,9 +37,9 @@ import time
 import numpy as np
 
 # C reference (serial, GCC -O3) on this host, default workload: solve
-# seconds for 150 iterations (setup excluded). Measured 2026-08-16.
+# seconds for 150 iterations (setup excluded). Measured 2026-08-16 (r1).
 REFERENCE_CG_SECONDS_100 = 6.41
-HBM_ROOFLINE_GBPS = 819.0  # v5e nominal
+NOMINAL_HBM_GBPS = 819.0  # v5e datasheet
 TARGET_FRACTION = 0.70
 
 
@@ -40,67 +47,200 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_cg(n: int = 100) -> int:
+def measure_stream_triad(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
+                         trials: int = 3) -> float:
+    """In-situ HBM STREAM triad: a = b + s*a, fused fori_loop chain with a
+    data-dependent carry (the only trustworthy timing harness through this
+    relay — NOTES.md). Bytes per iteration = 3 arrays (read a, read b,
+    write a) * 4 B."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def triad(a, b):
+        def body(_, a):
+            return b + jnp.float32(0.999) * a
+
+        out = jax.lax.fori_loop(0, iters, body, a)
+        return out, jnp.sum(out[::65537])
+
+    a = jnp.ones(n_floats, jnp.float32)
+    b = jnp.full(n_floats, 0.5, jnp.float32)
+    _, s = triad(a, b)
+    float(s)  # warm-up compile + reliable sync
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _, s = triad(a, b)
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    return 3.0 * 4.0 * n_floats * iters / best / 1e9
+
+
+def build_stencil_dia(n: int):
+    """Analytic stencil->DIA build (no CSR intermediate) + vectors."""
     import jax
 
     from sparsebench_tpu.config import DTypePolicy
-    from sparsebench_tpu.formats import from_csr
-    from sparsebench_tpu.host import generate_stencil
-    from sparsebench_tpu.solvers.cg import check_residual, init_vectors, solve_cg
+    from sparsebench_tpu.formats.dia import DiaMatrix
+    from sparsebench_tpu.solvers.cg import init_vectors
 
     policy = DTypePolicy.from_names("f32", "i32")
+    t0 = time.perf_counter()
+    A, counts = DiaMatrix.from_stencil(n, n, n, policy=policy)
+    jax.block_until_ready(A.data)
+    setup_s = time.perf_counter() - t0
+    log(f"{n}^3 setup (analytic dia build+transfer): {setup_s:.1f}s, "
+        f"{A.nnz} nnz, impl={A.impl}")
+    x0, b, xexact = init_vectors(row_lengths=counts, dtype=np.float32)
+    return A, b, xexact, setup_s
+
+
+def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3):
+    """Best validated CG solve seconds, or None if every attempt invalid."""
+    from sparsebench_tpu.solvers.cg import check_residual, solve_cg
+
+    best, good = float("inf"), False
+    for _ in range(attempts):
+        res = solve_cg(A, b, itermax=itermax, eps=0.0, verbose=False)
+        err = check_residual(res.x, xexact)
+        ok = np.isfinite(res.residual_history).all() and err < 1e-3
+        log(f"  cg {n}^3: {res.solve_seconds:.3f}s ({res.iterations} iters, "
+            f"final residual {res.final_normr:.2e}, max|x-1| {err:.2e}, "
+            f"{'ok' if ok else 'INVALID'})")
+        if ok:
+            best = min(best, res.solve_seconds)
+            good = True
+    return best if good else None
+
+
+def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
+    """Per-SpMV seconds from a fused data-dependent chain (A passed as a
+    jit argument: closures embed device arrays as HLO constants)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(A, c):
+        def step(A, u):
+            y = A.spmv(u)
+            if y.shape[0] == A.nc:
+                return y
+            return jnp.concatenate([y, u[y.shape[0]:]])
+
+        out = jax.lax.fori_loop(0, reps, lambda _, u: step(A, u), c)
+        return out, jnp.sum(out[:: 4097])
+
+    carry = jnp.ones(A.nc, jnp.float32)
+    _, sval = chain(A, carry)
+    float(sval)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _, sval = chain(A, carry)
+        float(sval)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def run_suite() -> int:
+    import jax
+
     log(f"devices: {jax.devices()}")
-    t0 = time.perf_counter()
-    csr = generate_stencil(n, n, n, dtype=np.float32)
-    log(f"generated {n}^3: {csr.nnz} nnz in {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    A = from_csr("dia", csr, policy)
-    jax.block_until_ready(jax.tree_util.tree_leaves(A))
-    log(f"dia build+transfer {time.perf_counter() - t0:.1f}s")
+    extra: dict = {}
 
-    x0, b, xexact = init_vectors(csr, dtype=np.float32)
+    # -- 1. in-situ STREAM triad ceiling ------------------------------------
+    try:
+        stream = measure_stream_triad()
+        extra["stream_triad_GBps"] = round(stream, 1)
+        log(f"STREAM triad: {stream:.1f} GB/s "
+            f"({100 * stream / NOMINAL_HBM_GBPS:.0f}% of nominal "
+            f"{NOMINAL_HBM_GBPS:.0f})")
+    except Exception as e:  # noqa: BLE001 — relay hazard, keep going
+        log(f"STREAM measurement failed: {e!r}")
+        stream = None
 
-    def attempt(A):
-        best_t = float("inf")
-        good = False
-        for _ in range(3):
-            res = solve_cg(A, b, itermax=150, eps=0.0, verbose=False)
-            err = check_residual(res.x, xexact)
-            ok = np.isfinite(res.residual_history).all() and err < 1e-3
-            log(f"solve: {res.solve_seconds:.3f}s ({res.iterations} iters, "
-                f"final residual {res.final_normr:.2e}, max|x-1| {err:.2e}, "
-                f"{'ok' if ok else 'INVALID'})")
-            if ok:
-                best_t = min(best_t, res.solve_seconds)
-                good = True
-        return best_t, good
+    # -- 2. headline: CG 100^3 ----------------------------------------------
+    best100 = None
+    try:
+        A, b, xexact, setup_s = build_stencil_dia(100)
+        extra["setup100_seconds"] = round(setup_s, 1)
+        best100 = timed_cg(A, b, xexact, 100)
+        if best100 is None:
+            log("pallas results invalid; retrying with the XLA dia path")
+            A = A.replace(impl="xla")
+            best100 = timed_cg(A, b, xexact, 100)
+    except Exception as e:  # noqa: BLE001
+        log(f"cg 100^3 failed: {e!r}")
 
-    best, good = attempt(A)
-    if not good:
-        # transient TPU-relay corruption guard: retry on the XLA path
+    # -- 3. SpMV effective bandwidth at 100^3 --------------------------------
+    try:
+        from sparsebench_tpu.config import DTypePolicy
+
+        policy = DTypePolicy.from_names("f32", "i32")
+        dt = spmv_chain_time(A)
+        model_bytes = A.nnz * (policy.value_bytes + policy.index_bytes)
+        gbps = model_bytes / dt / 1e9
+        extra["spmv_GBps"] = round(gbps, 1)
+        log(f"spmv 100^3 dia: {dt * 1e3:.3f} ms, {gbps:.1f} GB/s effective "
+            f"(reference byte model)")
+        if stream:
+            extra["spmv_frac_of_stream"] = round(gbps / stream, 3)
+            log(f"spmv/stream = {gbps / stream:.2f} (target "
+                f">= {TARGET_FRACTION})")
+    except Exception as e:  # noqa: BLE001
+        log(f"spmv bandwidth failed: {e!r}")
+
+    # -- 4. hpcg.par workload: CG 200^3 --------------------------------------
+    try:
+        A2, b2, xexact2, setup2_s = build_stencil_dia(200)
+        extra["setup200_seconds"] = round(setup2_s, 1)
+        best200 = timed_cg(A2, b2, xexact2, 200, attempts=2)
+        if best200 is not None:
+            extra["cg200_seconds"] = round(best200, 3)
+    except Exception as e:  # noqa: BLE001
+        log(f"cg 200^3 failed: {e!r}")
+
+    if best100 is None:
+        print(json.dumps({"metric": "cg_stencil100cubed_150iter_solve_seconds",
+                          "value": 0.0, "unit": "s", "vs_baseline": 0.0,
+                          "extra": extra}))
+        return 1
+    print(json.dumps({
+        "metric": "cg_stencil100cubed_150iter_solve_seconds",
+        "value": round(best100, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_CG_SECONDS_100 / best100, 2),
+        "extra": extra,
+    }))
+    return 0
+
+
+def bench_cg(n: int = 100) -> int:
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    A, b, xexact, _setup = build_stencil_dia(n)
+    best = timed_cg(A, b, xexact, n)
+    if best is None:
         log("pallas results invalid; retrying with the XLA dia path")
-        A = from_csr("dia", csr, policy, impl="xla")
-        best, good = attempt(A)
-    if not good:
+        best = timed_cg(A.replace(impl="xla"), b, xexact, n)
+    if best is None:
         print(json.dumps({"metric": f"cg_stencil{n}cubed_150iter_solve_seconds",
                           "value": 0.0, "unit": "s", "vs_baseline": 0.0}))
         return 1
-
-    out = {
+    print(json.dumps({
         "metric": f"cg_stencil{n}cubed_150iter_solve_seconds",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(REFERENCE_CG_SECONDS_100 / best, 2)
-        if n == 100
-        else 0.0,
-    }
-    print(json.dumps(out))
+        if n == 100 else 0.0,
+    }))
     return 0
 
 
 def bench_spmv(n: int, fmts) -> int:
     import jax
-    import jax.numpy as jnp
 
     from sparsebench_tpu.config import DTypePolicy
     from sparsebench_tpu.formats import from_csr
@@ -112,31 +252,6 @@ def bench_spmv(n: int, fmts) -> int:
     log(f"generated {n}^3: {csr.nnz} nnz")
     model_bytes = csr.nnz * (policy.value_bytes + policy.index_bytes)
 
-    def chain_time(A, reps=30, trials=4):
-        # A is a jit argument: closures embed device arrays as HLO constants
-
-        @jax.jit
-        def chain(A, c):
-            def step(A, u):
-                y = A.spmv(u)
-                if y.shape[0] == A.nc:
-                    return y
-                return jnp.concatenate([y, u[y.shape[0]:]])
-
-            out = jax.lax.fori_loop(0, reps, lambda _, u: step(A, u), c)
-            return out, jnp.sum(out)
-
-        carry = jnp.ones(A.nc, jnp.float32)
-        _, sval = chain(A, carry)
-        float(sval)  # scalar readback = reliable device sync
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            _, sval = chain(A, carry)
-            float(sval)
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
-
     results = {}
     for fmt in fmts:
         try:
@@ -144,7 +259,7 @@ def bench_spmv(n: int, fmts) -> int:
             A = from_csr(fmt, csr, policy)
             jax.block_until_ready(jax.tree_util.tree_leaves(A))
             build_s = time.perf_counter() - t0
-            dt = chain_time(A)
+            dt = spmv_chain_time(A)
             gbps = model_bytes / dt / 1e9
             results[fmt] = gbps
             log(f"{fmt}: build {build_s:.1f}s, {dt * 1e3:.3f} ms/spmv, "
@@ -158,7 +273,7 @@ def bench_spmv(n: int, fmts) -> int:
         return 1
     best_fmt = max(results, key=results.get)
     value = results[best_fmt]
-    target = HBM_ROOFLINE_GBPS * TARGET_FRACTION
+    target = NOMINAL_HBM_GBPS * TARGET_FRACTION
     print(json.dumps({
         "metric": f"spmv_effective_bandwidth_{n}cubed_{best_fmt}",
         "value": round(value, 2),
@@ -174,8 +289,12 @@ def main() -> int:
         n = int(args[1]) if len(args) > 1 else 100
         fmts = args[2].split(",") if len(args) > 2 else ["dia", "bsell"]
         return bench_spmv(n, fmts)
-    n = int(args[0]) if args else 100
-    return bench_cg(n)
+    if args and args[0] == "cg":
+        n = int(args[1]) if len(args) > 1 else 100
+        return bench_cg(n)
+    if args:
+        return bench_cg(int(args[0]))
+    return run_suite()
 
 
 if __name__ == "__main__":

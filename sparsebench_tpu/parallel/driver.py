@@ -30,6 +30,14 @@ class MeshCommInfo:
     def comm_volumes(self):
         return list(self.plan.comm_words_per_shard)
 
+    def gather_times(self, times):
+        """Per-shard region walltimes (reference MPI_Gather of _t[],
+        src/profiler.c:53-87). One host clock drives the lockstep mesh
+        program, so every shard reports the same spans."""
+        import numpy as _np
+
+        return _np.tile(_np.asarray(times), (self.size, 1))
+
 
 def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     import jax
@@ -75,9 +83,31 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         b = np.ones(dm.part.total_nr, dtype=policy.value)
         xexact = None
 
+    prof = Profiler()
+    # reference reports the model count 27*nrow for generated problems
+    # (src/matrix.c:113-120), actual nnz otherwise
+    model_nnz = (
+        27 * dm.part.total_nr if generated else sum(s.nnz for s in shards)
+    )
+    prof.init_factors(
+        dm.part.total_nr, model_nnz, policy.value_bytes, policy.index_bytes,
+        comm_words=int(np.sum(dm.part.plan.comm_words_per_shard)),
+    )
+    comm = MeshCommInfo(dm.part.plan, policy)
+    iterations = 0
+
     if param.bench == "cg":
         print("Test type: CG")
-        res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps)
+        if getattr(args, "profile", False):
+            from sparsebench_tpu.parallel.profiled import dist_solve_cg_profiled
+
+            res = dist_solve_cg_profiled(
+                dm, b, prof, itermax=param.itermax, eps=param.eps
+            )
+        else:
+            res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps)
+            prof.times[Region.SPMVM] = res.solve_seconds  # aggregate only
+        iterations = res.iterations
     elif param.bench == "cheb":
         from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
 
@@ -89,20 +119,12 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         print("Test type: GMRES")
         res = dist_solve_gmres(dm, b, itermax=param.itermax, eps=param.eps)
     elif param.bench == "spmv":
-        import numpy as _np
-
-        from sparsebench_tpu.parallel.dist import dist_spmv
+        from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 
         print("Test type: SPMVM")
-        x = _np.ones(dm.part.total_nr, dtype=policy.value)
-        y = dist_spmv(dm, x)  # compile warm-up
-        t0 = time.perf_counter()
-        iters = max(param.itermax - 1, 1)  # reference main.c:213-215
-        for _ in range(iters):
-            y = dist_spmv(dm, x)
-        dt = (time.perf_counter() - t0) / iters
-        print(f"spMVM per-iteration time: {dt * 1e3:.3f} ms "
-              f"(includes host dispatch per call)")
+        dist_bench_spmv(dm, prof, itermax=param.itermax)
+        iterations = max(param.itermax - 1, 1)  # reference main.c:213-215
+        print(prof.report(iterations, comm=comm))
         return 0
     else:
         raise SystemExit(
@@ -112,16 +134,21 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         diff = check_residual(res.x, xexact)
         print(f"Difference between computed and exact  = {diff:f}")
 
-    # communication volume report (reference profiler.c:105-123)
-    comm = MeshCommInfo(plan, policy)
-    print(HLINE)
-    print("Communication")
-    print("rank\tkB")
-    total = 0.0
-    for i, words in enumerate(comm.comm_volumes()):
-        kb = 1.0e-3 * words * policy.value_bytes
-        print(f"{i} {kb:11.2f}")
-        total += kb
-    print(f"Total data volume {total:.2f} kB")
-    print(HLINE)
+    iterations = iterations or res.iterations
+    if getattr(args, "profile", False):
+        # full multi-rank report: per-region min/max/avg + per-rank comm
+        # kB / kB/s / walltime (reference profiler.c:47-124)
+        print(prof.report(iterations, comm=comm))
+    else:
+        # fused mode has no per-region attribution — volumes only
+        print(HLINE)
+        print("Communication")
+        print("rank\tkB")
+        total = 0.0
+        for i, words in enumerate(comm.comm_volumes()):
+            kb = 1.0e-3 * words * policy.value_bytes
+            print(f"{i} {kb:11.2f}")
+            total += kb
+        print(f"Total data volume {total:.2f} kB")
+        print(HLINE)
     return 0
