@@ -85,6 +85,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Checkpoint solver state to PATH and resume from it")
     ap.add_argument("--checkpoint-every", type=int, default=50,
                     help="Iterations between checkpoints (default 50)")
+    ap.add_argument("--precond", default="none", choices=["none", "jacobi"],
+                    help="CG preconditioner (beyond the reference, which is "
+                    "unpreconditioned)")
+    ap.add_argument("--rcm", action="store_true",
+                    help="Reverse Cuthill-McKee row/col reordering before "
+                    "format conversion (cuts BSELL padding / enables DIA "
+                    "on scattered band matrices)")
     ap.add_argument("--banner", action="store_true",
                     help="Print the device table (reference affinity map)")
     ap.add_argument("--version", action="version", version=__version__)
@@ -209,6 +216,12 @@ def main(argv: Optional[list] = None) -> int:
         total_nr, model_nnz = A.total_nr, 27 * A.total_nr
     else:
         csr = init_matrix(param)
+        if args.rcm:
+            from sparsebench_tpu.host.rcm import permute_csr, rcm_permutation
+
+            perm = rcm_permutation(csr)
+            csr = permute_csr(csr, perm)
+            print(f"RCM reordering applied ({csr.nr} rows)")
         if param.fmt == "auto":
             from sparsebench_tpu.formats.dia import DiaUnsuitableError
 
@@ -241,6 +254,18 @@ def main(argv: Optional[list] = None) -> int:
                 csr, dtype=policy.value, generated=generated,
                 row_lengths=row_counts,
             )
+            inv_diag = None
+            if args.precond == "jacobi":
+                if csr is not None:
+                    d = csr.diagonal()
+                else:  # analytic stencil: diagonal is the constant 27
+                    d = np.full(A.nr, 27.0)
+                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+                print("Preconditioner: Jacobi")
+                if args.checkpoint or args.profile:
+                    raise SystemExit(
+                        "--precond combines with the plain CG path only"
+                    )
             if args.checkpoint:
                 from sparsebench_tpu.solvers.checkpoint import (
                     solve_cg_checkpointed,
@@ -256,7 +281,8 @@ def main(argv: Optional[list] = None) -> int:
                     A, b, prof, itermax=param.itermax, eps=param.eps
                 )
             else:
-                res = solve_cg(A, b, itermax=param.itermax, eps=param.eps)
+                res = solve_cg(A, b, itermax=param.itermax, eps=param.eps,
+                               inv_diag=inv_diag)
                 prof.times[Region.SPMVM] = res.solve_seconds  # aggregate only
             iterations = res.iterations
             if xexact is not None:

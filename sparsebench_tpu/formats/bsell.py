@@ -16,7 +16,8 @@ reference-parity SELL-C-sigma implementation (golden-file layout).
 
 from __future__ import annotations
 
-from typing import Optional
+import functools
+from typing import Optional, Tuple
 
 import flax.struct as struct
 import jax
@@ -41,6 +42,78 @@ def _backend_is_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# (sz, sy, sx) in the reference generator's loop order (src/matrix.c:71-75)
+_OFFSETS_27 = [
+    (sz, sy, sx) for sz in (-1, 0, 1) for sy in (-1, 0, 1) for sx in (-1, 0, 1)
+]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slices", "nx", "ny", "local_nrow", "n_tiles",
+                     "w_blocks", "nb", "store_dt"),
+)
+def _stencil_bsell_device(slices, nx, ny, local_nrow, n_tiles, w_blocks, nb,
+                          store_dt, base_blocks):
+    """Generate the 27/7-pt stencil's BSELL arrays ON DEVICE (no host build,
+    no host->device transfer — the relay moves ~0.3 MB/s, which made the
+    round-1 200^3 host build+transfer take ~57 min).
+
+    Structure: the stencil's entries lie on ``ndiag`` diagonals. For rows of
+    one 128-lane group (i = 128g + l) and diagonal offset o = 128q + r, the
+    columns i + o = 128(g+q) + (l+r) fall in block g+q for lanes l < 128-r
+    and block g+q+1 for the rest — so each diagonal contributes at most two
+    lane-complementary slices per group, with per-slice constant local
+    indices (l+r) mod 128 and linear-in-g block ids. Everything is iota
+    arithmetic + masks; no scatter, no gather.
+    """
+    nr_pad = n_tiles * TILE_ROWS
+    i = jax.lax.iota(jnp.int32, nr_pad)
+    ix = i % nx
+    iy = (i // nx) % ny
+    valid = i < local_nrow
+    lane = i % LANES
+    counts = jnp.zeros(nr_pad, jnp.int32)
+    planes = []
+    for off, sz, sy, sx, _q, r, is_b in slices:
+        col = i + off
+        m = (
+            valid
+            & (ix + sx >= 0) & (ix + sx < nx)
+            & (iy + sy >= 0) & (iy + sy < ny)
+            & (col >= 0) & (col < local_nrow)
+        )
+        if not is_b:
+            counts = counts + m
+        sel = (lane + r >= LANES) if is_b else (lane + r < LANES)
+        v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
+        planes.append(
+            jnp.where(m & sel, v, 0.0).astype(store_dt).reshape(
+                n_tiles, SUBLANES, LANES
+            )
+        )
+    vals = jnp.stack(planes, axis=1)
+
+    lvec = (jax.lax.iota(jnp.int32, LANES)[None, :]
+            + jnp.asarray([r for *_x, r, _b in slices], jnp.int32)[:, None]
+            ) % LANES
+    lidx = jnp.broadcast_to(
+        lvec.astype(jnp.int8)[None, :, None, :],
+        (n_tiles, len(slices), SUBLANES, LANES),
+    )
+
+    t_idx = jax.lax.iota(jnp.int32, n_tiles)
+    qoff = jnp.asarray([q + b for *_x, q, _r, b in slices], jnp.int32)
+    abs_blocks = (
+        SUBLANES * t_idx[:, None, None]
+        + jax.lax.iota(jnp.int32, SUBLANES)[None, None, :]
+        + qoff[None, :, None]
+    )
+    rel = jnp.clip(abs_blocks, 0, nb - 1) - base_blocks[:, None, None]
+    blocks = jnp.clip(rel, 0, 2 * w_blocks - 1)
+    return vals, lidx, blocks, counts
+
+
 def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     """Vectorized host construction of the slice arrays."""
     nr, nc = csr.nr, csr.nc
@@ -63,7 +136,9 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
         lidx_arr = np.zeros((n_tiles, 1, SUBLANES, LANES), dtype=np.int32)
         blocks = np.zeros((n_tiles, 1, SUBLANES), dtype=np.int32)
         win_base = np.zeros((n_tiles, 1, 8), dtype=np.int32)
-        return vals, lidx_arr, blocks, win_base, n_tiles, 1, nc_pad, 1
+        wchunk = np.zeros(n_tiles, dtype=np.int32)
+        return (vals, lidx_arr, blocks, win_base, wchunk, n_tiles, 1, nc_pad,
+                8, 16)
 
     # occurrence index j within each (row, block) run — entries are sorted
     # by (row, col), so (row, block) runs are contiguous
@@ -121,18 +196,24 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     lidx_arr = np.zeros((n_tiles, s_max, SUBLANES, LANES), dtype=np.int32)
     vals[t, slice_of, s, lane] = csr.val.astype(policy.value)
     lidx_arr[t, slice_of, s, lane] = lidx.astype(np.int32)
-    # per-tile x window: [min block, max block] over the tile's slices, so
-    # the windowed kernel DMAs only that span; padding slices point at the
-    # window base (gathering x * 0)
+    # per-tile x window [min block, max block] over the tile's slices. The
+    # windowed kernel views x as chunks of W = round_up(max span, 8) block
+    # rows; tile t's span then always fits in chunks wchunk[t], wchunk[t]+1
+    # (wchunk*W <= min < wchunk*W + W and hi < min + W). Block ids are
+    # stored relative to wchunk*W, so they lie in [0, 2W); padding slices
+    # stay at 0 (they gather x * 0).
     gb_tile = gb_group // SUBLANES
-    win_base = np.full(n_tiles, nb, dtype=np.int64)
+    win_lo = np.full(n_tiles, nb, dtype=np.int64)
     win_hi = np.zeros(n_tiles, dtype=np.int64)
-    np.minimum.at(win_base, gb_tile, gb_block)
+    np.minimum.at(win_lo, gb_tile, gb_block)
     np.maximum.at(win_hi, gb_tile, gb_block)
-    win_base = np.minimum(win_base, win_hi)  # empty tiles -> 0
-    w_blocks = int(max(1, (win_hi - win_base).max() + 1))
+    win_lo = np.minimum(win_lo, win_hi)  # empty tiles -> 0
+    w_blocks = int(round_up(max(1, int((win_hi - win_lo).max() + 1)), 8))
+    wchunk = win_lo // w_blocks
+    base_blocks = wchunk * w_blocks
+    # x rows the windowed kernel addresses: chunks [0, max wchunk + 2)
+    xw_rows = int(wchunk.max() + 2) * w_blocks
 
-    # block ids relative to win_base; padding slices stay at the base block
     blocks = np.zeros((n_tiles, s_max, SUBLANES), dtype=np.int64)
     # fill the block table: (group, block) occupies slices
     # [offset_gb, offset_gb + lmax)
@@ -144,12 +225,13 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     slice_ids = np.repeat(offset_gb, lmax_gb) + within
     bt = gb_group[rep] // SUBLANES
     bs = gb_group[rep] % SUBLANES
-    blocks[bt, slice_ids, bs] = gb_block[rep] - win_base[bt]
+    blocks[bt, slice_ids, bs] = gb_block[rep] - base_blocks[bt]
     return (vals, lidx_arr, blocks.astype(np.int32),
             np.broadcast_to(
-                win_base.astype(np.int32)[:, None, None], (n_tiles, 1, 8)
+                base_blocks.astype(np.int32)[:, None, None], (n_tiles, 1, 8)
             ).copy(),
-            n_tiles, s_max, nc_pad, w_blocks)
+            wchunk.astype(np.int32),
+            n_tiles, s_max, nc_pad, w_blocks, xw_rows)
 
 
 @register_format("bsell")
@@ -158,7 +240,8 @@ class BsellMatrix:
     vals: jnp.ndarray    # (n_tiles, s_max, 8, 128)
     lidx: jnp.ndarray    # (n_tiles, s_max, 8, 128) int8/int32 lane indices
     blocks: jnp.ndarray  # (n_tiles, s_max, 8) int32 blocks RELATIVE to win_base
-    win_base: jnp.ndarray  # (n_tiles, 1, 8) int32 per-tile x window base (replicated)
+    win_base: jnp.ndarray  # (n_tiles, 1, 8) int32 chunk-aligned window base (replicated)
+    wchunk: jnp.ndarray  # (n_tiles,) int32 x chunk index (win_base / w_blocks)
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
@@ -166,6 +249,7 @@ class BsellMatrix:
     s_max: int = struct.field(pytree_node=False)
     nc_pad: int = struct.field(pytree_node=False)
     w_blocks: int = struct.field(pytree_node=False)
+    xw_rows: int = struct.field(pytree_node=False)
     n_elems: int = struct.field(pytree_node=False)
     impl: str = struct.field(pytree_node=False, default="xla")
     start_row: int = struct.field(pytree_node=False, default=0)
@@ -185,20 +269,45 @@ class BsellMatrix:
         **_opts,
     ) -> "BsellMatrix":
         policy = default_policy(policy)
-        (vals, lidx, blocks, win_base, n_tiles, s_max, nc_pad,
-         w_blocks) = _build_arrays(csr, policy)
-        if compress and vals.dtype == np.float32:
-            # lossless bf16 value compression (see formats/dia.py): only
-            # applied when every value round-trips exactly
-            import ml_dtypes
+        nat = None
+        if index_store == "i8" and np.dtype(policy.value) == np.float32:
+            # native two-pass builder (ingest.cc): the numpy pipeline's
+            # argsort/scatter passes over nnz-length arrays took ~57 min at
+            # 200^3 on this host; the C++ passes take seconds
+            from sparsebench_tpu.host.native import bsell_build_native
 
-            bf = vals.astype(ml_dtypes.bfloat16)
-            if np.array_equal(bf.astype(np.float32), vals):
-                vals = bf
-        if index_store == "i8":
-            # lane indices are < 128: int8 storage cuts index traffic 4x
-            # (5 B/nnz total vs the reference's 12 B/nnz model)
-            lidx = lidx.astype(np.int8)
+            store_bf16 = False
+            if compress and csr.nnz:
+                import ml_dtypes
+
+                f32v = csr.val.astype(np.float32)
+                bf = f32v.astype(ml_dtypes.bfloat16)
+                store_bf16 = bool(np.array_equal(bf.astype(np.float32), f32v))
+            nat = bsell_build_native(
+                csr.row_ptr, csr.col, csr.val, csr.nr, store_bf16
+            )
+        if nat is not None:
+            (vals, lidx, blocks, base_blocks, wchunk, n_tiles, s_max,
+             w_blocks, xw_rows) = nat
+            nc_pad = max(LANES, round_up(csr.nc, LANES))
+            win_base = np.broadcast_to(
+                base_blocks[:, None, None], (n_tiles, 1, 8)
+            ).copy()
+        else:
+            (vals, lidx, blocks, win_base, wchunk, n_tiles, s_max, nc_pad,
+             w_blocks, xw_rows) = _build_arrays(csr, policy)
+            if compress and vals.dtype == np.float32:
+                # lossless bf16 value compression (see formats/dia.py): only
+                # applied when every value round-trips exactly
+                import ml_dtypes
+
+                bf = vals.astype(ml_dtypes.bfloat16)
+                if np.array_equal(bf.astype(np.float32), vals):
+                    vals = bf
+            if index_store == "i8":
+                # lane indices are < 128: int8 storage cuts index traffic 4x
+                # (5 B/nnz vs the reference's 12 B/nnz model, main.c:187-189)
+                lidx = lidx.astype(np.int8)
         if min_s_max > s_max:
             # distributed builds pad the slice axis so shard shapes match
             pad = min_s_max - s_max
@@ -212,20 +321,19 @@ class BsellMatrix:
             whole_fits = (
                 nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
             )
-            # pallas_win (beyond-VMEM x) stays explicit opt-in: verified at
-            # small/mid sizes but crashed the TPU worker inside lax loops at
-            # 200^3 (w_blocks=638) — see NOTES.md round-2 items
-            impl = (
-                "pallas"
-                if _backend_is_tpu() and policy.value.itemsize <= 4
-                and whole_fits
-                else "xla"
-            )
+            if _backend_is_tpu() and policy.value.itemsize <= 4:
+                # beyond-VMEM x goes through the chunk-pipelined windowed
+                # kernel (ops/bsell_pallas.py); the whole-x variant skips
+                # the 2x row fetch so it stays preferred when x fits
+                impl = "pallas" if whole_fits else "pallas_win"
+            else:
+                impl = "xla"
         obj = cls(
             vals=jnp.asarray(vals),
             lidx=jnp.asarray(lidx),
             blocks=jnp.asarray(blocks),
             win_base=jnp.asarray(win_base),
+            wchunk=jnp.asarray(wchunk),
             nr=csr.nr,
             nc=csr.nc,
             nnz=csr.nnz,
@@ -233,13 +341,15 @@ class BsellMatrix:
             s_max=s_max,
             nc_pad=nc_pad,
             w_blocks=w_blocks,
+            xw_rows=xw_rows,
             n_elems=int(np.prod(vals.shape)),
             impl=impl,
             start_row=csr.start_row,
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
-        if auto and obj.impl == "pallas" and not _self_check(obj, csr):
+        if (auto and obj.impl in ("pallas", "pallas_win")
+                and not _self_check(obj, csr)):
             # kernel/runtime verification at build (see formats/dia.py)
             import sys
 
@@ -247,6 +357,108 @@ class BsellMatrix:
                   file=sys.stderr)
             obj = obj.replace(impl="xla")
         return obj
+
+    @classmethod
+    def from_stencil(
+        cls,
+        nx: int,
+        ny: int,
+        nz: int,
+        *,
+        use_7pt: bool = False,
+        policy: Optional[DTypePolicy] = None,
+        impl: str = "auto",
+        compress: bool = True,
+    ) -> Tuple["BsellMatrix", jnp.ndarray]:
+        """Build the 27/7-pt stencil matrix (reference src/matrix.c:30-121)
+        directly in BSELL layout on device — see _stencil_bsell_device.
+        Single-shard only (the distributed layer partitions CSR shards).
+
+        Returns ``(matrix, row_counts)`` like DiaMatrix.from_stencil.
+        """
+        policy = default_policy(policy)
+        nr = nx * ny * nz
+        plane = nx * ny
+        specs = sorted(
+            (sz * plane + sy * nx + sx, sz, sy, sx)
+            for (sz, sy, sx) in _OFFSETS_27
+            if not use_7pt or (sz * sz + sy * sy + sx * sx <= 1)
+        )
+        if len({s[0] for s in specs}) != len(specs):
+            # degenerate tiny grids alias diagonals -> general CSR path
+            from sparsebench_tpu.host.generator import generate_stencil
+
+            csr = generate_stencil(nx, ny, nz, use_7pt=use_7pt,
+                                   dtype=policy.value)
+            obj = cls.from_csr(csr, policy, impl=impl, compress=compress)
+            return obj, jnp.asarray(csr.row_lengths)
+
+        # slice plan: A slice always, B slice when the lane shift wraps
+        slices = []
+        for off, sz, sy, sx in specs:
+            q, r = divmod(off, LANES)
+            slices.append((off, sz, sy, sx, q, r, 0))
+            if r != 0:
+                slices.append((off, sz, sy, sx, q, r, 1))
+        s_max = len(slices)
+        q_min = min(q for *_a, q, _r, b in slices if not b)
+        q_max_eff = max(q + b for *_a, q, _r, b in slices)
+        n_tiles = max(1, -(-nr // TILE_ROWS))
+        nc_pad = max(LANES, round_up(nr, LANES))
+        nb = nc_pad // LANES
+        w_blocks = round_up(SUBLANES + q_max_eff - q_min, 8)
+        t_np = np.arange(n_tiles, dtype=np.int64)
+        wchunk = np.maximum(SUBLANES * t_np + q_min, 0) // w_blocks
+        base_blocks = (wchunk * w_blocks).astype(np.int32)
+        xw_rows = int(wchunk.max() + 2) * w_blocks
+
+        use_bf16 = compress and np.dtype(policy.value) == np.float32
+        if use_bf16:
+            import ml_dtypes
+
+            store_dt = jnp.dtype(ml_dtypes.bfloat16)
+        else:
+            store_dt = jnp.dtype(policy.value)
+        vals, lidx, blocks, counts = _stencil_bsell_device(
+            tuple(slices), nx, ny, nr, n_tiles, w_blocks, nb, store_dt,
+            jnp.asarray(base_blocks),
+        )
+        counts = counts[:nr]
+        nnz = int(counts.sum())
+
+        auto = impl == "auto"
+        if auto:
+            slice_bytes = s_max * SUBLANES * LANES * (policy.value_bytes + 4)
+            whole_fits = (
+                nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
+            )
+            if _backend_is_tpu() and policy.value.itemsize <= 4:
+                impl = "pallas" if whole_fits else "pallas_win"
+            else:
+                impl = "xla"
+        obj = cls(
+            vals=vals,
+            lidx=lidx,
+            blocks=blocks,
+            win_base=jnp.broadcast_to(
+                jnp.asarray(base_blocks)[:, None, None], (n_tiles, 1, 8)
+            ),
+            wchunk=jnp.asarray(wchunk.astype(np.int32)),
+            nr=nr,
+            nc=nr,
+            nnz=nnz,
+            n_tiles=n_tiles,
+            s_max=s_max,
+            nc_pad=nc_pad,
+            w_blocks=w_blocks,
+            xw_rows=xw_rows,
+            n_elems=n_tiles * s_max * SUBLANES * LANES,
+            impl=impl,
+            start_row=0,
+            total_nr=nr,
+            total_nnz=nnz,
+        )
+        return obj, counts
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         xp = jnp.zeros(self.nc_pad, x.dtype).at[: x.shape[0]].set(x)
@@ -262,13 +474,16 @@ class BsellMatrix:
         elif self.impl in ("pallas_win", "pallas_win_interpret"):
             from sparsebench_tpu.ops.bsell_pallas import bsell_spmv_windowed
 
-            # pad x so every tile window [base, base+W) is in range;
-            # kept 1-D (unique layout — see ops/bsell_pallas.py)
-            xp1 = jnp.concatenate([xp, jnp.zeros(self.w_blocks * LANES, x.dtype)])
+            # pad/crop x to the kernel's chunked extent (chunks [0, max wb+2))
+            need = self.xw_rows * LANES
+            if xp.shape[0] >= need:
+                xp1 = xp[:need]
+            else:
+                xp1 = jnp.zeros(need, x.dtype).at[: xp.shape[0]].set(xp)
             y3 = bsell_spmv_windowed(
+                self.wchunk,
                 self.blocks,
-                self.win_base,
-                xp1,
+                xp1.reshape(self.xw_rows, LANES),
                 self.vals,
                 self.lidx,
                 w_blocks=self.w_blocks,

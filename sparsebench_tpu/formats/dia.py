@@ -26,6 +26,7 @@ parts instead), and ``ndiag`` must stay small; ``from_csr`` raises
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Tuple
 
@@ -53,6 +54,42 @@ _OFFSETS_27 = [
 
 class DiaUnsuitableError(ValueError):
     """Matrix is not banded enough for DIA storage."""
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("specs", "nx", "ny", "local_nrow", "total_nrow",
+                     "start_row", "nr_pad", "store_dt"),
+)
+def _stencil_dia_device(specs, nx, ny, local_nrow, total_nrow, start_row,
+                        nr_pad, store_dt):
+    """Generate the 27/7-pt stencil's DIA data ON DEVICE: per (static)
+    diagonal the values are a constant under three vectorized bound checks
+    on iota-derived grid coordinates — no host arrays, no host->device
+    transfer (the round-1 bench measured the 100^3 host build + relay
+    transfer at 167 s; this is one small jit).
+
+    Returns (data3d (ndiag, nr_pad/128, 128), counts (nr_pad,) int32).
+    """
+    local = jax.lax.iota(jnp.int32, nr_pad)
+    ix = local % nx
+    iy = (local // nx) % ny
+    valid = local < local_nrow
+    counts = jnp.zeros(nr_pad, jnp.int32)
+    planes = []
+    for off, sz, sy, sx in specs:
+        col = local + (start_row + off)
+        m = (
+            valid
+            & (ix + sx >= 0) & (ix + sx < nx)
+            & (iy + sy >= 0) & (iy + sy < ny)
+            & (col >= 0) & (col < total_nrow)
+        )
+        v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
+        planes.append(jnp.where(m, v, 0.0).astype(store_dt))
+        counts = counts + m
+    data = jnp.stack(planes).reshape(len(specs), nr_pad // LANES, LANES)
+    return data, counts
 
 
 def _backend_is_tpu() -> bool:
@@ -232,26 +269,11 @@ class DiaMatrix:
             store_dt = policy.value
 
         nr_pad = max(LANES, round_up(local_nrow, LANES))
-        local = np.arange(local_nrow, dtype=np.int64)
-        ix = local % nx
-        iy = (local // nx) % ny
-        currow = start_row + local
-
-        data = np.zeros((len(specs), nr_pad), dtype=store_dt)
-        counts = np.zeros(local_nrow, dtype=np.int64)
-        for d, (off, sz, sy, sx) in enumerate(specs):
-            col = currow + off
-            m = (
-                (ix + sx >= 0)
-                & (ix + sx < nx)
-                & (iy + sy >= 0)
-                & (iy + sy < ny)
-                & (col >= 0)
-                & (col < total_nrow)
-            )
-            row_d = data[d, :local_nrow]
-            row_d[m] = 27.0 if off == 0 else -1.0
-            counts += m
+        data, counts_dev = _stencil_dia_device(
+            tuple(specs), nx, ny, local_nrow, local_nrow * size, start_row,
+            nr_pad, jnp.dtype(store_dt),
+        )
+        counts = counts_dev[:local_nrow]
 
         # from_csr derives offsets as global_col - local_row, which includes
         # the rank's start_row shift for stacked multi-rank grids — match it
@@ -265,7 +287,7 @@ class DiaMatrix:
                 else "xla"
             )
         obj = cls(
-            data=jnp.asarray(data.reshape(len(specs), nr_pad // LANES, LANES)),
+            data=data,
             offsets=tuple(int(o) for o in offsets),
             nr=local_nrow,
             nc=local_nrow,

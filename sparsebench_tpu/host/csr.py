@@ -56,6 +56,15 @@ class HostCSR:
     def row_lengths(self) -> np.ndarray:
         return np.diff(self.row_ptr)
 
+    def diagonal(self) -> np.ndarray:
+        """diag(A) per local row (0 where absent); columns are global
+        indices, so local row i's diagonal sits at col start_row + i."""
+        rows = np.repeat(np.arange(self.nr, dtype=np.int64), self.row_lengths)
+        d = np.zeros(self.nr, dtype=self.val.dtype)
+        mask = self.col == rows + self.start_row
+        d[rows[mask]] = self.val[mask]
+        return d
+
     @staticmethod
     def from_coo(m: COOMatrix) -> "HostCSR":
         """Build CSR from row-sorted COO (reference matrixConvertfromMM,

@@ -72,6 +72,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, _i64p, _i64p, _f64p, _i64p, _i64p, ctypes.c_int64,
         _i64p, _f64p,
     ]
+    lib.sb_bsell_plan.restype = ctypes.c_int64
+    lib.sb_bsell_plan.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, _i64p, _i64p,
+    ]
+    lib.sb_bsell_fill.restype = None
+    lib.sb_bsell_fill.argtypes = [
+        ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int64, _i32p, ctypes.c_int32, ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"), _i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -106,6 +116,51 @@ def generate_stencil_native(
     if dtype not in (np.float32, np.float64):
         out_val = out_val.astype(dtype)
     return row_ptr, col[:nnz].astype(np.int64), out_val
+
+
+def bsell_build_native(row_ptr, col, val, nr: int, store_bf16: bool):
+    """Native BSELL plan+fill (ingest.cc sb_bsell_plan/fill). Returns
+    (vals, lidx, blocks, base_blocks, wchunk, n_tiles, s_max, w_blocks,
+    xw_rows) or None if the library is unavailable. ``vals`` is float32, or
+    bfloat16 when ``store_bf16`` (caller pre-checks losslessness)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    if val.dtype == np.float64:
+        val = np.ascontiguousarray(val)
+        is64 = 1
+    else:
+        val = np.ascontiguousarray(val, dtype=np.float32)
+        is64 = 0
+    n_tiles = max(1, -(-nr // 1024))
+    win_lo = np.full(n_tiles, np.iinfo(np.int64).max, dtype=np.int64)
+    win_hi = np.full(n_tiles, -1, dtype=np.int64)
+    s_max = int(lib.sb_bsell_plan(nr, row_ptr, col, win_lo, win_hi))
+    empty = win_hi < 0
+    win_lo[empty] = 0
+    win_hi[empty] = 0
+    w_blocks = int(-(-int(max(1, (win_hi - win_lo).max() + 1)) // 8) * 8)
+    wchunk = win_lo // w_blocks
+    base_blocks = (wchunk * w_blocks).astype(np.int32)
+    xw_rows = int(wchunk.max() + 2) * w_blocks
+
+    vals = np.zeros((n_tiles, s_max, 8, 128),
+                    dtype=np.uint16 if store_bf16 else np.float32)
+    lidx = np.zeros((n_tiles, s_max, 8, 128), dtype=np.int8)
+    blocks = np.zeros((n_tiles, s_max, 8), dtype=np.int32)
+    lib.sb_bsell_fill(
+        nr, row_ptr, col, val.ctypes.data_as(ctypes.c_void_p), is64, s_max,
+        base_blocks, int(store_bf16), vals.ctypes.data_as(ctypes.c_void_p),
+        lidx, blocks,
+    )
+    if store_bf16:
+        import ml_dtypes
+
+        vals = vals.view(ml_dtypes.bfloat16)
+    return (vals, lidx, blocks, base_blocks, wchunk.astype(np.int32),
+            n_tiles, s_max, w_blocks, xw_rows)
 
 
 def mm_parse_body_native(

@@ -171,4 +171,138 @@ void sb_sell_fill(int64_t nr, const int64_t* row_ptr, const int64_t* csr_col,
   }
 }
 
+// ---------------------------------------------------------------------------
+// BSELL builder (formats/bsell.py layout; the numpy builder is the spec).
+// Rows group 128 per lane-group (8 groups/tile); entries bucket by 128-wide
+// column block; per (group, block) rows pad to the longest per-row count
+// ("slices"). Two passes: plan (slice counts + window extents) then fill.
+//
+// The numpy pipeline does ~10 full argsort/scatter passes over nnz-length
+// int64 arrays (measured ~57 min at 200^3 on this one-core host); these two
+// linear passes run in seconds.
+
+namespace {
+constexpr int64_t kLanes = 128;
+constexpr int64_t kSublanes = 8;
+constexpr int64_t kTileRows = kLanes * kSublanes;
+
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  return (uint16_t)((x + 0x7FFFu + ((x >> 16) & 1u)) >> 16);
+}
+
+// Per-group (block -> max per-row run length), blocks kept sorted ascending
+// to match the numpy builder's slice order.
+struct GroupPlan {
+  std::vector<std::pair<int64_t, int32_t>> lmax;  // (block, lmax) ascending
+
+  void scan(const int64_t* row_ptr, const int64_t* col, int64_t r0,
+            int64_t r1) {
+    lmax.clear();
+    for (int64_t i = r0; i < r1; ++i) {
+      int64_t e = row_ptr[i];
+      const int64_t end = row_ptr[i + 1];
+      while (e < end) {
+        const int64_t b = col[e] >> 7;
+        int64_t e2 = e + 1;
+        while (e2 < end && (col[e2] >> 7) == b) ++e2;
+        const int32_t run = (int32_t)(e2 - e);
+        auto it = std::lower_bound(
+            lmax.begin(), lmax.end(), b,
+            [](const std::pair<int64_t, int32_t>& p, int64_t key) {
+              return p.first < key;
+            });
+        if (it != lmax.end() && it->first == b) {
+          if (run > it->second) it->second = run;
+        } else {
+          lmax.insert(it, {b, run});
+        }
+        e = e2;
+      }
+    }
+  }
+};
+}  // namespace
+
+// Plan pass. win_lo/win_hi: int64[n_tiles], pre-filled by caller with
+// INT64_MAX / -1. Returns global s_max (>= 1).
+int64_t sb_bsell_plan(int64_t nr, const int64_t* row_ptr, const int64_t* col,
+                      int64_t* win_lo, int64_t* win_hi) {
+  const int64_t ngroups = (nr + kLanes - 1) / kLanes;
+  int64_t s_max = 1;
+  GroupPlan gp;
+  for (int64_t g = 0; g < ngroups; ++g) {
+    gp.scan(row_ptr, col, g * kLanes, std::min(nr, (g + 1) * kLanes));
+    int64_t s = 0;
+    for (auto& p : gp.lmax) s += p.second;
+    if (s > s_max) s_max = s;
+    if (!gp.lmax.empty()) {
+      const int64_t t = g / kSublanes;
+      win_lo[t] = std::min(win_lo[t], gp.lmax.front().first);
+      win_hi[t] = std::max(win_hi[t], gp.lmax.back().first);
+    }
+  }
+  return s_max;
+}
+
+// Fill pass. All output arrays zero-initialized by the caller.
+// vals_out: float[n_tiles*s_max*8*128] (bf16_out==0) or
+// uint16 bf16 (bf16_out==1); val is f64 (val_is_f64) or f32.
+// blocks_out: int32[n_tiles*s_max*8], ids relative to base_blocks[t].
+void sb_bsell_fill(int64_t nr, const int64_t* row_ptr, const int64_t* col,
+                   const void* val, int32_t val_is_f64, int64_t s_max,
+                   const int32_t* base_blocks, int32_t bf16_out,
+                   void* vals_out, int8_t* lidx_out, int32_t* blocks_out) {
+  const int64_t ngroups = (nr + kLanes - 1) / kLanes;
+  const double* v64 = val_is_f64 ? (const double*)val : nullptr;
+  const float* v32 = val_is_f64 ? nullptr : (const float*)val;
+  float* o32 = bf16_out ? nullptr : (float*)vals_out;
+  uint16_t* o16 = bf16_out ? (uint16_t*)vals_out : nullptr;
+  GroupPlan gp;
+  std::vector<int64_t> offset;  // slice offset per planned block
+  for (int64_t g = 0; g < ngroups; ++g) {
+    const int64_t r0 = g * kLanes, r1 = std::min(nr, (g + 1) * kLanes);
+    gp.scan(row_ptr, col, r0, r1);
+    const int64_t t = g / kSublanes, s = g % kSublanes;
+    offset.resize(gp.lmax.size());
+    int64_t cur = 0;
+    for (size_t k = 0; k < gp.lmax.size(); ++k) {
+      offset[k] = cur;
+      // block table: slices [cur, cur+lmax) of sublane s hold this block
+      const int32_t rel = (int32_t)(gp.lmax[k].first - base_blocks[t]);
+      for (int32_t j = 0; j < gp.lmax[k].second; ++j)
+        blocks_out[((t * s_max + cur + j) * kSublanes) + s] = rel;
+      cur += gp.lmax[k].second;
+    }
+    for (int64_t i = r0; i < r1; ++i) {
+      const int64_t lane = i - r0;
+      int64_t e = row_ptr[i];
+      const int64_t end = row_ptr[i + 1];
+      while (e < end) {
+        const int64_t b = col[e] >> 7;
+        auto it = std::lower_bound(
+            gp.lmax.begin(), gp.lmax.end(), b,
+            [](const std::pair<int64_t, int32_t>& p, int64_t key) {
+              return p.first < key;
+            });
+        const int64_t slice0 = offset[it - gp.lmax.begin()];
+        int64_t j = 0;
+        while (e < end && (col[e] >> 7) == b) {
+          const int64_t idx =
+              (((t * s_max + slice0 + j) * kSublanes) + s) * kLanes + lane;
+          const float fv = v64 ? (float)v64[e] : v32[e];
+          if (o16)
+            o16[idx] = f32_to_bf16(fv);
+          else
+            o32[idx] = fv;
+          lidx_out[idx] = (int8_t)(col[e] & 127);
+          ++e;
+          ++j;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -19,8 +19,11 @@ Data streamed per nonzero: value + local index (the 7-bit index is stored
 as int8 by default — 5 B/nnz, vs the 12 B/nnz value+column model of the
 reference formats, src/main.c:187-189).
 
-Constraint: x2d must fit in VMEM alongside the slice blocks (roughly
-nc <= ~2M rows at f32). The format falls back to its XLA path otherwise.
+Two variants: whole-x (x VMEM-resident, nc <= ~2M rows at f32) and
+windowed (``bsell_spmv_windowed``): x is chunked into W-block pieces and
+each tile's two covering chunks arrive as pipelined operands addressed by a
+scalar-prefetched per-tile chunk table, so arbitrarily large x streams
+through VMEM with automatic double buffering.
 """
 
 from __future__ import annotations
@@ -78,26 +81,26 @@ def _bsell_kernel(blocks_ref, base_ref, x_ref, val_ref, lidx_ref, y_ref, *,
 
 
 def _bsell_kernel_windowed(
-    blocks_ref, base_ref, x_hbm, val_ref, lidx_ref, y_ref, xflat, xwin, sem,
+    wchunk_ref, blocks_ref, val_ref, lidx_ref, x_lo, x_hi, y_ref,
     *, s_max: int, w_blocks: int,
 ):
-    # DMA only this tile's x window [base, base + W) block rows; block ids
-    # in blocks_ref are already window-relative. The x operand and the DMA
-    # destination are 1-D: a 2-D HBM operand received a different layout
-    # inside lax loop bodies, breaking the manual DMA's index math (see
-    # ops/dia_pallas.py — same hazard, same fix). The window is then staged
-    # once into a 2-D VMEM scratch so the slice loop can dynamic-slice a
-    # Ref (cheap) rather than a loaded value.
-    base = base_ref[0, 0, 0]
-    cp = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(base * LANES, w_blocks * LANES)], xflat, sem
-    )
-    cp.start()
-    cp.wait()
-    xwin[:, :] = xflat[:].reshape(w_blocks, LANES)  # contiguous: free reshape
+    # Beyond-VMEM x: the pipeline stages two adjacent W-block chunks of x
+    # per tile (chunk ids wchunk[t], wchunk[t]+1 via scalar-prefetch index
+    # maps). Block ids in blocks_ref are relative to wchunk[t]*W, so they
+    # lie in [0, 2W): rows < W come from x_lo, the rest from x_hi. Both
+    # candidate rows are fetched (512 B VMEM reads) and lane-selected —
+    # cheaper than a conditional, and there is no manual DMA left to
+    # miscompile inside lax loop bodies (the round-1 windowed kernel's
+    # in-kernel make_async_copy crashed the TPU worker at 200^3).
+    del wchunk_ref  # consumed by the index maps only
+
+    def get_row(b):
+        lo = x_lo[pl.ds(jnp.clip(b, 0, w_blocks - 1), 1), :]
+        hi = x_hi[pl.ds(jnp.clip(b - w_blocks, 0, w_blocks - 1), 1), :]
+        return jnp.where(b < w_blocks, lo, hi)
+
     _accumulate_slices(
-        lambda b: xwin[pl.ds(b, 1), :], blocks_ref,
-        jnp.int32(0), val_ref, lidx_ref, y_ref, s_max,
+        get_row, blocks_ref, jnp.int32(0), val_ref, lidx_ref, y_ref, s_max
     )
 
 
@@ -157,45 +160,54 @@ def bsell_spmv_pallas(
 
 @functools.partial(jax.jit, static_argnames=("w_blocks", "interpret"))
 def bsell_spmv_windowed(
-    blocks: jnp.ndarray,    # (n_tiles, S_max, 8) int32 window-relative blocks
-    win_base: jnp.ndarray,  # (n_tiles, 1, 8) int32 per-tile window base (replicated)
-    x1d: jnp.ndarray,       # (>= (max base + W) * 128,) value dtype, HBM
+    wchunk: jnp.ndarray,    # (n_tiles,) int32 per-tile x chunk index
+    blocks: jnp.ndarray,    # (n_tiles, S_max, 8) int32 chunk-relative blocks
+    x2d: jnp.ndarray,       # ((max wchunk + 2) * W, 128) value dtype
     vals: jnp.ndarray,
     lidx: jnp.ndarray,
-    w_blocks: int,
+    w_blocks: int,          # W: x chunk size in 128-lane blocks
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Windowed variant for x too large for VMEM: each tile DMAs only its
-    [base, base+W) column-block window. Returns y as (n_tiles, 8, 128).
+    """Windowed variant for x too large for VMEM. Returns (n_tiles, 8, 128).
 
-    The x operand is deliberately 1-D (unique layout in every calling
-    context — the 2-D form corrupted the manual DMA under lax loops and
-    crashed the TPU worker at 200^3; see ops/dia_pallas.py for the same
-    hazard on the DIA kernel).
+    x is viewed as chunks of W block-rows; tile t's column span (guaranteed
+    <= W by the builder) lies inside chunks [wchunk[t], wchunk[t]+1], which
+    arrive as two pipelined operands whose index maps read the prefetched
+    wchunk table. Mosaic double-buffers them and skips the copy entirely
+    when consecutive tiles keep the same chunk — on banded/local matrices
+    the window crawls, so x traffic stays ~one pass over x.
     """
     n_tiles, s_max = vals.shape[0], vals.shape[1]
-    b_spec, base_spec, v_spec, l_spec = _common_specs(s_max)
+    # prefetch arg is appended to every index map's parameters
+    b_spec = pl.BlockSpec(
+        (1, s_max, SUBLANES), lambda t, wb: (t, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (1, s_max, SUBLANES, LANES), lambda t, wb: (t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    l_spec = pl.BlockSpec(
+        (1, s_max, SUBLANES, LANES), lambda t, wb: (t, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            b_spec,
+            v_spec,
+            l_spec,
+            pl.BlockSpec((w_blocks, LANES), lambda t, wb: (wb[t], 0)),
+            pl.BlockSpec((w_blocks, LANES), lambda t, wb: (wb[t] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, SUBLANES, LANES), lambda t, wb: (t, 0, 0)),
+    )
     return pl.pallas_call(
         functools.partial(
             _bsell_kernel_windowed, s_max=s_max, w_blocks=w_blocks
         ),
-        grid=(n_tiles,),
-        in_specs=[
-            b_spec,
-            base_spec,
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x1d stays in HBM
-            v_spec,
-            l_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, SUBLANES, LANES), lambda t: (t, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x1d.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((w_blocks * LANES,), x1d.dtype),  # 1-D DMA landing
-            pltpu.VMEM((w_blocks, LANES), x1d.dtype),    # 2-D sliceable stage
-            pltpu.SemaphoreType.DMA,
-        ],
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x2d.dtype),
         interpret=interpret,
-    )(blocks, win_base, x1d, vals, lidx)
+    )(wchunk, blocks, vals, lidx, x2d, x2d)

@@ -84,9 +84,14 @@ def cg_init(
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     acc_dtype=None,
+    inv_diag=None,
 ):
     """Initial CG state (reference src/CGSolver.c:94-104). The state tuple
-    (k, x, p, r, rtrans, normr, hist, done) is a checkpointable pytree."""
+    (k, x, p, r, rtrans, normr, hist, done) is a checkpointable pytree.
+
+    With ``inv_diag`` (Jacobi preconditioning — beyond the reference, which
+    is unpreconditioned) the ``rtrans`` slot carries r.z (z = D^-1 r) while
+    ``normr``/history keep the true residual norm ||r||."""
     nr = b.shape[0]
     vdt = b.dtype
     sdt = acc_dtype or vdt
@@ -95,8 +100,15 @@ def cg_init(
     p = exchange(widen(x0))
     Ap = spmv(p)
     r = b - Ap
-    rtrans0 = dot(r, r)
-    normr0 = jnp.sqrt(rtrans0)
+    if inv_diag is None:
+        rtrans0 = dot(r, r)
+        normr0 = jnp.sqrt(rtrans0)
+    else:
+        s = allsum(jnp.stack([
+            jnp.sum(r.astype(sdt) * (inv_diag * r).astype(sdt)),
+            jnp.sum(r.astype(sdt) * r.astype(sdt)),
+        ]))
+        rtrans0, normr0 = s[0], jnp.sqrt(s[1])
     history0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
     return (jnp.asarray(1), x0, p, r, rtrans0, normr0, history0,
             jnp.asarray(False))
@@ -110,11 +122,13 @@ def cg_run(
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     acc_dtype=None,
+    inv_diag=None,
 ):
     """Advance CG from ``state`` until k == k_end, convergence, or
     breakdown (reference hot loop, src/CGSolver.c:107-129). Segmentable:
     running two segments is bit-identical to one long run, which is what
-    makes checkpoint/resume exact."""
+    makes checkpoint/resume exact. ``inv_diag`` switches the loop to
+    Jacobi-preconditioned CG (see cg_init)."""
     _k, x_probe, _p, r_probe, *_ = state
     nr = r_probe.shape[0]
     vdt = r_probe.dtype
@@ -130,16 +144,35 @@ def cg_run(
     def body(state):
         k, x, p, r, rtrans, _normr, hist, done = state
 
-        def first(_):
-            return rtrans, widen(r)
+        if inv_diag is None:
 
-        def rest(_):
-            new_rtrans = dot(r, r)
-            beta = (safe_div(new_rtrans, rtrans)).astype(vdt)
-            return new_rtrans, widen(r) + beta * p
+            def first(_):
+                return rtrans, widen(r)
 
-        rtrans, p = jax.lax.cond(k == 1, first, rest, None)
-        normr = jnp.sqrt(rtrans)
+            def rest(_):
+                new_rtrans = dot(r, r)
+                beta = (safe_div(new_rtrans, rtrans)).astype(vdt)
+                return new_rtrans, widen(r) + beta * p
+
+            rtrans, p = jax.lax.cond(k == 1, first, rest, None)
+            normr = jnp.sqrt(rtrans)
+        else:
+            z = (inv_diag * r).astype(vdt)
+
+            def first(_):
+                rr = dot(r, r)
+                return rtrans, rr, widen(z)
+
+            def rest(_):
+                s = allsum(jnp.stack([
+                    jnp.sum(r.astype(sdt) * z.astype(sdt)),
+                    jnp.sum(r.astype(sdt) * r.astype(sdt)),
+                ]))
+                beta = (safe_div(s[0], rtrans)).astype(vdt)
+                return s[0], s[1], widen(z) + beta * p
+
+            rtrans, rr, p = jax.lax.cond(k == 1, first, rest, None)
+            normr = jnp.sqrt(rr)
         hist = hist.at[k].set(normr)
 
         p = exchange(p)
@@ -168,15 +201,16 @@ def cg_loop(
     exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
     allsum: Callable = _identity,
     acc_dtype=None,
+    inv_diag=None,
 ):
     """Pure jittable CG. ``A`` is any device format (pytree); ``b``/``x0``
     are length-nr vectors already in the format's row order. Returns
     (x, k, history[itermax]) with history[j] = normr at iteration j
     (nan where not reached).
     """
-    state = cg_init(A, b, x0, itermax, exchange, allsum, acc_dtype)
+    state = cg_init(A, b, x0, itermax, exchange, allsum, acc_dtype, inv_diag)
     k, x, p, r, rtrans, normr, hist, _done = cg_run(
-        A, state, itermax, eps, exchange, allsum, acc_dtype
+        A, state, itermax, eps, exchange, allsum, acc_dtype, inv_diag
     )
     return x, k, hist
 
@@ -191,22 +225,28 @@ def solve_cg(
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     acc_dtype=None,
+    inv_diag: Optional[np.ndarray] = None,
     verbose: bool = True,
 ) -> CGResult:
     """Host driver: permutation handling, jit, timing, residual printing.
 
-    ``b`` is in original row order; the result ``x`` likewise.
+    ``b`` is in original row order; the result ``x`` likewise. Pass
+    ``inv_diag`` (1/diag(A), original row order) for Jacobi PCG.
     """
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
     else:
         x0 = jnp.asarray(x0)
+    if inv_diag is not None:
+        inv_diag = jnp.asarray(inv_diag, dtype=b.dtype)
 
     permuted = getattr(A, "permuted_output", False)
     if permuted:
         b_in = A.permute_vector(b)
         x0_in = A.permute_vector(x0)
+        if inv_diag is not None:
+            inv_diag = A.permute_vector(inv_diag)
     else:
         b_in, x0_in = b, x0
 
@@ -219,11 +259,13 @@ def solve_cg(
 
     # warm-up compile outside the timed section (the reference's compile cost
     # is paid at build time; ours at first trace)
-    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
+                                  inv_diag=inv_diag)
     int(k_dev)
 
     t0 = time.perf_counter()
-    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
+                                  inv_diag=inv_diag)
     # sync via a scalar that depends on the whole loop: block_until_ready
     # has been observed returning early through the axon relay
     k = int(k_dev)

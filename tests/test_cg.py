@@ -83,3 +83,90 @@ def test_mm_problem_b_ones(test_matrices_dir):
     assert xexact is None
     res = solve_cg(A, b, itermax=5, verbose=False)
     assert np.isfinite(res.residual_history).all()
+
+
+def test_jacobi_pcg_identity_matches_plain():
+    """inv_diag == 1 must reproduce unpreconditioned CG (same recurrence)."""
+    csr = generate_stencil(6, 5, 4)
+    A = from_csr("crs", csr)
+    _, b, xexact = init_vectors(csr)
+    plain = solve_cg(A, b, itermax=25, verbose=False)
+    pcg = solve_cg(A, b, itermax=25, verbose=False,
+                   inv_diag=np.ones(csr.nr))
+    n = min(len(plain.residual_history), len(pcg.residual_history))
+    np.testing.assert_allclose(
+        pcg.residual_history[:n], plain.residual_history[:n], rtol=1e-12
+    )
+
+
+def test_jacobi_pcg_converges_faster_on_scaled_problem():
+    """On a badly diagonally-scaled SPD system Jacobi PCG needs far fewer
+    iterations for the same residual drop."""
+    csr = generate_stencil(6, 6, 6)
+    rng = np.random.default_rng(0)
+    s = 10.0 ** rng.uniform(-2, 2, csr.nr)  # condition-wrecking scaling
+    rows = np.repeat(np.arange(csr.nr), csr.row_lengths)
+    scaled = HostCSR(
+        row_ptr=csr.row_ptr, col=csr.col,
+        val=csr.val * s[rows] * s[csr.col],
+        nr=csr.nr, nc=csr.nc,
+    )
+    A = from_csr("crs", scaled)
+    b = np.ones(csr.nr)
+    eps = 1e-8 * np.sqrt(csr.nr)
+    plain = solve_cg(A, b, itermax=400, eps=eps, verbose=False)
+    d = scaled.diagonal()
+    pcg = solve_cg(A, b, itermax=400, eps=eps, verbose=False, inv_diag=1.0 / d)
+    assert pcg.final_normr <= eps or pcg.iterations < plain.iterations
+    assert pcg.iterations < plain.iterations
+
+
+def test_rcm_cuts_bsell_padding_and_preserves_solution():
+    """RCM on a randomly-permuted band matrix restores column locality:
+    BSELL padding (slice slots / nnz) drops and DIA becomes applicable;
+    the reordered solve matches the original (VERDICT round 1 #9)."""
+    from sparsebench_tpu.host.rcm import (
+        inverse_permutation,
+        permute_csr,
+        rcm_permutation,
+    )
+
+    # needs rows >> 128 and columns spanning several 128-blocks, or BSELL
+    # padding is locality-independent
+    base = generate_stencil(32, 8, 8)  # banded 2048-row problem
+    rng = np.random.default_rng(7)
+    shuffle = rng.permutation(base.nr)
+    scrambled = permute_csr(base, shuffle)  # destroys locality
+
+    perm = rcm_permutation(scrambled)
+    restored = permute_csr(scrambled, perm)
+
+    A_bad = from_csr("bsell", scrambled)
+    A_good = from_csr("bsell", restored)
+    assert A_good.padding_ratio < A_bad.padding_ratio
+
+    _, b, _ = init_vectors(scrambled)
+    res_bad = solve_cg(A_bad, b, itermax=30, verbose=False)
+    res_good = solve_cg(A_good, np.asarray(b)[perm], itermax=30,
+                        verbose=False)
+    inv = inverse_permutation(perm)
+    np.testing.assert_allclose(res_good.x[inv], res_bad.x, atol=1e-8)
+
+
+def test_rcm_numpy_fallback_matches_scipy_quality():
+    """The pure-numpy RCM must produce a valid permutation with comparable
+    bandwidth reduction."""
+    from sparsebench_tpu.host.rcm import _rcm_numpy, permute_csr
+
+    base = generate_stencil(30, 2, 2)
+    rng = np.random.default_rng(3)
+    scrambled = permute_csr(base, rng.permutation(base.nr))
+
+    def bandwidth(c):
+        rows = np.repeat(np.arange(c.nr), c.row_lengths)
+        return int(np.abs(rows - c.col).max())
+
+    perm = _rcm_numpy(scrambled)
+    assert sorted(perm) == list(range(scrambled.nr))
+    restored = permute_csr(scrambled, perm)
+    assert bandwidth(restored) < bandwidth(scrambled) / 2

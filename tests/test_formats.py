@@ -150,3 +150,26 @@ def test_init_vectors_from_row_counts():
         None, dtype=np.float64, row_lengths=csr.row_lengths
     )
     assert np.array_equal(b1, b2) and np.array_equal(e1, e2)
+
+
+@pytest.mark.parametrize("use_7pt", [False, True])
+def test_bsell_from_stencil_matches_from_csr(use_7pt):
+    """The on-device stencil->BSELL builder must produce the same SpMV
+    results (and nnz/counts) as the CSR-built BSELL on the same problem
+    (reference generator src/matrix.c:30-121)."""
+    from sparsebench_tpu.formats.bsell import BsellMatrix
+
+    policy = DTypePolicy.from_names("f32", "i32")
+    csr = generate_stencil(7, 6, 5, use_7pt=use_7pt, dtype=np.float32)
+    A, counts = BsellMatrix.from_stencil(7, 6, 5, use_7pt=use_7pt,
+                                         policy=policy)
+    assert A.nnz == csr.nnz
+    np.testing.assert_array_equal(np.asarray(counts), csr.row_lengths)
+    x = np.random.default_rng(11).standard_normal(csr.nc).astype(np.float32)
+    want = csr.spmv(x.astype(np.float64))
+    got = np.asarray(A.spmv(jax.numpy.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # windowed + whole-x interpret kernels on the device-built arrays
+    for impl in ("pallas_win_interpret", "pallas_interpret"):
+        got_k = np.asarray(A.replace(impl=impl).spmv(jax.numpy.asarray(x)))
+        np.testing.assert_allclose(got_k, want, rtol=1e-5, atol=1e-4)
