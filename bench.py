@@ -198,8 +198,39 @@ def run_suite() -> int:
         best200 = timed_cg(A2, b2, xexact2, 200, attempts=2)
         if best200 is not None:
             extra["cg200_seconds"] = round(best200, 3)
+        del A2
     except Exception as e:  # noqa: BLE001
         log(f"cg 200^3 failed: {e!r}")
+
+    # -- 5. BSELL (general-format fast path) at 200^3: windowed Pallas -------
+    # kernel, device-built (VERDICT r1 #1: 200^3 BSELL CG on the real chip)
+    try:
+        import jax as _jax
+
+        from sparsebench_tpu.config import DTypePolicy
+        from sparsebench_tpu.formats.bsell import BsellMatrix
+        from sparsebench_tpu.solvers.cg import init_vectors
+
+        policy = DTypePolicy.from_names("f32", "i32")
+        t0 = time.perf_counter()
+        Ab, counts_b = BsellMatrix.from_stencil(200, 200, 200, policy=policy)
+        _jax.block_until_ready(Ab.vals)
+        setup_b = time.perf_counter() - t0
+        extra["setup200_bsell_seconds"] = round(setup_b, 1)
+        log(f"200^3 bsell device build: {setup_b:.1f}s impl={Ab.impl} "
+            f"s_max={Ab.s_max} W={Ab.w_blocks} pad={Ab.padding_ratio:.2f}")
+        dtb = spmv_chain_time(Ab, reps=20, trials=3)
+        gbps_b = Ab.nnz * (policy.value_bytes + policy.index_bytes) / dtb / 1e9
+        extra["spmv200_bsell_GBps"] = round(gbps_b, 1)
+        log(f"spmv 200^3 bsell: {dtb * 1e3:.3f} ms, {gbps_b:.1f} GB/s "
+            f"(reference byte model)")
+        x0b, bb, xexact_b = init_vectors(row_lengths=counts_b,
+                                         dtype=np.float32)
+        best_b = timed_cg(Ab, bb, xexact_b, 200, attempts=2)
+        if best_b is not None:
+            extra["cg200_bsell_seconds"] = round(best_b, 3)
+    except Exception as e:  # noqa: BLE001
+        log(f"bsell 200^3 failed: {e!r}")
 
     if best100 is None:
         print(json.dumps({"metric": "cg_stencil100cubed_150iter_solve_seconds",

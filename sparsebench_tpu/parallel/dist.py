@@ -211,12 +211,19 @@ def dist_solve_cg(
     itermax: int = 150,
     eps: float = 0.0,
     acc_dtype=None,
+    inv_diag: "np.ndarray" = None,
     verbose: bool = True,
 ) -> CGResult:
-    """Distributed CG: one jitted shard_map program over the mesh."""
+    """Distributed CG: one jitted shard_map program over the mesh.
+    ``inv_diag`` (global row order) switches to Jacobi PCG — the z = D^-1 r
+    step is shard-local elementwise; the reductions ride the same psum."""
     plan = dm.part.plan
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x0_stacked = jnp.zeros_like(b_stacked)
+    md_stacked = (
+        jnp.asarray(dm.shard_vector(np.asarray(inv_diag, dtype=b_stacked.dtype)))
+        if inv_diag is not None else None
+    )
 
     loop = partial(
         cg_loop,
@@ -226,26 +233,30 @@ def dist_solve_cg(
         acc_dtype=acc_dtype,
     )
 
-    def local_fn(A_stacked, b, x0, eps_s):
+    def local_fn(A_stacked, b, x0, eps_s, md):
         A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
-        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s)
+        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s,
+                          inv_diag=None if md is None else md[0])
         return x[None], k, hist
 
     shard_fn = jax.jit(
         jax.shard_map(
             local_fn,
             mesh=dm.mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(),
+                      P() if md_stacked is None else P(AXIS)),
             out_specs=(P(AXIS), P(), P()),
             check_vma=False,
         )
     )
 
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b_stacked.dtype)
-    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
+                                      md_stacked)
     int(k_dev)
     t0 = time.perf_counter()
-    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
+                                      md_stacked)
     k = int(k_dev)  # scalar readback = reliable sync (see cg.py)
     t1 = time.perf_counter()
     hist = np.asarray(hist_dev)

@@ -98,14 +98,24 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
 
     if param.bench == "cg":
         print("Test type: CG")
+        inv_diag = None
+        if getattr(args, "precond", "none") == "jacobi":
+            d = np.concatenate([s.diagonal() for s in shards])
+            inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+            print("Preconditioner: Jacobi")
         if getattr(args, "profile", False):
             from sparsebench_tpu.parallel.profiled import dist_solve_cg_profiled
 
+            if inv_diag is not None:
+                raise SystemExit(
+                    "--precond combines with the plain CG path only"
+                )
             res = dist_solve_cg_profiled(
                 dm, b, prof, itermax=param.itermax, eps=param.eps
             )
         else:
-            res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps)
+            res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps,
+                                inv_diag=inv_diag)
             prof.times[Region.SPMVM] = res.solve_seconds  # aggregate only
         iterations = res.iterations
     elif param.bench == "cheb":

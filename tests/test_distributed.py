@@ -275,3 +275,27 @@ def test_multi_rank_report_format():
     # gather_times is implemented (round-1 VERDICT: it was dead code)
     times = comm.gather_times(prof.times)
     assert times.shape == (4, len(Region))
+
+
+def test_dist_jacobi_pcg_matches_serial_pcg():
+    """Distributed Jacobi PCG residuals must match the single-device PCG
+    (z = D^-1 r is shard-local; reductions ride the same psum)."""
+    size = 4
+    nx, ny, nz = 6, 6, 2
+    shards = _gen_shards(nx, ny, nz, size)
+    gcsr = _global_csr(nx, ny, nz, size)
+    _, b, xexact = init_vectors(gcsr)
+    d = gcsr.diagonal()
+    inv_diag = 1.0 / d
+
+    res_serial = solve_cg(from_csr("crs", gcsr), b, itermax=30, verbose=False,
+                          inv_diag=inv_diag)
+    dm = build_distributed(shards, fmt="sell")
+    res_dist = dist_solve_cg(dm, b, itermax=30, verbose=False,
+                             inv_diag=inv_diag)
+    n = min(len(res_serial.residual_history), len(res_dist.residual_history))
+    np.testing.assert_allclose(
+        res_dist.residual_history[:n], res_serial.residual_history[:n],
+        rtol=1e-9, atol=1e-12 * res_serial.residual_history[0],
+    )
+    assert np.abs(res_dist.x - xexact).max() < 1e-5
