@@ -88,6 +88,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--precond", default="none", choices=["none", "jacobi"],
                     help="CG preconditioner (beyond the reference, which is "
                     "unpreconditioned)")
+    ap.add_argument("--orth", default="cgs", choices=["cgs", "cgs2"],
+                    help="GMRES orthogonalization: classical Gram-Schmidt "
+                    "or reorthogonalized CGS2 (robust for ill-conditioned "
+                    "bases; ~2x orthogonalization cost)")
     ap.add_argument("--rcm", action="store_true",
                     help="Reverse Cuthill-McKee row/col reordering before "
                     "format conversion (cuts BSELL padding / enables DIA "
@@ -175,7 +179,7 @@ def main(argv: Optional[list] = None) -> int:
     import jax
 
     from sparsebench_tpu.formats import from_csr
-    from sparsebench_tpu.profiler import Profiler, Region, trace
+    from sparsebench_tpu.profiler import Profiler, trace
     from sparsebench_tpu.solvers.cg import check_residual, init_vectors, solve_cg
     from sparsebench_tpu.solvers.profiled import bench_spmv, solve_cg_profiled
 
@@ -283,7 +287,8 @@ def main(argv: Optional[list] = None) -> int:
             else:
                 res = solve_cg(A, b, itermax=param.itermax, eps=param.eps,
                                inv_diag=inv_diag)
-                prof.times[Region.SPMVM] = res.solve_seconds  # aggregate only
+                print(prof.report_aggregate(res.iterations,
+                                            res.solve_seconds))
             iterations = res.iterations
             if xexact is not None:
                 diff = check_residual(res.x, xexact)
@@ -297,7 +302,8 @@ def main(argv: Optional[list] = None) -> int:
             from sparsebench_tpu.solvers.gmres import solve_gmres
 
             b = np.ones(A.nr, dtype=policy.value)
-            res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps)
+            res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps,
+                              orth=args.orth)
             iterations = res.iterations
         elif param.bench == "cheb":
             print("Test type: CHEBFD")

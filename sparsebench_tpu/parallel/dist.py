@@ -160,6 +160,20 @@ class DistMatrix:
                 "use sell/ell/crs/bsell/dia for sharded solves"
             )
 
+        # Per-shard metadata snapshot, taken BEFORE statics are normalized
+        # for stacking: the stacked pytree's nnz/start_row fields are
+        # meaningless per shard (they are equalized below so the shard
+        # pytrees share one treedef) — anything that wants per-shard truth
+        # (reports, padding evaluation) must read it from here.
+        self.shard_meta = [
+            {
+                "nnz": int(s.nnz),
+                "start_row": int(s.start_row),
+                "nr": int(s.nr),
+                "padding_ratio": float(getattr(o, "padding_ratio", 1.0)),
+            }
+            for o, s in zip(objs, part.shards)
+        ]
         objs = [_normalize_statics(o, part) for o in objs]
         self.A = _pad_stack_leaves(objs)
         self.mesh = mesh if mesh is not None else make_mesh(size)
@@ -372,6 +386,7 @@ def dist_solve_gmres(
     itermax: int = 150,
     eps: float = 0.0,
     restart: int = 30,
+    orth: str = "cgs",
     verbose: bool = True,
 ):
     """Distributed restarted GMRES(m): the Arnoldi cycle runs inside
@@ -394,6 +409,7 @@ def dist_solve_gmres(
         x_new, normr, k, brk = _gmres_cycle(
             A_local, b[0], x0[0], m=m, exchange=dm.exchange,
             allsum=dm.allsum, spmv=spmv, nr=nr_local, nc=nc_local, eps=eps,
+            orth=orth,
         )
         return x_new[None], normr, k, brk
 

@@ -14,7 +14,7 @@ import numpy as np
 
 from sparsebench_tpu.config import DTypePolicy, Parameter
 from sparsebench_tpu.parallel.dist import build_distributed, dist_solve_cg
-from sparsebench_tpu.profiler import HLINE, Profiler, Region
+from sparsebench_tpu.profiler import HLINE, Profiler
 
 
 class MeshCommInfo:
@@ -116,7 +116,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         else:
             res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps,
                                 inv_diag=inv_diag)
-            prof.times[Region.SPMVM] = res.solve_seconds  # aggregate only
+            print(prof.report_aggregate(res.iterations, res.solve_seconds))
         iterations = res.iterations
     elif param.bench == "cheb":
         from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
@@ -127,7 +127,8 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         from sparsebench_tpu.parallel.dist import dist_solve_gmres
 
         print("Test type: GMRES")
-        res = dist_solve_gmres(dm, b, itermax=param.itermax, eps=param.eps)
+        res = dist_solve_gmres(dm, b, itermax=param.itermax, eps=param.eps,
+                               orth=getattr(args, "orth", "cgs"))
     elif param.bench == "spmv":
         from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 

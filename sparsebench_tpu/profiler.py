@@ -90,6 +90,22 @@ class Profiler:
     def add(self, region: Region, seconds: float) -> None:
         self.times[region] += seconds
 
+    def report_aggregate(self, iterations: int, seconds: float) -> str:
+        """Fused-solve summary. One jit executes the whole CG iteration, so
+        per-region walltimes do not exist (see module docstring) — report
+        the aggregate roofline over all regions instead of pretending one
+        region absorbed the total (the reference's per-region table is
+        available via --profile / profiled mode)."""
+        by = self.words.sum() * iterations
+        fl = self.flops.sum() * iterations
+        mbs = 1.0e-6 * by / seconds if seconds > 0 else 0.0
+        mfs = 1.0e-6 * fl / seconds if seconds > 0 else 0.0
+        return (
+            f"Solve aggregate (fused): {mbs:.2f} MB/s  {mfs:.2f} MFlop/s  "
+            f"{seconds:.2f} s ({iterations} iterations; per-region table "
+            f"requires --profile)"
+        )
+
     # ------------------------------------------------------------- reporting
     def report(self, iterations: int, comm=None) -> str:
         """Render the reference report (src/profiler.c:44-141)."""

@@ -31,6 +31,72 @@ def test_gmres_solves_nonsymmetric(test_matrices_dir):
     np.testing.assert_allclose(res.x, x_ref, rtol=1e-6, atol=1e-8)
 
 
+def test_gmres_cgs2_solves_nonsymmetric(test_matrices_dir):
+    """CGS2 (reorthogonalized Gram-Schmidt) must solve to the same answer;
+    on ill-conditioned bases its explicit orthogonality error is bounded by
+    ~machine eps where single-pass CGS degrades (Giraud et al. 2005)."""
+    csr = HostCSR.from_coo(read_mm(str(test_matrices_dir / "test0.mtx")))
+    b = np.arange(1.0, csr.nr + 1)
+    A = from_csr("crs", csr)
+    res = solve_gmres(A, b, itermax=60, eps=1e-12, restart=10, orth="cgs2",
+                      verbose=False)
+    x_ref = np.linalg.solve(csr.to_dense(), b)
+    np.testing.assert_allclose(res.x, x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_gmres_cgs2_orthogonality_ill_conditioned():
+    """Directly measure basis orthogonality on a severely ill-conditioned
+    system, where CGS loses digits and CGS2 stays at machine precision."""
+    from sparsebench_tpu.solvers.gmres import _gmres_cycle
+
+    n = 48
+    rng = np.random.default_rng(3)
+    # graded diagonal spanning 12 orders of magnitude + small coupling
+    D = np.logspace(-6, 6, n)
+    Adense = np.diag(D) + 1e-3 * rng.standard_normal((n, n))
+    from sparsebench_tpu.host.coo import COOMatrix
+
+    rr, cc = np.nonzero(Adense)
+    csr = HostCSR.from_coo(
+        COOMatrix(row=rr, col=cc, val=Adense[rr, cc], nr=n, nc=n)
+    )
+    A = from_csr("crs", csr)
+    b = np.ones(n)
+    import jax.numpy as jnp
+
+    def basis_err(orth):
+        m = 24
+        # run one cycle and inspect V via the cycle's own internals: redo
+        # the arnoldi with the public API by solving and re-measuring is
+        # enough — orthogonality shows up in the computed solution error,
+        # but measure it directly for a sharp assertion
+        from functools import partial
+
+        cyc = jax.jit(partial(
+            _gmres_cycle, m=m, exchange=lambda v: v, allsum=lambda v: v,
+            spmv=A.spmv, nr=n, nc=n, eps=0.0, orth=orth,
+            _return_basis=True,
+        ))
+        *_, V = cyc(A, jnp.asarray(b), jnp.zeros(n))
+        V = np.asarray(V)[: m + 1]
+        G = V @ V.T
+        return np.abs(G - np.eye(m + 1)).max()
+
+    err_cgs = basis_err("cgs")
+    err_cgs2 = basis_err("cgs2")
+    assert err_cgs2 < 1e-12
+    assert err_cgs2 <= max(err_cgs, 1e-12)
+
+
+def test_gmres_bad_orth_rejected():
+    import pytest
+
+    csr = generate_stencil(3, 3, 3)
+    A = from_csr("crs", csr)
+    with pytest.raises(ValueError, match="orth"):
+        solve_gmres(A, np.ones(csr.nr), orth="mgs", verbose=False)
+
+
 def test_chebyshev_solves_spd_stencil():
     csr = generate_stencil(6, 6, 6)
     b = np.random.default_rng(1).standard_normal(csr.nr)
