@@ -70,6 +70,19 @@ def _shifted_window(xw2, q: int, r: int, rows: int, variant: str = "roll1"):
     return jnp.where(lane < LANES - r, ra, rb)
 
 
+def _accumulate(xw2, data_ref, y_ref, shifts, rows, roll):
+    """Shared accumulation: y = sum_d data[d] * shift(x, s_d)."""
+    out_dtype = y_ref.dtype
+    acc = None
+    for d, s in enumerate(shifts):
+        q, r = divmod(s, LANES)
+        xs = _shifted_window(xw2, q, r, rows, roll)
+        # diag data may be stored compressed (bf16); accumulate in x dtype
+        term = data_ref[d].astype(out_dtype) * xs
+        acc = term if acc is None else acc + term
+    y_ref[:, :] = acc
+
+
 def _dia_kernel(
     x_hbm, data_ref, y_ref, xwin, sem, *, shifts: Tuple[int, ...],
     rows: int, span: int, variant: str = "roll1",
@@ -82,46 +95,118 @@ def _dia_kernel(
     )
     cp.start()
     cp.wait()
-    out_dtype = y_ref.dtype
     xw2 = xwin[:].reshape(rows + span, LANES)  # free: contiguous buffer
-    acc = None
-    for d, s in enumerate(shifts):
-        q, r = divmod(s, LANES)
-        xs = _shifted_window(xw2, q, r, rows, variant)
-        # diag data may be stored compressed (bf16); accumulate in x dtype
-        term = data_ref[d].astype(out_dtype) * xs
-        acc = term if acc is None else acc + term
-    y_ref[:, :] = acc
+    _accumulate(xw2, data_ref, y_ref, shifts, rows, variant)
+
+
+def _dia_kernel_dbuf(
+    x_hbm, data_ref, y_ref, xwin, sem, *, shifts: Tuple[int, ...],
+    rows: int, span: int, grid_n: int, roll: str = "roll1",
+):
+    """Double-buffered x window: tile i+1's window DMA overlaps tile i's
+    compute (guide 'Patterns: Double Buffering'; the grid is sequential on
+    TPU so the 2-slot scratch carries across grid steps)."""
+    i = pl.program_id(0)
+    win = (rows + span) * LANES
+
+    def dma(slot, idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(idx * rows * LANES, win)], xwin.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < grid_n)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    xw2 = xwin[i % 2].reshape(rows + span, LANES)
+    _accumulate(xw2, data_ref, y_ref, shifts, rows, roll)
+
+
+def _dia_kernel_xres(
+    x_ref, data_ref, y_ref, *, shifts: Tuple[int, ...],
+    rows: int, span: int, roll: str = "roll1",
+):
+    """VMEM-resident x: the whole padded x is one blocked VMEM operand with
+    a constant index map (pallas fetches it once — consecutive equal block
+    indices skip the copy), so there is no per-tile HBM DMA at all. One
+    dynamic VMEM slice materializes this tile's window, then the static
+    shift code runs unchanged. Only usable when x fits the VMEM budget."""
+    i = pl.program_id(0)
+    xw = x_ref[pl.ds(i * rows * LANES, (rows + span) * LANES)]
+    xw2 = xw.reshape(rows + span, LANES)
+    _accumulate(xw2, data_ref, y_ref, shifts, rows, roll)
 
 
 def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
-                variant="roll1"):
+                variant="roll1", x_len=0):
     # ``dtype`` is the x/output dtype; the data operand keeps its own
-    # (possibly compressed) dtype
+    # (possibly compressed) dtype. ``variant``: "roll1"/"roll2" pick the
+    # lane-roll scheme on the single-buffered DMA kernel; "dbuf[_roll2]"
+    # double-buffers the x-window DMA; "xres[_roll2]" holds the whole x
+    # VMEM-resident (requires x_len, the padded x length in elements).
     grid = (n_rows + tile_rows - 1) // tile_rows
-    kernel = functools.partial(
-        _dia_kernel, shifts=shifts, rows=tile_rows, span=span, variant=variant
+    roll = "roll2" if variant.endswith("roll2") else "roll1"
+    data_spec = pl.BlockSpec(
+        (ndiag, tile_rows, LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
     )
+    out_spec = pl.BlockSpec(
+        (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((grid * tile_rows, LANES), dtype)
+    if variant.startswith("xres"):
+        kernel = functools.partial(
+            _dia_kernel_xres, shifts=shifts, rows=tile_rows, span=span,
+            roll=roll,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                # whole-x VMEM block, constant index map: fetched once
+                pl.BlockSpec((x_len,), lambda i: (0,),
+                             memory_space=pltpu.VMEM),
+                data_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+    if variant.startswith("dbuf"):
+        kernel = functools.partial(
+            _dia_kernel_dbuf, shifts=shifts, rows=tile_rows, span=span,
+            grid_n=grid, roll=roll,
+        )
+        scratch = [
+            pltpu.VMEM((2, (tile_rows + span) * LANES), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(
+            _dia_kernel, shifts=shifts, rows=tile_rows, span=span,
+            variant=roll,
+        )
+        scratch = [
+            pltpu.VMEM(((tile_rows + span) * LANES,), dtype),  # x dtype
+            pltpu.SemaphoreType.DMA,
+        ]
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             # 1-D, unblocked, HBM: unique layout in every calling context
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(
-                (ndiag, tile_rows, LANES),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            data_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (tile_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((grid * tile_rows, LANES), dtype),
-        scratch_shapes=[
-            pltpu.VMEM(((tile_rows + span) * LANES,), dtype),  # x dtype
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -146,9 +231,6 @@ def dia_spmv_pallas(
     lead = x_lead_pad(offsets)
     shifts = tuple(int(o) + lead for o in offsets)
     span = _span_rows(shifts)
-    call = _build_call(
-        ndiag, n_rows, shifts, tile_rows, span, x1d.dtype, interpret, variant
-    )
     # pad data3d rows up to the grid multiple
     grid_rows = ((n_rows + tile_rows - 1) // tile_rows) * tile_rows
     if grid_rows != data3d.shape[1]:
@@ -156,6 +238,10 @@ def dia_spmv_pallas(
     need_x = (grid_rows + span) * LANES
     if x1d.shape[0] < need_x:
         x1d = jnp.pad(x1d, (0, need_x - x1d.shape[0]))
+    call = _build_call(
+        ndiag, n_rows, shifts, tile_rows, span, x1d.dtype, interpret, variant,
+        x_len=x1d.shape[0],
+    )
     y = call(x1d, data3d)
     return y[:n_rows]
 

@@ -15,7 +15,9 @@ POLICY = DTypePolicy.from_names("f32", "i32")
 
 
 @pytest.mark.parametrize("dims", [(8, 8, 8), (10, 9, 7), (4, 4, 4)])
-@pytest.mark.parametrize("variant", ["roll1", "roll2"])
+@pytest.mark.parametrize(
+    "variant", ["roll1", "roll2", "dbuf", "dbuf_roll2", "xres", "xres_roll2"]
+)
 def test_kernel_matches_oracle(dims, variant):
     from sparsebench_tpu.ops import dia_pallas
 
