@@ -88,6 +88,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--precond", default="none", choices=["none", "jacobi"],
                     help="CG preconditioner (beyond the reference, which is "
                     "unpreconditioned)")
+    ap.add_argument("--cg-variant", default="standard",
+                    choices=["standard", "cs"], dest="cg_variant",
+                    help="CG formulation: the reference's (2 allreduces/"
+                    "iter) or single-reduction Chronopoulos-Gear 'cs' "
+                    "(1 fused allreduce/iter; latency win on meshes)")
     ap.add_argument("--orth", default="cgs", choices=["cgs", "cgs2"],
                     help="GMRES orthogonalization: classical Gram-Schmidt "
                     "or reorthogonalized CGS2 (robust for ill-conditioned "
@@ -270,6 +275,11 @@ def main(argv: Optional[list] = None) -> int:
                     raise SystemExit(
                         "--precond combines with the plain CG path only"
                     )
+            if args.cg_variant != "standard" and (args.checkpoint
+                                                  or args.profile):
+                raise SystemExit(
+                    "--cg-variant combines with the plain CG path only"
+                )
             if args.checkpoint:
                 from sparsebench_tpu.solvers.checkpoint import (
                     solve_cg_checkpointed,
@@ -286,7 +296,7 @@ def main(argv: Optional[list] = None) -> int:
                 )
             else:
                 res = solve_cg(A, b, itermax=param.itermax, eps=param.eps,
-                               inv_diag=inv_diag)
+                               inv_diag=inv_diag, variant=args.cg_variant)
                 print(prof.report_aggregate(res.iterations,
                                             res.solve_seconds))
             iterations = res.iterations

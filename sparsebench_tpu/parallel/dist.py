@@ -226,11 +226,18 @@ def dist_solve_cg(
     eps: float = 0.0,
     acc_dtype=None,
     inv_diag: "np.ndarray" = None,
+    variant: str = "standard",
     verbose: bool = True,
 ) -> CGResult:
     """Distributed CG: one jitted shard_map program over the mesh.
     ``inv_diag`` (global row order) switches to Jacobi PCG — the z = D^-1 r
-    step is shard-local elementwise; the reductions ride the same psum."""
+    step is shard-local elementwise; the reductions ride the same psum.
+    ``variant="cs"`` runs single-reduction CG (solvers/cg.py cg_cs_loop):
+    one fused psum per iteration instead of two sequential ones — the
+    latency win this formulation exists for shows up exactly here, on a
+    multi-chip mesh."""
+    if variant == "cs" and inv_diag is not None:
+        raise ValueError("variant='cs' is the unpreconditioned solver")
     plan = dm.part.plan
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x0_stacked = jnp.zeros_like(b_stacked)
@@ -239,8 +246,10 @@ def dist_solve_cg(
         if inv_diag is not None else None
     )
 
+    from sparsebench_tpu.solvers.cg import cg_cs_loop
+
     loop = partial(
-        cg_loop,
+        cg_cs_loop if variant == "cs" else cg_loop,
         itermax=itermax,
         exchange=dm.exchange,
         allsum=dm.allsum,
@@ -249,8 +258,10 @@ def dist_solve_cg(
 
     def local_fn(A_stacked, b, x0, eps_s, md):
         A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
-        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s,
-                          inv_diag=None if md is None else md[0])
+        kw = {} if variant == "cs" else {
+            "inv_diag": None if md is None else md[0]
+        }
+        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s, **kw)
         return x[None], k, hist
 
     shard_fn = jax.jit(

@@ -110,12 +110,18 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
                 raise SystemExit(
                     "--precond combines with the plain CG path only"
                 )
+            if getattr(args, "cg_variant", "standard") != "standard":
+                raise SystemExit(
+                    "--cg-variant combines with the plain CG path only"
+                )
             res = dist_solve_cg_profiled(
                 dm, b, prof, itermax=param.itermax, eps=param.eps
             )
         else:
             res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps,
-                                inv_diag=inv_diag)
+                                inv_diag=inv_diag,
+                                variant=getattr(args, "cg_variant",
+                                                "standard"))
             print(prof.report_aggregate(res.iterations, res.solve_seconds))
         iterations = res.iterations
     elif param.bench == "cheb":

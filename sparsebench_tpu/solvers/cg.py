@@ -192,6 +192,91 @@ def cg_run(
     return jax.lax.while_loop(cond, body, state)
 
 
+def cg_cs_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+):
+    """Single-reduction CG (Chronopoulos & Gear 1989, "communication-
+    saving" CG). Mathematically identical iterates to standard CG, but the
+    two dependent dot products per iteration collapse into ONE fused
+    allreduce of two scalars:
+
+        gamma = r.r, delta = w.r   (w = A r)   — one allsum of a 2-vector
+        beta  = gamma/gamma_old
+        alpha = gamma / (delta - beta*gamma/alpha_old)
+        p = r + beta p;  s = w + beta s        (s carries A p)
+        x += alpha p;    r -= alpha s;   w = A r
+
+    Per iteration: 1 exchange + 1 allreduce (the reference structure is
+    1 exchange + 2 sequential allreduces, src/CGSolver.c:107-129 /
+    SURVEY §3.1) at the cost of two extra axpys — a latency win that grows
+    with mesh size. Residual-history parity with ``cg_loop`` holds to
+    rounding (same Krylov iterates; tested in tests/test_cg.py).
+    """
+    nr = b.shape[0]
+    vdt = b.dtype
+    sdt = acc_dtype or vdt
+    spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
+
+    def fused_dots(r, w):
+        return allsum(jnp.stack([
+            jnp.sum(r.astype(sdt) * r.astype(sdt)),
+            jnp.sum(w.astype(sdt) * r.astype(sdt)),
+        ]))
+
+    r = b - spmv(exchange(widen(x0)))
+    w = spmv(exchange(widen(r)))
+    gd = fused_dots(r, w)
+    gamma, delta = gd[0], gd[1]
+    alpha = safe_div(gamma, delta)
+    normr0 = jnp.sqrt(gamma)
+    hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+    # p never feeds the spmv (only r does), so it needs no halo tail.
+    # normr tracks the PRE-update residual exactly like cg_run's, so the
+    # exit iteration and recorded history match the standard loop.
+    state = (jnp.asarray(1), x0, r, w, jnp.zeros(nr, vdt),
+             jnp.zeros(nr, vdt), gamma, alpha, jnp.zeros((), sdt), normr0,
+             hist0, jnp.asarray(False))
+
+    def cond(state):
+        k, _x, _r, _w, _p, _s, _gamma, _al, _be, normr, _hist, done = state
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps),
+            jnp.logical_not(done),
+        )
+
+    def body(state):
+        k, x, r, w, p, s, gamma, alpha, beta, _normr, hist, done = state
+        normr = jnp.sqrt(gamma)
+        hist = hist.at[k].set(normr)
+        b_v = beta.astype(vdt)
+        p = r + b_v * p
+        s = w + b_v * s
+        a_v = alpha.astype(vdt)
+        x = x + a_v * p
+        r = r - a_v * s
+        w = spmv(exchange(widen(r)))
+        gd = fused_dots(r, w)
+        g_new, d_new = gd[0], gd[1]
+        beta_new = safe_div(g_new, gamma)
+        denom = d_new - beta_new * safe_div(g_new, alpha)
+        # breakdown: denom is p.Ap in disguise — same positivity guard as
+        # cg_run (machine-zero residuals underflow it)
+        breakdown = denom <= g_new * 1e-30
+        alpha_new = jnp.where(breakdown, 0, safe_div(g_new, denom))
+        return (k + 1, x, r, w, p, s, g_new, alpha_new, beta_new, normr,
+                hist, breakdown)
+
+    k, x, *_rest, hist, _done = jax.lax.while_loop(cond, body, state)
+    return x, k, hist
+
+
 def cg_loop(
     A,
     b: jnp.ndarray,
@@ -226,13 +311,19 @@ def solve_cg(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag: Optional[np.ndarray] = None,
+    variant: str = "standard",
     verbose: bool = True,
 ) -> CGResult:
     """Host driver: permutation handling, jit, timing, residual printing.
 
     ``b`` is in original row order; the result ``x`` likewise. Pass
     ``inv_diag`` (1/diag(A), original row order) for Jacobi PCG.
+    ``variant="cs"`` selects single-reduction CG (see cg_cs_loop).
     """
+    if variant not in ("standard", "cs"):
+        raise ValueError(f"variant must be 'standard' or 'cs', got {variant!r}")
+    if variant == "cs" and inv_diag is not None:
+        raise ValueError("variant='cs' is the unpreconditioned solver")
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
@@ -250,8 +341,10 @@ def solve_cg(
     else:
         b_in, x0_in = b, x0
 
+    loop_fn = cg_cs_loop if variant == "cs" else cg_loop
+    kw = {} if variant == "cs" else {"inv_diag": inv_diag}
     loop = jax.jit(
-        partial(cg_loop, itermax=itermax, exchange=exchange, allsum=allsum,
+        partial(loop_fn, itermax=itermax, exchange=exchange, allsum=allsum,
                 acc_dtype=acc_dtype),
         static_argnames=(),
     )
@@ -259,13 +352,11 @@ def solve_cg(
 
     # warm-up compile outside the timed section (the reference's compile cost
     # is paid at build time; ours at first trace)
-    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
-                                  inv_diag=inv_diag)
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr, **kw)
     int(k_dev)
 
     t0 = time.perf_counter()
-    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
-                                  inv_diag=inv_diag)
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr, **kw)
     # sync via a scalar that depends on the whole loop: block_until_ready
     # has been observed returning early through the axon relay
     k = int(k_dev)

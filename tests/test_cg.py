@@ -29,6 +29,44 @@ def test_generated_problem_converges_to_exact(fmt):
     assert res.residual_history[0] > res.residual_history[-1]
 
 
+def test_cg_cs_residual_parity_with_standard():
+    """Single-reduction CG (Chronopoulos-Gear) generates the same Krylov
+    iterates as standard CG: f64 residual histories must match to ~1e-10
+    relative (same bar as cross-format parity, BASELINE.md)."""
+    csr = generate_stencil(8, 8, 8)
+    x0, b, xexact = init_vectors(csr)
+    A = from_csr("crs", csr)
+    res_std = solve_cg(A, b, itermax=60, eps=0.0, verbose=False)
+    res_cs = solve_cg(A, b, itermax=60, eps=0.0, variant="cs", verbose=False)
+    n = min(len(res_std.residual_history), len(res_cs.residual_history))
+    # atol floor: once the residual reaches machine zero (~1e-16 * ||b||)
+    # the two recurrences differ only in rounding noise
+    np.testing.assert_allclose(
+        res_cs.residual_history[:n], res_std.residual_history[:n],
+        rtol=1e-9, atol=1e-14 * res_std.residual_history[0],
+    )
+    assert check_residual(res_cs.x, xexact) < 1e-7
+
+
+def test_cg_cs_converges_with_eps():
+    csr = generate_stencil(6, 6, 6)
+    x0, b, xexact = init_vectors(csr)
+    A = from_csr("dia", csr)
+    res = solve_cg(A, b, itermax=200, eps=1e-9, variant="cs", verbose=False)
+    assert res.final_normr <= 1e-9
+    assert check_residual(res.x, xexact) < 1e-7
+
+
+def test_cg_cs_rejects_precond_and_bad_variant():
+    csr = generate_stencil(4, 4, 4)
+    A = from_csr("crs", csr)
+    b = np.ones(csr.nr)
+    with pytest.raises(ValueError, match="unpreconditioned"):
+        solve_cg(A, b, variant="cs", inv_diag=np.ones(csr.nr), verbose=False)
+    with pytest.raises(ValueError, match="variant"):
+        solve_cg(A, b, variant="pipelined", verbose=False)
+
+
 def test_band_klein_matches_dense_solve(data_dir):
     csr = HostCSR.from_coo(read_mm(str(data_dir / "matrix_band_klein.mtx")))
     b = np.ones(csr.nr)

@@ -161,6 +161,26 @@ def test_dist_cg_matches_single_device(fmt):
     assert np.abs(res_dist.x - xexact).max() < 1e-6
 
 
+def test_dist_cg_cs_matches_serial():
+    """Distributed single-reduction CG (one fused psum/iter) matches the
+    serial standard solve's residual history."""
+    size = 4
+    shards = _gen_shards(3, 3, 2, size)
+    gcsr = _global_csr(3, 3, 2, size)
+    _, b, xexact = init_vectors(gcsr)
+    res_serial = solve_cg(from_csr("crs", gcsr), b, itermax=40, eps=0.0,
+                          verbose=False)
+    dm = build_distributed(shards, fmt="sell")
+    res = dist_solve_cg(dm, b, itermax=40, eps=0.0, variant="cs",
+                        verbose=False)
+    n = min(len(res_serial.residual_history), len(res.residual_history))
+    np.testing.assert_allclose(
+        res.residual_history[:n], res_serial.residual_history[:n],
+        rtol=1e-9, atol=1e-14 * res_serial.residual_history[0],
+    )
+    assert np.abs(res.x - 1.0).max() < 1e-6
+
+
 def test_dist_cg_uneven_rows():
     """Row count not divisible by shards (reference sizeOfRank remainder
     handling, comm.c:35-38): pad rows must not disturb the solve."""
