@@ -314,8 +314,33 @@ def bench_spmv(n: int, fmts) -> int:
     return 0
 
 
+def _ensure_device() -> None:
+    """The chip-side claim can linger for tens of minutes after the previous
+    TPU process exits (even a clean exit — NOTES.md); a fresh process is the
+    only way to retry because the failed plugin state is cached for the
+    interpreter's lifetime. So: on claim failure, sleep and re-exec."""
+    import os
+
+    try:
+        import jax
+
+        jax.devices()
+        return
+    except RuntimeError as e:
+        if "axon" not in str(e):
+            raise
+        n = int(os.environ.get("SB_BENCH_CLAIM_RETRY", "0"))
+        if n >= 25:
+            raise
+        os.environ["SB_BENCH_CLAIM_RETRY"] = str(n + 1)
+        log(f"TPU claim not ready (attempt {n + 1}/25); re-exec in 90s")
+        time.sleep(90)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> int:
     args = sys.argv[1:]
+    _ensure_device()
     if args and args[0] == "spmv":
         n = int(args[1]) if len(args) > 1 else 100
         fmts = args[2].split(",") if len(args) > 2 else ["dia", "bsell"]

@@ -115,6 +115,11 @@ class DiaMatrix:
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
+    # kernel schedule: "auto" picks xres (whole x VMEM-resident) when it
+    # fits the VMEM budget, else the double-buffered window (measured on
+    # the dev chip, see ops/dia_pallas.py); explicit values override.
+    variant: str = struct.field(pytree_node=False, default="auto")
+    tile_rows: int = struct.field(pytree_node=False, default=0)  # 0 = auto
 
     @classmethod
     def from_csr(
@@ -315,9 +320,17 @@ class DiaMatrix:
         return self._spmv_xla(x)
 
     def _spmv_pallas(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-        x1d = pack_x(x[: self.nr], self.offsets, self.nr_pad)
+        from sparsebench_tpu.ops.dia_pallas import choose_schedule
+
+        variant, tile_rows = choose_schedule(
+            self.offsets, self.nr_pad, jnp.dtype(x.dtype).itemsize,
+            self.data.dtype.itemsize, self.variant, self.tile_rows,
+        )
+        x1d = pack_x(x[: self.nr], self.offsets, self.nr_pad,
+                     tile_rows=tile_rows)
         y2d = dia_spmv_pallas(
-            self.data, x1d, self.offsets, self.nr_pad, interpret=interpret
+            self.data, x1d, self.offsets, self.nr_pad, tile_rows=tile_rows,
+            interpret=interpret, variant=variant,
         )
         return y2d.reshape(-1)[: self.nr]
 

@@ -246,6 +246,34 @@ def dia_spmv_pallas(
     return y[:n_rows]
 
 
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom in the ~16 MB VMEM
+
+
+def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
+                    variant: str = "auto", tile_rows: int = 0):
+    """Resolve (variant, tile_rows) for the DIA kernel. "auto" holds the
+    whole padded x VMEM-resident ("xres") when x plus the double-buffered
+    data/y blocks fit VMEM_BUDGET_BYTES — no per-tile HBM DMA at all —
+    and otherwise double-buffers the sliding x window ("dbuf"). Measured
+    on the dev v5e (see NOTES.md): xres > dbuf > single-buffered roll1,
+    all with tile_rows=256."""
+    tile = tile_rows or DEFAULT_TILE_ROWS
+    if variant != "auto":
+        return variant, tile
+    lead = x_lead_pad(offsets)
+    shifts = [int(o) + lead for o in offsets]
+    span = _span_rows(shifts)
+    n_rows = nr_pad // LANES
+    grid_rows = ((n_rows + tile - 1) // tile) * tile
+    x_len = (grid_rows + span) * LANES
+    data_block = len(offsets) * tile * LANES * data_bytes
+    y_block = tile * LANES * x_bytes
+    budget = x_len * x_bytes + 2 * (data_block + y_block)
+    if budget <= VMEM_BUDGET_BYTES:
+        return "xres", tile
+    return "dbuf", tile
+
+
 def _span_rows(shifts) -> int:
     """x-window rows beyond the tile, padded to a sublane multiple so the
     manual DMA and the VMEM scratch stay 8-row aligned."""

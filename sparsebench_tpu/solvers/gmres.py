@@ -11,6 +11,12 @@ Arnoldi steps with static-shape state — the Krylov basis is a dense
 product against the whole basis with an index mask instead of a ragged
 loop, and the least-squares solve per cycle uses Givens rotations carried
 in registers. Restarts are a host loop (norm check per cycle only).
+
+Orthogonalization options (``orth=``): "cgs" (classical Gram-Schmidt, one
+masked basis matvec per step) or "cgs2" (reorthogonalized CGS — a second
+projection pass keeps the basis orthogonal to machine precision on
+ill-conditioned problems at ~2x the orthogonalization cost; both passes
+are fused MXU ops, unlike a ragged modified-Gram-Schmidt loop).
 """
 
 from __future__ import annotations
