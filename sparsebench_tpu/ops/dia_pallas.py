@@ -105,13 +105,19 @@ def _dia_kernel_dbuf(
 ):
     """Double-buffered x window: tile i+1's window DMA overlaps tile i's
     compute (guide 'Patterns: Double Buffering'; the grid is sequential on
-    TPU so the 2-slot scratch carries across grid steps)."""
+    TPU so the 2-slot scratch carries across grid steps). The scratch is
+    a FLAT (2*win,) buffer sliced at element offsets — a (2, win) scratch
+    gets (2,128) tiling on dim 0 and slicing one slot then violates tile
+    alignment ("Slice shape along dimension 0 must be aligned to tiling
+    (2), but is 1"); win is a multiple of 1024 so flat slices stay
+    tile-aligned."""
     i = pl.program_id(0)
     win = (rows + span) * LANES
 
     def dma(slot, idx):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(idx * rows * LANES, win)], xwin.at[slot],
+            x_hbm.at[pl.ds(idx * rows * LANES, win)],
+            xwin.at[pl.ds(slot * win, win)],
             sem.at[slot],
         )
 
@@ -124,7 +130,7 @@ def _dia_kernel_dbuf(
         dma((i + 1) % 2, i + 1).start()
 
     dma(i % 2, i).wait()
-    xw2 = xwin[i % 2].reshape(rows + span, LANES)
+    xw2 = xwin[pl.ds((i % 2) * win, win)].reshape(rows + span, LANES)
     _accumulate(xw2, data_ref, y_ref, shifts, rows, roll)
 
 
@@ -184,7 +190,7 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
             grid_n=grid, roll=roll,
         )
         scratch = [
-            pltpu.VMEM((2, (tile_rows + span) * LANES), dtype),
+            pltpu.VMEM((2 * (tile_rows + span) * LANES,), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
@@ -254,9 +260,12 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     """Resolve (variant, tile_rows) for the DIA kernel. "auto" holds the
     whole padded x VMEM-resident ("xres") when x plus the double-buffered
     data/y blocks fit VMEM_BUDGET_BYTES — no per-tile HBM DMA at all —
-    and otherwise double-buffers the sliding x window ("dbuf"). Measured
-    on the dev v5e (see NOTES.md): xres > dbuf > single-buffered roll1,
-    all with tile_rows=256."""
+    and otherwise uses the single-buffered sliding window ("roll1").
+    Measured on the dev v5e (NOTES.md): xres@256 184.6 GB/s vs roll1@256
+    177.1 at 100^3; roll1 hits 488 GB/s effective at 200^3. "dbuf" is
+    NOT auto-selected: its traced-slot scratch indexing fails Mosaic
+    remote compile on the dev chain (kept for interpret-mode coverage
+    and future chains)."""
     tile = tile_rows or DEFAULT_TILE_ROWS
     if variant != "auto":
         return variant, tile
@@ -271,7 +280,7 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     budget = x_len * x_bytes + 2 * (data_block + y_block)
     if budget <= VMEM_BUDGET_BYTES:
         return "xres", tile
-    return "dbuf", tile
+    return "roll1", tile
 
 
 def _span_rows(shifts) -> int:
