@@ -52,29 +52,42 @@ def measure_stream_triad(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
     """In-situ HBM STREAM triad: a = b + s*a, fused fori_loop chain with a
     data-dependent carry (the only trustworthy timing harness through this
     relay — NOTES.md). Bytes per iteration = 3 arrays (read a, read b,
-    write a) * 4 B."""
+    write a) * 4 B.
+
+    Differential timing (see spmv_chain_time): the fixed ~30 ms dispatch
+    round trip inflated the round-1/r2-early numbers to "295 GB/s, chip
+    is throttled" — the corrected measurement is the real HBM rate."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def triad(a, b):
+    def triad(a, b, n):
         def body(_, a):
             return b + jnp.float32(0.999) * a
 
-        out = jax.lax.fori_loop(0, iters, body, a)
+        out = jax.lax.fori_loop(0, n, body, a)
         return out, jnp.sum(out[::65537])
 
     a = jnp.ones(n_floats, jnp.float32)
     b = jnp.full(n_floats, 0.5, jnp.float32)
-    _, s = triad(a, b)
-    float(s)  # warm-up compile + reliable sync
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        _, s = triad(a, b)
-        float(s)
-        best = min(best, time.perf_counter() - t0)
-    return 3.0 * 4.0 * n_floats * iters / best / 1e9
+    for n in (iters, 3 * iters):
+        _, s = triad(a, b, n)
+        float(s)  # warm-up compile + reliable sync
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _, s = triad(a, b, n)
+            float(s)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(iters), timed(3 * iters)
+    dt = (t_hi - t_lo) / (2 * iters)
+    if dt <= 0:
+        dt = t_hi / (3 * iters)
+    return 3.0 * 4.0 * n_floats / dt / 1e9
 
 
 def build_stencil_dia(n: int):
@@ -116,31 +129,47 @@ def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3):
 
 def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
     """Per-SpMV seconds from a fused data-dependent chain (A passed as a
-    jit argument: closures embed device arrays as HLO constants)."""
+    jit argument: closures embed device arrays as HLO constants).
+
+    DIFFERENTIAL timing: each dispatch through the axon relay carries a
+    fixed ~tens-of-ms round trip (dispatch + scalar readback) that a
+    naive total/reps inflates badly — at 100^3 it tripled the reported
+    per-SpMV time (r2; CG's own per-iteration time exposed the lie).
+    The loop bound is a TRACED scalar, so one compile serves both rep
+    counts, and (t(3*reps) - t(reps)) / (2*reps) cancels the offset."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def chain(A, c):
+    def chain(A, c, n):
         def step(A, u):
             y = A.spmv(u)
             if y.shape[0] == A.nc:
                 return y
             return jnp.concatenate([y, u[y.shape[0]:]])
 
-        out = jax.lax.fori_loop(0, reps, lambda _, u: step(A, u), c)
+        out = jax.lax.fori_loop(0, n, lambda _, u: step(A, u), c)
         return out, jnp.sum(out[:: 4097])
 
     carry = jnp.ones(A.nc, jnp.float32)
-    _, sval = chain(A, carry)
-    float(sval)
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        _, sval = chain(A, carry)
+    for n in (reps, 3 * reps):  # warm both trip counts (same executable)
+        _, sval = chain(A, carry, n)
         float(sval)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _, sval = chain(A, carry, n)
+            float(sval)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(reps), timed(3 * reps)
+    dt = (t_hi - t_lo) / (2 * reps)
+    if dt <= 0:  # relay jitter swamped the measurement; fall back
+        dt = t_hi / (3 * reps)
+    return dt
 
 
 def run_suite() -> int:

@@ -260,12 +260,11 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     """Resolve (variant, tile_rows) for the DIA kernel. "auto" holds the
     whole padded x VMEM-resident ("xres") when x plus the double-buffered
     data/y blocks fit VMEM_BUDGET_BYTES — no per-tile HBM DMA at all —
-    and otherwise uses the single-buffered sliding window ("roll1").
-    Measured on the dev v5e (NOTES.md): xres@256 184.6 GB/s vs roll1@256
-    177.1 at 100^3; roll1 hits 488 GB/s effective at 200^3. "dbuf" is
-    NOT auto-selected: its traced-slot scratch indexing fails Mosaic
-    remote compile on the dev chain (kept for interpret-mode coverage
-    and future chains)."""
+    and otherwise double-buffers the sliding x window ("dbuf"). Measured
+    on the dev v5e with differential timing (NOTES.md round-2 results):
+    at 100^3 xres 0.109 ms/spmv vs roll1 0.128; at 200^3 (beyond-VMEM x)
+    dbuf 1.79 ms vs roll1 1.94 — the overlapped window DMA is worth ~8%
+    once x no longer fits."""
     tile = tile_rows or DEFAULT_TILE_ROWS
     if variant != "auto":
         return variant, tile
@@ -280,7 +279,7 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     budget = x_len * x_bytes + 2 * (data_block + y_block)
     if budget <= VMEM_BUDGET_BYTES:
         return "xres", tile
-    return "roll1", tile
+    return "dbuf", tile
 
 
 def _span_rows(shifts) -> int:
