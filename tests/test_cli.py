@@ -62,6 +62,39 @@ def test_sharded_cli_run(capsys):
     assert "Total data volume" in out
 
 
+def test_cg_variant_cs_cli(capsys):
+    rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15",
+                  "--cg-variant", "cs"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Solve aggregate (fused)" in out
+    assert "Difference between computed and exact  = 0.000" in out
+
+
+def test_cg_variant_cs_sharded_cli(capsys):
+    rc = run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "10",
+                  "--shards", "4", "--fmt", "sell", "--cg-variant", "cs"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Solve aggregate (fused)" in out
+
+
+def test_cg_variant_rejects_profile():
+    with pytest.raises(SystemExit, match="plain CG path"):
+        run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "4", "-i", "5",
+                 "--cg-variant", "cs", "--profile"])
+
+
+def test_gmres_orth_cli(capsys, data_dir):
+    rc = run_cli(["-t", "gmres", "-m",
+                  str(data_dir / "testMatrices" / "test0.mtx"),
+                  "-i", "40", "-e", "1e-10", "--fmt", "crs",
+                  "--orth", "cgs2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "GMRES cycle" in out
+
+
 def test_graft_entry_single_and_multi():
     import jax
 
