@@ -44,7 +44,13 @@ class Parameter:
                                # else bsell — the two TPU Pallas fast paths
     chunk_height: int = 0      # SELL C; 0 = format picks a TPU-friendly default
     sigma: int = 0             # SELL sigma sorting scope; 0 = format default
-    dtype: str = "f64"         # value dtype: f64 | f32 | bf16  (ref FLOAT_TYPE)
+    # Value dtype default is f32, diverging from the reference's
+    # PRECISION=double (config.mk:7) deliberately: f64 is emulated on TPU
+    # (no native path; the default `python -m sparsebench_tpu -t cg` ran
+    # 15x slower under f64) while f32 CG converges the reference's
+    # generated problem to max|x-1| ~ 2e-6. `--dtype f64` restores
+    # reference precision for parity work.
+    dtype: str = "f32"         # value dtype: f64 | f32 | bf16  (ref FLOAT_TYPE)
     index_dtype: str = "i32"   # index dtype: i32 | i64         (ref UINT_TYPE)
 
     # --- distributed controls ---
