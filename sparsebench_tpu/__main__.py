@@ -1,5 +1,22 @@
+import os
 import sys
 
 from sparsebench_tpu.cli import main
 
-sys.exit(main())
+rc = main()
+# On the tunneled dev TPU the relay client's teardown thread has been
+# observed spinning at 100% CPU for minutes after a completed run
+# (NOTES.md). All user-visible work (prints, checkpoint/binfile writes)
+# is flushed synchronously by main(), so a hard exit is safe — and only
+# taken on the axon dev backend; normal interpreter shutdown otherwise.
+try:
+    import jax
+
+    backend = jax.default_backend()
+except Exception:  # pragma: no cover — jax failed, nothing to tear down
+    backend = ""
+if backend == "axon":
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
+sys.exit(rc)
