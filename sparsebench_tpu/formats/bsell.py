@@ -471,8 +471,12 @@ class BsellMatrix:
                 self.lidx,
                 interpret=self.impl == "pallas_interpret",
             )
-        elif self.impl in ("pallas_win", "pallas_win_interpret"):
-            from sparsebench_tpu.ops.bsell_pallas import bsell_spmv_windowed
+        elif self.impl in ("pallas_win", "pallas_win_interpret",
+                           "pallas_win2", "pallas_win2_interpret"):
+            from sparsebench_tpu.ops.bsell_pallas import (
+                bsell_spmv_win2,
+                bsell_spmv_windowed,
+            )
 
             # pad/crop x to the kernel's chunked extent (chunks [0, max wb+2))
             need = self.xw_rows * LANES
@@ -480,14 +484,18 @@ class BsellMatrix:
                 xp1 = xp[:need]
             else:
                 xp1 = jnp.zeros(need, x.dtype).at[: xp.shape[0]].set(xp)
-            y3 = bsell_spmv_windowed(
+            call = (
+                bsell_spmv_win2 if self.impl.startswith("pallas_win2")
+                else bsell_spmv_windowed
+            )
+            y3 = call(
                 self.wchunk,
                 self.blocks,
                 xp1.reshape(self.xw_rows, LANES),
                 self.vals,
                 self.lidx,
                 w_blocks=self.w_blocks,
-                interpret=self.impl == "pallas_win_interpret",
+                interpret=self.impl.endswith("_interpret"),
             )
         else:
             gcol = (

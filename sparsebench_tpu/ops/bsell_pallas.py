@@ -158,6 +158,82 @@ def bsell_spmv_pallas(
     )(blocks, win_base, x2d, vals, lidx)
 
 
+def _bsell_kernel_win2(
+    wchunk_ref, blocks_ref, val_ref, lidx_ref, x_hbm, y_ref,
+    xbuf, sem, prev_ref, *, s_max: int, w_blocks: int,
+):
+    """Chunk-resident windowed variant: the two covering x chunks live in
+    one flat VMEM scratch, re-DMA'd only when the tile's chunk id changes
+    (the window crawls on banded/local matrices — ~1 fetch per ~12 tiles
+    at 200^3). Every per-sublane row fetch is then a single load from the
+    scratch, versus the pipelined-operand variant's two loads + select
+    (the dual fetch measured ~2x the whole-x kernel's per-slice cost).
+    State across grid steps (prev chunk id) sits in SMEM scratch; the
+    grid is sequential on TPU. Scratch is flat (2*W*128,) — see
+    dia_pallas._dia_kernel_dbuf for the tile-alignment rationale."""
+    t = pl.program_id(0)
+    c = wchunk_ref[t]
+
+    @pl.when(jnp.logical_or(t == 0, c != prev_ref[0]))
+    def _():
+        # whole-scratch DMA target + 2-D row-granular HBM source: both
+        # sides tile-aligned (W is a multiple of 8 rows)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c * w_blocks, 2 * w_blocks), :], xbuf, sem
+        )
+        cp.start()
+        cp.wait()
+
+    prev_ref[0] = c
+
+    def get_row(b):
+        return xbuf[pl.ds(b, 1), :]  # same pattern as the whole-x kernel
+
+    _accumulate_slices(
+        get_row, blocks_ref, jnp.int32(0), val_ref, lidx_ref, y_ref, s_max
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("w_blocks", "interpret"))
+def bsell_spmv_win2(
+    wchunk: jnp.ndarray,    # (n_tiles,) int32 per-tile x chunk index
+    blocks: jnp.ndarray,    # (n_tiles, S_max, 8) int32 chunk-relative blocks
+    x2d: jnp.ndarray,       # ((max wchunk + 2) * W, 128) value dtype
+    vals: jnp.ndarray,
+    lidx: jnp.ndarray,
+    w_blocks: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Chunk-resident windowed SpMV (see _bsell_kernel_win2)."""
+    n_tiles, s_max = vals.shape[0], vals.shape[1]
+    b_spec, _base_spec, v_spec, l_spec = _common_specs(s_max)
+    return pl.pallas_call(
+        functools.partial(
+            _bsell_kernel_win2, s_max=s_max, w_blocks=w_blocks
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            # whole (n_tiles,) chunk table in SMEM (31 KB at 200^3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            b_spec,
+            v_spec,
+            l_spec,
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x, unblocked 2-D
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBLANES, LANES), lambda t: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUBLANES, LANES), x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * w_blocks, LANES), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(wchunk, blocks, vals, lidx, x2d)
+
+
 @functools.partial(jax.jit, static_argnames=("w_blocks", "interpret"))
 def bsell_spmv_windowed(
     wchunk: jnp.ndarray,    # (n_tiles,) int32 per-tile x chunk index

@@ -98,6 +98,9 @@ def test_bsell_windowed_interpret():
     np.testing.assert_allclose(y, csr.spmv(x.astype(np.float64)), atol=1e-4)
     Ai = A.replace(impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(Ai.spmv(x)), y, atol=1e-5)
+    # chunk-resident windowed variant (single-load row fetches)
+    A2 = A.replace(impl="pallas_win2_interpret")
+    np.testing.assert_allclose(np.asarray(A2.spmv(x)), y, atol=1e-5)
 
 
 def test_dia_from_stencil_matches_from_csr():
@@ -170,6 +173,7 @@ def test_bsell_from_stencil_matches_from_csr(use_7pt):
     got = np.asarray(A.spmv(jax.numpy.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
     # windowed + whole-x interpret kernels on the device-built arrays
-    for impl in ("pallas_win_interpret", "pallas_interpret"):
+    for impl in ("pallas_win_interpret", "pallas_win2_interpret",
+                 "pallas_interpret"):
         got_k = np.asarray(A.replace(impl=impl).spmv(jax.numpy.asarray(x)))
         np.testing.assert_allclose(got_k, want, rtol=1e-5, atol=1e-4)
