@@ -322,10 +322,13 @@ class BsellMatrix:
                 nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
             )
             if _backend_is_tpu() and policy.value.itemsize <= 4:
-                # beyond-VMEM x goes through the chunk-pipelined windowed
-                # kernel (ops/bsell_pallas.py); the whole-x variant skips
-                # the 2x row fetch so it stays preferred when x fits
-                impl = "pallas" if whole_fits else "pallas_win"
+                # beyond-VMEM x goes through the chunk-resident windowed
+                # kernel (win2, ops/bsell_pallas.py): single-load row
+                # fetches from a VMEM-resident chunk pair, re-DMA'd only
+                # on chunk change — measured 3.4x the chunk-pipelined
+                # operand variant at 200^3 (5.7 vs 19.5 ms) and equal to
+                # the whole-x kernel's per-nnz rate
+                impl = "pallas" if whole_fits else "pallas_win2"
             else:
                 impl = "xla"
         obj = cls(
@@ -348,7 +351,7 @@ class BsellMatrix:
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
-        if (auto and obj.impl in ("pallas", "pallas_win")
+        if (auto and obj.impl in ("pallas", "pallas_win", "pallas_win2")
                 and not _self_check(obj, csr)):
             # kernel/runtime verification at build (see formats/dia.py)
             import sys
@@ -433,7 +436,7 @@ class BsellMatrix:
                 nc_pad * policy.value_bytes + 2 * slice_bytes < _VMEM_BUDGET
             )
             if _backend_is_tpu() and policy.value.itemsize <= 4:
-                impl = "pallas" if whole_fits else "pallas_win"
+                impl = "pallas" if whole_fits else "pallas_win2"  # see from_csr
             else:
                 impl = "xla"
         obj = cls(
