@@ -6,8 +6,11 @@ waxpby, spMVM", SURVEY §2 row 21). Usage:
 
     python benchmarks/run_benchmarks.py [--n 64] [--reps 30] [--dtype f32]
 
-Timing uses fused lax.fori_loop chains (one dispatch for all reps) with a
-data-dependent carry so XLA cannot collapse iterations.
+Timing uses fused lax.fori_loop chains with a data-dependent carry so XLA
+cannot collapse iterations, and DIFFERENTIAL rep counts — a traced loop
+bound run at reps and 3*reps, per-op time = (t_hi - t_lo) / (2*reps) — so
+the fixed per-dispatch round trip of the dev TPU relay (~30 ms, NOTES.md)
+cancels instead of polluting every per-op number.
 """
 
 from __future__ import annotations
@@ -25,16 +28,23 @@ def chain_time(step, carry, reps, trials=3):
     import jax
 
     @jax.jit
-    def chain(c):
-        return jax.lax.fori_loop(0, reps, lambda k, u: step(k, u), c)
+    def chain(c, n):
+        return jax.lax.fori_loop(0, n, lambda k, u: step(k, u), c)
 
-    jax.block_until_ready(chain(carry))
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(carry))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+    for n in (reps, 3 * reps):  # one executable serves both trip counts
+        jax.block_until_ready(chain(carry, n))
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chain(carry, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(reps), timed(3 * reps)
+    dt = (t_hi - t_lo) / (2 * reps)
+    return dt if dt > 0 else t_hi / (3 * reps)
 
 
 def main() -> int:
