@@ -9,12 +9,14 @@ rc = main()
 # (NOTES.md). All user-visible work (prints, checkpoint/binfile writes)
 # is flushed synchronously by main(), so a hard exit is safe — and only
 # taken on the axon dev backend; normal interpreter shutdown otherwise.
-try:
-    import jax
-
-    backend = jax.default_backend()
-except Exception:  # pragma: no cover — jax failed, nothing to tear down
-    backend = ""
+# Probe only if main() already imported jax: initializing a backend here
+# would dial (and claim) the TPU for host-only runs like `-c file.mtx`.
+backend = ""
+if "jax" in sys.modules:
+    try:
+        backend = sys.modules["jax"].default_backend()
+    except Exception:  # pragma: no cover — backend init failed earlier
+        backend = ""
 if backend == "axon":
     sys.stdout.flush()
     sys.stderr.flush()

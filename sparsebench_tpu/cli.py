@@ -64,7 +64,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     "dia for banded matrices, else bsell (the TPU Pallas "
                     "fast paths).")
     ap.add_argument("--dtype", default=None, choices=["f64", "f32", "bf16"],
-                    help="Value dtype (reference FLOAT_TYPE). Default f64.")
+                    help="Value dtype (reference FLOAT_TYPE). Default f32 "
+                    "(the TPU-native path; the reference compiles double — "
+                    "pass f64 for reference precision).")
     ap.add_argument("--index-dtype", default=None, choices=["i32", "i64"],
                     help="Index dtype (reference UINT_TYPE). Default i32.")
     ap.add_argument("-C", "--chunk-height", type=int, default=None,
@@ -264,6 +266,11 @@ def main(argv: Optional[list] = None) -> int:
                 row_lengths=row_counts,
             )
             inv_diag = None
+            if args.precond == "jacobi" and args.cg_variant != "standard":
+                raise SystemExit(
+                    "--cg-variant cs is the unpreconditioned solver; "
+                    "drop --precond"
+                )
             if args.precond == "jacobi":
                 if csr is not None:
                     d = csr.diagonal()

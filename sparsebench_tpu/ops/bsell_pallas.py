@@ -169,8 +169,10 @@ def _bsell_kernel_win2(
     scratch, versus the pipelined-operand variant's two loads + select
     (the dual fetch measured ~2x the whole-x kernel's per-slice cost).
     State across grid steps (prev chunk id) sits in SMEM scratch; the
-    grid is sequential on TPU. Scratch is flat (2*W*128,) — see
-    dia_pallas._dia_kernel_dbuf for the tile-alignment rationale."""
+    grid is sequential on TPU. The x scratch is 2-D (2W, 128) and always
+    copied WHOLE (the DMA target is the full ref, never a slice), so no
+    slot-slice tile-alignment issue arises; row reads use the same
+    `ref[pl.ds(b, 1), :]` pattern as the proven whole-x kernel."""
     t = pl.program_id(0)
     c = wchunk_ref[t]
 

@@ -268,6 +268,12 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     tile = tile_rows or DEFAULT_TILE_ROWS
     if variant != "auto":
         return variant, tile
+    if tile % 8:
+        # dbuf's flat-scratch slot slices and xres's window offsets need
+        # (tile + span) * 128 to stay 1024-aligned (8-row granules); only
+        # the single-buffered kernel (whole-scratch DMA target) accepts
+        # arbitrary tile heights
+        return "roll1", tile
     lead = x_lead_pad(offsets)
     shifts = [int(o) + lead for o in offsets]
     span = _span_rows(shifts)
