@@ -72,6 +72,28 @@ def test_kernel_pure_shift_patterns():
                                    err_msg=str(offsets))
 
 
+def test_choose_schedule_auto():
+    """auto = xres while x + double-buffered blocks fit the VMEM budget,
+    dbuf beyond; explicit variants pass through; non-8-multiple tiles
+    fall back to the single-buffered kernel (alignment, round-2 review)."""
+    from sparsebench_tpu.ops import dia_pallas as dp
+
+    offsets = tuple(range(-13, 14))
+    # small: fits VMEM comfortably
+    v, t = dp.choose_schedule(offsets, 128 * 1024, 4, 2)
+    assert (v, t) == ("xres", dp.DEFAULT_TILE_ROWS)
+    # 8M rows of f32 x alone exceeds the 12 MB budget
+    v, t = dp.choose_schedule(offsets, 128 * 65536, 4, 2)
+    assert v == "dbuf"
+    # explicit variant wins regardless of size
+    v, t = dp.choose_schedule(offsets, 128 * 65536, 4, 2, variant="roll2",
+                              tile_rows=512)
+    assert (v, t) == ("roll2", 512)
+    # unaligned tile: only roll1 accepts arbitrary tile heights
+    v, t = dp.choose_schedule(offsets, 128 * 1024, 4, 2, tile_rows=100)
+    assert (v, t) == ("roll1", 100)
+
+
 def test_xla_and_pallas_paths_agree():
     csr = generate_stencil(6, 5, 4, dtype=np.float32)
     x = np.random.default_rng(1).standard_normal(csr.nr).astype(np.float32)
