@@ -85,6 +85,17 @@ def test_cg_variant_rejects_profile():
                  "--cg-variant", "cs", "--profile"])
 
 
+def test_cg_profile_cli(capsys):
+    """--profile runs the separately-jitted region kernels
+    (solvers/profiled.py) and prints the reference per-region table."""
+    rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15",
+                  "--profile", "--fmt", "crs"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Rate(MB/s)" in out and "waxpby:" in out and "ddot:" in out
+    assert "Difference between computed and exact  = 0.000" in out
+
+
 def test_gmres_orth_cli(capsys, data_dir):
     rc = run_cli(["-t", "gmres", "-m",
                   str(data_dir / "testMatrices" / "test0.mtx"),
