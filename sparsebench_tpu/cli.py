@@ -71,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Index dtype (reference UINT_TYPE). Default i32.")
     ap.add_argument("-C", "--chunk-height", type=int, default=None,
                     help="SELL-C-sigma chunk height C (0 = auto)")
+    ap.add_argument("--impl", default=None,
+                    help="Kernel implementation override for dia/bsell "
+                    "(e.g. xla, pallas, pallas_win2, pallas_interpret); "
+                    "default auto-selects per backend/size")
     ap.add_argument("--sigma", type=int, default=None,
                     help="SELL-C-sigma sorting scope (0 = full sort)")
     # TPU-specific
@@ -212,6 +216,7 @@ def main(argv: Optional[list] = None) -> int:
 
     csr = None
     row_counts = None
+    impl_opts = {"impl": args.impl} if args.impl else {}
     if generated and param.fmt in ("auto", "dia"):
         # Fast path: the stencil's diagonals are analytically known — build
         # the DIA format directly, no CSR intermediate (minutes -> seconds
@@ -221,7 +226,7 @@ def main(argv: Optional[list] = None) -> int:
         A, row_counts = DiaMatrix.from_stencil(
             param.nx, param.ny, param.nz,
             use_7pt=param.filename == "generate7P",
-            policy=policy,
+            policy=policy, **impl_opts,
         )
         param.fmt = "dia"
         total_nr, model_nnz = A.total_nr, 27 * A.total_nr
@@ -237,14 +242,15 @@ def main(argv: Optional[list] = None) -> int:
             from sparsebench_tpu.formats.dia import DiaUnsuitableError
 
             try:
-                A = from_csr("dia", csr, policy)
+                A = from_csr("dia", csr, policy, **impl_opts)
                 param.fmt = "dia"
             except DiaUnsuitableError:
-                A = from_csr("bsell", csr, policy)
+                A = from_csr("bsell", csr, policy, **impl_opts)
                 param.fmt = "bsell"
         else:
             A = from_csr(
-                param.fmt, csr, policy, C=param.chunk_height, sigma=param.sigma
+                param.fmt, csr, policy, C=param.chunk_height,
+                sigma=param.sigma, **impl_opts,
             )
         total_nr = csr.total_nr
         model_nnz = (
