@@ -62,6 +62,15 @@ def test_sharded_cli_run(capsys):
     assert "Total data volume" in out
 
 
+@pytest.mark.parametrize("bench", ["gmres", "cheb"])
+def test_sharded_cli_other_solvers(capsys, bench):
+    rc = run_cli(["-t", bench, "-x", "4", "-y", "4", "-z", "2", "-i", "40",
+                  "-e", "1e-8", "--shards", "4", "--fmt", "crs"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert ("GMRES" if bench == "gmres" else "CHEBFD") in out
+
+
 def test_cg_variant_cs_cli(capsys):
     rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15",
                   "--cg-variant", "cs"])
