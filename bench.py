@@ -405,4 +405,12 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # The dev relay's teardown thread intermittently spins at 100% CPU
+    # after a completed run (NOTES.md); the JSON line is already flushed,
+    # so skip interpreter teardown entirely.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+
+    os._exit(rc)
