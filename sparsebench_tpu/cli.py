@@ -272,11 +272,6 @@ def main(argv: Optional[list] = None) -> int:
                 row_lengths=row_counts,
             )
             inv_diag = None
-            if args.precond == "jacobi" and args.cg_variant != "standard":
-                raise SystemExit(
-                    "--cg-variant cs is the unpreconditioned solver; "
-                    "drop --precond"
-                )
             if args.precond == "jacobi":
                 if csr is not None:
                     d = csr.diagonal()

@@ -235,9 +235,8 @@ def dist_solve_cg(
     ``variant="cs"`` runs single-reduction CG (solvers/cg.py cg_cs_loop):
     one fused psum per iteration instead of two sequential ones — the
     latency win this formulation exists for shows up exactly here, on a
-    multi-chip mesh."""
-    if variant == "cs" and inv_diag is not None:
-        raise ValueError("variant='cs' is the unpreconditioned solver")
+    multi-chip mesh. cs + inv_diag = Chronopoulos-Gear Jacobi PCG (one
+    fused 3-scalar psum per iteration)."""
     plan = dm.part.plan
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x0_stacked = jnp.zeros_like(b_stacked)
@@ -258,10 +257,10 @@ def dist_solve_cg(
 
     def local_fn(A_stacked, b, x0, eps_s, md):
         A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
-        kw = {} if variant == "cs" else {
-            "inv_diag": None if md is None else md[0]
-        }
-        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s, **kw)
+        x, k, hist = loop(
+            A_local, b[0], x0[0], eps=eps_s,
+            inv_diag=None if md is None else md[0],
+        )
         return x[None], k, hist
 
     shard_fn = jax.jit(

@@ -201,6 +201,7 @@ def cg_cs_loop(
     exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
     allsum: Callable = _identity,
     acc_dtype=None,
+    inv_diag=None,
 ):
     """Single-reduction CG (Chronopoulos & Gear 1989, "communication-
     saving" CG). Mathematically identical iterates to standard CG, but the
@@ -218,60 +219,83 @@ def cg_cs_loop(
     SURVEY §3.1) at the cost of two extra axpys — a latency win that grows
     with mesh size. Residual-history parity with ``cg_loop`` holds to
     rounding (same Krylov iterates; tested in tests/test_cg.py).
+
+    ``inv_diag`` folds Jacobi preconditioning into the same recurrence
+    (Chronopoulos-Gear PCG): u = M^-1 r, w = A u, and the fused reduction
+    carries one extra scalar — [r.u, w.u, r.r] — still ONE allreduce per
+    iteration. alpha/beta use the M-inner products (gamma = r.u,
+    delta = w.u); normr/history track the true ||r|| like cg_run's
+    preconditioned path.
     """
     nr = b.shape[0]
     vdt = b.dtype
     sdt = acc_dtype or vdt
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
+    precond = inv_diag is not None
+    if precond:
+        inv_diag = inv_diag.astype(vdt)
 
-    def fused_dots(r, w):
-        return allsum(jnp.stack([
-            jnp.sum(r.astype(sdt) * r.astype(sdt)),
-            jnp.sum(w.astype(sdt) * r.astype(sdt)),
-        ]))
+    def apply_m(r):
+        return (inv_diag * r).astype(vdt) if precond else r
+
+    def fused_dots(r, u, w):
+        # [gamma = r.u, delta = w.u] (+ [r.r] under preconditioning, where
+        # r.u != r.r) — one allsum either way
+        parts = [
+            jnp.sum(r.astype(sdt) * u.astype(sdt)),
+            jnp.sum(w.astype(sdt) * u.astype(sdt)),
+        ]
+        if precond:
+            parts.append(jnp.sum(r.astype(sdt) * r.astype(sdt)))
+        return allsum(jnp.stack(parts))
 
     r = b - spmv(exchange(widen(x0)))
-    w = spmv(exchange(widen(r)))
-    gd = fused_dots(r, w)
+    u = apply_m(r)
+    w = spmv(exchange(widen(u)))
+    gd = fused_dots(r, u, w)
     gamma, delta = gd[0], gd[1]
+    rr = gd[2] if precond else gamma
     alpha = safe_div(gamma, delta)
-    normr0 = jnp.sqrt(gamma)
+    normr0 = jnp.sqrt(rr)
     hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
-    # p never feeds the spmv (only r does), so it needs no halo tail.
+    # p never feeds the spmv (only u does), so it needs no halo tail.
     # normr tracks the PRE-update residual exactly like cg_run's, so the
     # exit iteration and recorded history match the standard loop.
-    state = (jnp.asarray(1), x0, r, w, jnp.zeros(nr, vdt),
-             jnp.zeros(nr, vdt), gamma, alpha, jnp.zeros((), sdt), normr0,
-             hist0, jnp.asarray(False))
+    state = (jnp.asarray(1), x0, r, u, w, jnp.zeros(nr, vdt),
+             jnp.zeros(nr, vdt), gamma, rr, alpha, jnp.zeros((), sdt),
+             normr0, hist0, jnp.asarray(False))
 
     def cond(state):
-        k, _x, _r, _w, _p, _s, _gamma, _al, _be, normr, _hist, done = state
+        (k, _x, _r, _u, _w, _p, _s, _gamma, _rr, _al, _be, normr, _hist,
+         done) = state
         return jnp.logical_and(
             jnp.logical_and(k < itermax, normr > eps),
             jnp.logical_not(done),
         )
 
     def body(state):
-        k, x, r, w, p, s, gamma, alpha, beta, _normr, hist, done = state
-        normr = jnp.sqrt(gamma)
+        k, x, r, u, w, p, s, gamma, rr, alpha, beta, _normr, hist, done = state
+        normr = jnp.sqrt(rr)
         hist = hist.at[k].set(normr)
         b_v = beta.astype(vdt)
-        p = r + b_v * p
+        p = u + b_v * p
         s = w + b_v * s
         a_v = alpha.astype(vdt)
         x = x + a_v * p
         r = r - a_v * s
-        w = spmv(exchange(widen(r)))
-        gd = fused_dots(r, w)
+        u = apply_m(r)
+        w = spmv(exchange(widen(u)))
+        gd = fused_dots(r, u, w)
         g_new, d_new = gd[0], gd[1]
+        rr_new = gd[2] if precond else g_new
         beta_new = safe_div(g_new, gamma)
         denom = d_new - beta_new * safe_div(g_new, alpha)
         # breakdown: denom is p.Ap in disguise — same positivity guard as
         # cg_run (machine-zero residuals underflow it)
         breakdown = denom <= g_new * 1e-30
         alpha_new = jnp.where(breakdown, 0, safe_div(g_new, denom))
-        return (k + 1, x, r, w, p, s, g_new, alpha_new, beta_new, normr,
-                hist, breakdown)
+        return (k + 1, x, r, u, w, p, s, g_new, rr_new, alpha_new, beta_new,
+                normr, hist, breakdown)
 
     k, x, *_rest, hist, _done = jax.lax.while_loop(cond, body, state)
     return x, k, hist
@@ -322,8 +346,6 @@ def solve_cg(
     """
     if variant not in ("standard", "cs"):
         raise ValueError(f"variant must be 'standard' or 'cs', got {variant!r}")
-    if variant == "cs" and inv_diag is not None:
-        raise ValueError("variant='cs' is the unpreconditioned solver")
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
@@ -342,7 +364,7 @@ def solve_cg(
         b_in, x0_in = b, x0
 
     loop_fn = cg_cs_loop if variant == "cs" else cg_loop
-    kw = {} if variant == "cs" else {"inv_diag": inv_diag}
+    kw = {"inv_diag": inv_diag}
     loop = jax.jit(
         partial(loop_fn, itermax=itermax, exchange=exchange, allsum=allsum,
                 acc_dtype=acc_dtype),

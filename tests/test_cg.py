@@ -57,14 +57,51 @@ def test_cg_cs_converges_with_eps():
     assert check_residual(res.x, xexact) < 1e-7
 
 
-def test_cg_cs_rejects_precond_and_bad_variant():
+def test_cg_rejects_bad_variant():
     csr = generate_stencil(4, 4, 4)
     A = from_csr("crs", csr)
     b = np.ones(csr.nr)
-    with pytest.raises(ValueError, match="unpreconditioned"):
-        solve_cg(A, b, variant="cs", inv_diag=np.ones(csr.nr), verbose=False)
     with pytest.raises(ValueError, match="variant"):
         solve_cg(A, b, variant="pipelined", verbose=False)
+
+
+def test_cg_cs_jacobi_matches_standard_pcg():
+    """Chronopoulos-Gear PCG (one fused 3-scalar allreduce) must produce
+    the same residual history as the standard Jacobi PCG recurrence on a
+    badly diagonally-scaled SPD system."""
+    csr = generate_stencil(6, 5, 4)
+    rng = np.random.default_rng(1)
+    s = 10.0 ** rng.uniform(-1.5, 1.5, csr.nr)
+    rows = np.repeat(np.arange(csr.nr), csr.row_lengths)
+    scaled = HostCSR(
+        row_ptr=csr.row_ptr, col=csr.col,
+        val=csr.val * s[rows] * s[csr.col],
+        nr=csr.nr, nc=csr.nc,
+    )
+    A = from_csr("crs", scaled)
+    b = rng.standard_normal(csr.nr)
+    inv_diag = 1.0 / scaled.diagonal()
+    std = solve_cg(A, b, itermax=60, inv_diag=inv_diag, verbose=False)
+    cs = solve_cg(A, b, itermax=60, inv_diag=inv_diag, variant="cs",
+                  verbose=False)
+    n = min(len(std.residual_history), len(cs.residual_history))
+    np.testing.assert_allclose(
+        cs.residual_history[:n], std.residual_history[:n],
+        rtol=1e-8, atol=1e-13 * std.residual_history[0],
+    )
+
+
+def test_cg_cs_jacobi_identity_matches_unpreconditioned_cs():
+    csr = generate_stencil(5, 5, 5)
+    A = from_csr("crs", csr)
+    _, b, _ = init_vectors(csr)
+    plain = solve_cg(A, b, itermax=25, variant="cs", verbose=False)
+    pcg = solve_cg(A, b, itermax=25, variant="cs", verbose=False,
+                   inv_diag=np.ones(csr.nr))
+    n = min(len(plain.residual_history), len(pcg.residual_history))
+    np.testing.assert_allclose(
+        pcg.residual_history[:n], plain.residual_history[:n], rtol=1e-12
+    )
 
 
 def test_band_klein_matches_dense_solve(data_dir):

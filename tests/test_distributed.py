@@ -181,6 +181,27 @@ def test_dist_cg_cs_matches_serial():
     assert np.abs(res.x - 1.0).max() < 1e-6
 
 
+def test_dist_cg_cs_jacobi_matches_serial_cs_pcg():
+    """Chronopoulos-Gear Jacobi PCG under shard_map (one fused 3-scalar
+    psum/iter) matches the serial cs+jacobi history."""
+    size = 4
+    shards = _gen_shards(3, 3, 2, size)
+    gcsr = _global_csr(3, 3, 2, size)
+    _, b, xexact = init_vectors(gcsr)
+    inv_diag = 1.0 / gcsr.diagonal()
+    res_serial = solve_cg(from_csr("crs", gcsr), b, itermax=40, eps=0.0,
+                          variant="cs", inv_diag=inv_diag, verbose=False)
+    dm = build_distributed(shards, fmt="sell")
+    res = dist_solve_cg(dm, b, itermax=40, eps=0.0, variant="cs",
+                        inv_diag=inv_diag, verbose=False)
+    n = min(len(res_serial.residual_history), len(res.residual_history))
+    np.testing.assert_allclose(
+        res.residual_history[:n], res_serial.residual_history[:n],
+        rtol=1e-9, atol=1e-14 * res_serial.residual_history[0],
+    )
+    assert np.abs(res.x - 1.0).max() < 1e-6
+
+
 def test_dist_cg_uneven_rows():
     """Row count not divisible by shards (reference sizeOfRank remainder
     handling, comm.c:35-38): pad rows must not disturb the solve."""
