@@ -37,6 +37,20 @@ from sparsebench_tpu.ops.bsell_pallas import (
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # x2d + double-buffered slice blocks
 
+VALID_IMPLS = (
+    "auto", "xla", "pallas", "pallas_interpret", "pallas_win",
+    "pallas_win_interpret", "pallas_win2", "pallas_win2_interpret",
+)
+
+
+def _check_impl(impl: str) -> None:
+    """See formats/dia.py _check_impl: typos must not silently select the
+    slow XLA fallback."""
+    if impl not in VALID_IMPLS:
+        raise ValueError(
+            f"unknown bsell impl {impl!r}; valid: {', '.join(VALID_IMPLS)}"
+        )
+
 
 def _backend_is_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
@@ -269,6 +283,7 @@ class BsellMatrix:
         **_opts,
     ) -> "BsellMatrix":
         policy = default_policy(policy)
+        _check_impl(impl)
         nat = None
         if index_store == "i8" and np.dtype(policy.value) == np.float32:
             # native two-pass builder (ingest.cc): the numpy pipeline's
@@ -380,6 +395,7 @@ class BsellMatrix:
         Returns ``(matrix, row_counts)`` like DiaMatrix.from_stencil.
         """
         policy = default_policy(policy)
+        _check_impl(impl)
         nr = nx * ny * nz
         plane = nx * ny
         specs = sorted(

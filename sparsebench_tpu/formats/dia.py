@@ -56,6 +56,19 @@ class DiaUnsuitableError(ValueError):
     """Matrix is not banded enough for DIA storage."""
 
 
+VALID_IMPLS = ("auto", "xla", "pallas", "pallas_interpret")
+
+
+def _check_impl(impl: str) -> None:
+    """Reject typos/unknown kernel overrides loudly instead of silently
+    falling through spmv's else-branch to the slow XLA path (the --impl
+    flag exists to force a kernel; a typo must not quietly unforce it)."""
+    if impl not in VALID_IMPLS:
+        raise ValueError(
+            f"unknown dia impl {impl!r}; valid: {', '.join(VALID_IMPLS)}"
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("specs", "nx", "ny", "local_nrow", "total_nrow",
@@ -134,6 +147,7 @@ class DiaMatrix:
         **_opts,
     ) -> "DiaMatrix":
         policy = default_policy(policy)
+        _check_impl(impl)
         if csr.nc != csr.nr:
             raise DiaUnsuitableError(
                 f"DIA requires a square local matrix (nr={csr.nr}, nc={csr.nc})"
@@ -239,6 +253,7 @@ class DiaMatrix:
         without a CSR to count from.
         """
         policy = default_policy(policy)
+        _check_impl(impl)
         local_nrow = nx * ny * nz
         total_nrow = local_nrow * size
         start_row = local_nrow * rank

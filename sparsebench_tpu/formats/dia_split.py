@@ -71,12 +71,16 @@ class DiaSplitMatrix:
         *,
         forced_offsets=None,
         min_s_max: int = 0,
+        impl: str = "auto",
         **_opts,
     ) -> "DiaSplitMatrix":
+        # ``impl`` overrides the INTERIOR DiaMatrix kernel (the dominant
+        # part); the boundary BSELL block stays auto-selected.
         interior_csr, boundary_csr = split_interior_boundary(csr)
         return cls(
             interior=DiaMatrix.from_csr(
-                interior_csr, policy, forced_offsets=forced_offsets
+                interior_csr, policy, forced_offsets=forced_offsets,
+                impl=impl,
             ),
             boundary=BsellMatrix.from_csr(
                 boundary_csr, policy, min_s_max=min_s_max

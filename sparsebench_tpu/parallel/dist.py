@@ -95,12 +95,19 @@ class DistMatrix:
         sigma: int = 0,
         exchange_backend: str = "auto",
         mesh: Optional[Mesh] = None,
+        impl: Optional[str] = None,
     ):
         self.part = part
         self.fmt = fmt
         self.policy = policy
         size = part.plan.size
         cls = get_format(fmt)
+        if impl and fmt not in ("dia", "bsell"):
+            raise ValueError(
+                f"--impl applies to dia/bsell kernels; format {fmt!r} has a "
+                "single implementation"
+            )
+        impl_kw = {"impl": impl} if impl else {}
 
         if fmt == "sell":
             plans = [
@@ -126,7 +133,8 @@ class DistMatrix:
 
             offs = DiaSplitMatrix.plan(part.shards)
             probe = [
-                DiaSplitMatrix.from_csr(s, policy, forced_offsets=offs)
+                DiaSplitMatrix.from_csr(s, policy, forced_offsets=offs,
+                                        **impl_kw)
                 for s in part.shards
             ]
             s_max = max(o.boundary.s_max for o in probe)
@@ -134,7 +142,7 @@ class DistMatrix:
                 o
                 if o.boundary.s_max == s_max
                 else DiaSplitMatrix.from_csr(
-                    s, policy, forced_offsets=offs, min_s_max=s_max
+                    s, policy, forced_offsets=offs, min_s_max=s_max, **impl_kw
                 )
                 for o, s in zip(probe, part.shards)
             ]
@@ -147,10 +155,11 @@ class DistMatrix:
             ]
             self.perms = None
         elif fmt == "bsell":
-            probe = [cls.from_csr(s, policy) for s in part.shards]
+            probe = [cls.from_csr(s, policy, **impl_kw) for s in part.shards]
             s_max = max(o.s_max for o in probe)
             objs = [
-                o if o.s_max == s_max else cls.from_csr(s, policy, min_s_max=s_max)
+                o if o.s_max == s_max
+                else cls.from_csr(s, policy, min_s_max=s_max, **impl_kw)
                 for o, s in zip(probe, part.shards)
             ]
             self.perms = None
@@ -403,6 +412,11 @@ def dist_solve_gmres(
     shard_map (basis sharded by rows, orthogonalization dots psummed)."""
     from sparsebench_tpu.solvers.gmres import GMRESResult, _gmres_cycle
 
+    if orth not in ("cgs", "cgs2"):
+        # same guard as solve_gmres: an unknown value would silently run
+        # single-pass CGS (only the literal 'cgs2' reorthogonalizes)
+        raise ValueError(f"orth must be 'cgs' or 'cgs2', got {orth!r}")
+
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x_stacked = jnp.zeros_like(b_stacked)
     m = min(restart, itermax)
@@ -501,6 +515,7 @@ def build_distributed(
     sigma: int = 0,
     exchange_backend: str = "auto",
     mesh: Optional[Mesh] = None,
+    impl: Optional[str] = None,
 ) -> DistMatrix:
     """Partition + device build in one call (reference main.c:168-174:
     commPartition then convertMatrix)."""
@@ -511,11 +526,11 @@ def build_distributed(
         try:
             return DistMatrix(
                 part, "dia", policy, C=C, sigma=sigma,
-                exchange_backend=exchange_backend, mesh=mesh,
+                exchange_backend=exchange_backend, mesh=mesh, impl=impl,
             )
         except DiaUnsuitableError:
             fmt = "bsell"
     return DistMatrix(
         part, fmt, policy, C=C, sigma=sigma,
-        exchange_backend=exchange_backend, mesh=mesh,
+        exchange_backend=exchange_backend, mesh=mesh, impl=impl,
     )

@@ -39,10 +39,76 @@ class MeshCommInfo:
         return _np.tile(_np.asarray(times), (self.size, 1))
 
 
+def init_shards(param: Parameter, size: int, rcm: bool = False):
+    """Per-shard ingest with ONE parse of the input (reference master-read
+    + scatter, comm.c:311-412): .mtx is read and parsed once, then sliced
+    per rank; .bmx already memmap-slices per rank without re-parsing.
+    ``rcm`` applies a global Reverse Cuthill-McKee reordering before
+    slicing (the permutation is global — it cannot be applied per shard)."""
+    from sparsebench_tpu.host import HostCSR, generate_stencil, read_mm
+    from sparsebench_tpu.parallel.partition import slice_coo_rows
+
+    fn = param.filename
+    if fn in ("generate", "generate7P"):
+        if rcm:
+            raise SystemExit(
+                "--rcm applies to file-ingested matrices; the generated "
+                "stencil is already optimally banded"
+            )
+        return [
+            generate_stencil(
+                param.nx, param.ny, param.nz, rank=r, size=size,
+                use_7pt=fn == "generate7P",
+            )
+            for r in range(size)
+        ]
+
+    if fn.endswith(".mtx"):
+        coo = read_mm(fn)
+        print("Read MTX matrix")
+    elif fn.endswith(".bmx"):
+        from sparsebench_tpu.host.binfile import (
+            rank_row_range,
+            read_bmx,
+            read_bmx_header,
+        )
+
+        print("Read BMX matrix")
+        if not rcm:
+            # sharded memmap reads — each rank reads only its row slice
+            total_nr, _ = read_bmx_header(fn)
+            return [
+                read_bmx(fn, row_range=rank_row_range(r, size, total_nr),
+                         size=size)
+                for r in range(size)
+            ]
+        coo = _csr_to_coo(read_bmx(fn))
+    else:
+        raise SystemExit(f"Unknown matrix file format: {fn}")
+
+    if rcm:
+        from sparsebench_tpu.host.rcm import permute_csr, rcm_permutation
+
+        csr = HostCSR.from_coo(coo)
+        csr = permute_csr(csr, rcm_permutation(csr))
+        print(f"RCM reordering applied ({csr.nr} rows)")
+        coo = _csr_to_coo(csr)
+    return [
+        HostCSR.from_coo(slice_coo_rows(coo, r, size)) for r in range(size)
+    ]
+
+
+def _csr_to_coo(csr):
+    from sparsebench_tpu.host.coo import COOMatrix
+
+    rows = np.repeat(np.arange(csr.nr, dtype=np.int64), csr.row_lengths)
+    return COOMatrix(row=rows, col=csr.col, val=csr.val, nr=csr.nr,
+                     nc=csr.nc)
+
+
 def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     import jax
 
-    from sparsebench_tpu.cli import init_matrix
     from sparsebench_tpu.solvers.cg import check_residual
 
     size = param.shards
@@ -54,7 +120,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     generated = param.filename in ("generate", "generate7P")
 
     t0 = time.perf_counter()
-    shards = [init_matrix(param, rank=r, size=size) for r in range(size)]
+    shards = init_shards(param, size, rcm=getattr(args, "rcm", False))
     dm = build_distributed(
         shards,
         fmt=param.fmt,
@@ -62,6 +128,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         C=param.chunk_height,
         sigma=param.sigma,
         exchange_backend=param.exchange,
+        impl=getattr(args, "impl", None),
     )
     print(f"Setup took {time.perf_counter() - t0:.2f}s")
     from sparsebench_tpu.debug import maybe_dump_partition
@@ -96,57 +163,84 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     comm = MeshCommInfo(dm.part.plan, policy)
     iterations = 0
 
-    if param.bench == "cg":
-        print("Test type: CG")
-        inv_diag = None
-        if getattr(args, "precond", "none") == "jacobi":
-            d = np.concatenate([s.diagonal() for s in shards])
-            inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
-            print("Preconditioner: Jacobi")
-        if getattr(args, "profile", False):
-            from sparsebench_tpu.parallel.profiled import dist_solve_cg_profiled
+    from sparsebench_tpu.profiler import trace
 
-            if inv_diag is not None:
+    with trace(getattr(args, "trace", None)):
+        if param.bench == "cg":
+            print("Test type: CG")
+            inv_diag = None
+            if getattr(args, "precond", "none") == "jacobi":
+                d = np.concatenate([s.diagonal() for s in shards])
+                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+                print("Preconditioner: Jacobi")
+            checkpoint = getattr(args, "checkpoint", None)
+            if checkpoint and (
+                getattr(args, "profile", False)
+                or inv_diag is not None
+                or getattr(args, "cg_variant", "standard") != "standard"
+            ):
                 raise SystemExit(
-                    "--precond combines with the plain CG path only"
+                    "--checkpoint combines with the plain CG path only"
                 )
-            if getattr(args, "cg_variant", "standard") != "standard":
-                raise SystemExit(
-                    "--cg-variant combines with the plain CG path only"
+            if checkpoint:
+                from sparsebench_tpu.parallel.checkpoint import (
+                    dist_solve_cg_checkpointed,
                 )
-            res = dist_solve_cg_profiled(
-                dm, b, prof, itermax=param.itermax, eps=param.eps
-            )
+
+                res = dist_solve_cg_checkpointed(
+                    dm, b, checkpoint_path=checkpoint,
+                    checkpoint_every=getattr(args, "checkpoint_every", 50),
+                    itermax=param.itermax, eps=param.eps,
+                )
+            elif getattr(args, "profile", False):
+                from sparsebench_tpu.parallel.profiled import (
+                    dist_solve_cg_profiled,
+                )
+
+                if inv_diag is not None:
+                    raise SystemExit(
+                        "--precond combines with the plain CG path only"
+                    )
+                if getattr(args, "cg_variant", "standard") != "standard":
+                    raise SystemExit(
+                        "--cg-variant combines with the plain CG path only"
+                    )
+                res = dist_solve_cg_profiled(
+                    dm, b, prof, itermax=param.itermax, eps=param.eps
+                )
+            else:
+                res = dist_solve_cg(dm, b, itermax=param.itermax,
+                                    eps=param.eps, inv_diag=inv_diag,
+                                    variant=getattr(args, "cg_variant",
+                                                    "standard"))
+                print(prof.report_aggregate(res.iterations,
+                                            res.solve_seconds))
+            iterations = res.iterations
+        elif param.bench == "cheb":
+            from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
+
+            print("Test type: CHEBFD")
+            res = dist_solve_chebyshev(dm, b, itermax=param.itermax,
+                                       eps=param.eps)
+        elif param.bench == "gmres":
+            from sparsebench_tpu.parallel.dist import dist_solve_gmres
+
+            print("Test type: GMRES")
+            res = dist_solve_gmres(dm, b, itermax=param.itermax,
+                                   eps=param.eps,
+                                   orth=getattr(args, "orth", "cgs"))
+        elif param.bench == "spmv":
+            from sparsebench_tpu.parallel.profiled import dist_bench_spmv
+
+            print("Test type: SPMVM")
+            dist_bench_spmv(dm, prof, itermax=param.itermax)
+            iterations = max(param.itermax - 1, 1)  # reference main.c:213-215
+            print(prof.report(iterations, comm=comm))
+            return 0
         else:
-            res = dist_solve_cg(dm, b, itermax=param.itermax, eps=param.eps,
-                                inv_diag=inv_diag,
-                                variant=getattr(args, "cg_variant",
-                                                "standard"))
-            print(prof.report_aggregate(res.iterations, res.solve_seconds))
-        iterations = res.iterations
-    elif param.bench == "cheb":
-        from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
-
-        print("Test type: CHEBFD")
-        res = dist_solve_chebyshev(dm, b, itermax=param.itermax, eps=param.eps)
-    elif param.bench == "gmres":
-        from sparsebench_tpu.parallel.dist import dist_solve_gmres
-
-        print("Test type: GMRES")
-        res = dist_solve_gmres(dm, b, itermax=param.itermax, eps=param.eps,
-                               orth=getattr(args, "orth", "cgs"))
-    elif param.bench == "spmv":
-        from sparsebench_tpu.parallel.profiled import dist_bench_spmv
-
-        print("Test type: SPMVM")
-        dist_bench_spmv(dm, prof, itermax=param.itermax)
-        iterations = max(param.itermax - 1, 1)  # reference main.c:213-215
-        print(prof.report(iterations, comm=comm))
-        return 0
-    else:
-        raise SystemExit(
-            f"distributed bench type {param.bench!r} not supported"
-        )
+            raise SystemExit(
+                f"distributed bench type {param.bench!r} not supported"
+            )
     if xexact is not None:
         diff = check_residual(res.x, xexact)
         print(f"Difference between computed and exact  = {diff:f}")

@@ -80,11 +80,18 @@ class Profiler:
     def profile(self, region: Region, result_holder=None):
         """PROFILE(tag, call) analog (src/profiler.h:17-22): wall-clock the
         body; the body must leave device work it wants timed in
-        ``result_holder`` (a list) so we can block on it."""
+        ``result_holder`` (a list) so we can block on it.
+
+        The span is also wrapped in a ``jax.profiler.TraceAnnotation`` so
+        that when a trace is being captured (--trace), each region shows up
+        as a named span — the honest analog of the reference's LIKWID
+        marker region registration (src/likwid-marker.h:8-19,
+        src/profiler.c:26-33)."""
         t0 = time.perf_counter()
-        yield
-        if result_holder:
-            jax.block_until_ready(result_holder[-1])
+        with jax.profiler.TraceAnnotation(region.name):
+            yield
+            if result_holder:
+                jax.block_until_ready(result_holder[-1])
         self.times[region] += time.perf_counter() - t0
 
     def add(self, region: Region, seconds: float) -> None:
