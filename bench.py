@@ -13,8 +13,15 @@ The ``extra`` dict substantiates the roofline claim (VERDICT round 1 #4):
   spmv_GBps            effective DIA SpMV bandwidth at 100^3, reference
                        byte model ((value+index) bytes per nonzero,
                        src/main.c:187-189); spmv200_GBps is the 200^3 rate
-  spmv_frac_of_stream  max(spmv_GBps, spmv200_GBps) / stream_triad_GBps
-                       (target >= 0.70, BASELINE.md north star)
+  *_phys_GBps          PHYSICAL bandwidth: bytes actually streamed (stored
+                       arrays incl. padding at stored dtypes + x read +
+                       y write) / time — the honest roofline numerator
+                       (VERDICT round 2 #3). Effective credits bf16/i8
+                       compression against the reference's 8 B/nnz model
+                       and can legitimately exceed 1.0 x STREAM.
+  spmv_frac_of_stream          best PHYSICAL rate / measured STREAM
+                               (target >= 0.70, BASELINE.md north star)
+  spmv_effective_frac_of_stream  best effective rate / measured STREAM
   cg200_seconds        CG 150 iters on hpcg.par's 200^3 workload
   setup100_seconds / setup200_seconds   analytic stencil->DIA build +
                        transfer (the reference times setup, main.c:168-179)
@@ -128,6 +135,13 @@ def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3):
     return best if good else None
 
 
+def phys_gbps(A, dt: float, x_bytes: int = 4) -> float:
+    """Physical bandwidth: actually-streamed bytes / time (see module doc)."""
+    from sparsebench_tpu.formats.base import physical_spmv_bytes
+
+    return physical_spmv_bytes(A, x_bytes) / dt / 1e9
+
+
 def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
     """Per-SpMV seconds from a fused data-dependent chain (A passed as a
     jit argument: closures embed device arrays as HLO constants).
@@ -211,22 +225,20 @@ def run_suite() -> int:
         dt = spmv_chain_time(A)
         model_bytes = A.nnz * (policy.value_bytes + policy.index_bytes)
         gbps = model_bytes / dt / 1e9
+        pgbps = phys_gbps(A, dt)
         extra["spmv_GBps"] = round(gbps, 1)
+        extra["spmv_phys_GBps"] = round(pgbps, 1)
         log(f"spmv 100^3 dia: {dt * 1e3:.3f} ms, {gbps:.1f} GB/s effective "
-            f"(reference byte model)")
-        if stream:
-            extra["spmv_frac_of_stream"] = round(gbps / stream, 3)
-            log(f"spmv/stream = {gbps / stream:.2f} (target "
-                f">= {TARGET_FRACTION})")
+            f"(reference byte model), {pgbps:.1f} GB/s physical")
     except Exception as e:  # noqa: BLE001
         log(f"spmv bandwidth failed: {e!r}")
 
     # -- 4. hpcg.par workload: CG 200^3 + SpMV bandwidth ---------------------
     # The 100^3 SpMV is dominated by fixed per-call overhead (~0.8 ms; the
-    # kernel itself streams); 200^3 amortizes it and shows the true rate —
-    # measured 488 GB/s effective (r2 sweep), 1.66x the chip's STREAM,
-    # because the bf16-compressed diagonals move 2 B/nnz against the
-    # reference model's 8. Report both; the roofline fraction uses the best.
+    # kernel itself streams); 200^3 amortizes it and shows the true rate.
+    # Effective (reference 8 B/nnz model) can exceed STREAM because the
+    # bf16-compressed diagonals physically move ~2 B/nnz; the headline
+    # roofline fraction is the PHYSICAL one (VERDICT r2 #3).
     try:
         A2, b2, xexact2, setup2_s = build_stencil_dia(200)
         extra["setup200_seconds"] = round(setup2_s, 1)
@@ -236,14 +248,22 @@ def run_suite() -> int:
             policy = DTypePolicy.from_names("f32", "i32")
             dt2 = spmv_chain_time(A2, reps=20, trials=3)
             gbps2 = A2.nnz * (policy.value_bytes + policy.index_bytes) / dt2 / 1e9
+            pgbps2 = phys_gbps(A2, dt2)
             extra["spmv200_GBps"] = round(gbps2, 1)
+            extra["spmv200_phys_GBps"] = round(pgbps2, 1)
             log(f"spmv 200^3 dia: {dt2 * 1e3:.3f} ms, {gbps2:.1f} GB/s "
-                f"effective (reference byte model)")
+                f"effective (reference byte model), {pgbps2:.1f} GB/s "
+                f"physical")
             if stream:
-                best_spmv = max(gbps2, extra.get("spmv_GBps", 0.0))
-                extra["spmv_frac_of_stream"] = round(best_spmv / stream, 3)
-                log(f"best spmv/stream = {best_spmv / stream:.2f} (target "
-                    f">= {TARGET_FRACTION})")
+                best_phys = max(pgbps2, extra.get("spmv_phys_GBps", 0.0))
+                best_eff = max(gbps2, extra.get("spmv_GBps", 0.0))
+                extra["spmv_frac_of_stream"] = round(best_phys / stream, 3)
+                extra["spmv_effective_frac_of_stream"] = round(
+                    best_eff / stream, 3
+                )
+                log(f"best spmv physical/stream = {best_phys / stream:.2f} "
+                    f"(target >= {TARGET_FRACTION}); effective/stream = "
+                    f"{best_eff / stream:.2f}")
         except Exception as e:  # noqa: BLE001
             log(f"spmv 200^3 failed: {e!r}")
         best200 = timed_cg(A2, b2, xexact2, 200, attempts=2)
@@ -272,9 +292,17 @@ def run_suite() -> int:
             f"s_max={Ab.s_max} W={Ab.w_blocks} pad={Ab.padding_ratio:.2f}")
         dtb = spmv_chain_time(Ab, reps=20, trials=3)
         gbps_b = Ab.nnz * (policy.value_bytes + policy.index_bytes) / dtb / 1e9
+        pgbps_b = phys_gbps(Ab, dtb)
         extra["spmv200_bsell_GBps"] = round(gbps_b, 1)
+        extra["spmv200_bsell_phys_GBps"] = round(pgbps_b, 1)
         log(f"spmv 200^3 bsell: {dtb * 1e3:.3f} ms, {gbps_b:.1f} GB/s "
-            f"(reference byte model)")
+            f"effective (reference byte model), {pgbps_b:.1f} GB/s physical")
+        if stream:
+            extra["spmv_bsell_phys_frac_of_stream"] = round(
+                pgbps_b / stream, 3
+            )
+            log(f"bsell physical/stream = {pgbps_b / stream:.2f} "
+                f"(general-format target >= {TARGET_FRACTION})")
         x0b, bb, xexact_b = init_vectors(row_lengths=counts_b,
                                          dtype=np.float32)
         best_b = timed_cg(Ab, bb, xexact_b, 200, attempts=2)
@@ -345,7 +373,8 @@ def bench_spmv(n: int, fmts) -> int:
             gbps = model_bytes / dt / 1e9
             results[fmt] = gbps
             log(f"{fmt}: build {build_s:.1f}s, {dt * 1e3:.3f} ms/spmv, "
-                f"{gbps:.1f} GB/s effective")
+                f"{gbps:.1f} GB/s effective, {phys_gbps(A, dt):.1f} GB/s "
+                f"physical")
         except Exception as e:  # noqa: BLE001 — report and continue
             log(f"{fmt}: failed: {e!r}")
 

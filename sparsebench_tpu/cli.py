@@ -280,6 +280,15 @@ def main(argv: Optional[list] = None) -> int:
             csr.model_total_nnz if csr.model_total_nnz > 0 else csr.total_nnz
         )
     print(f"Setup took {time.perf_counter() - t0:.2f}s (format {param.fmt})")
+    from sparsebench_tpu.formats.base import physical_spmv_bytes
+
+    xb = policy.value_bytes
+    phys = physical_spmv_bytes(A, xb) - (A.nc + A.nr) * xb
+    print(
+        f"SpMV streams {phys / max(1, A.nnz):.1f} B/nnz physical "
+        f"(stored dtypes x padding) vs the reference model's "
+        f"{policy.value_bytes + policy.index_bytes} B/nnz"
+    )
 
     prof = Profiler()
     prof.init_factors(

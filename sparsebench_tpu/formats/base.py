@@ -46,3 +46,23 @@ def pad_to(a: np.ndarray, n: int, fill=0) -> np.ndarray:
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def physical_spmv_bytes(A, x_bytes: int = 4) -> int:
+    """Bytes PHYSICALLY streamed per SpMV: every stored matrix array
+    (including padding, at its stored dtype) + one read of x + one write
+    of y. This is the honest roofline numerator; the reference's byte
+    model ((value_bytes + index_bytes) * nnz, src/main.c:187-189) is the
+    "effective" model used for cross-implementation comparison — it
+    credits compression (bf16/i8 storage) and debits padding.
+
+    Works on any format pytree: sums ``.nbytes`` over array leaves.
+    """
+    import jax
+
+    mat = sum(
+        int(np.prod(leaf.shape)) * jnp.dtype(leaf.dtype).itemsize
+        for leaf in jax.tree_util.tree_leaves(A)
+        if hasattr(leaf, "dtype")
+    )
+    return mat + (A.nc + A.nr) * x_bytes

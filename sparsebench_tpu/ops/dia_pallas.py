@@ -252,7 +252,11 @@ def dia_spmv_pallas(
     return y[:n_rows]
 
 
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom in the ~16 MB VMEM
+VMEM_BUDGET_BYTES = 15 * 1024 * 1024  # vs the ~16 MB physical VMEM; the
+# budget now counts x twice (see choose_schedule), so the known-good 100^3
+# xres case (2x + blocks = 12.1 MB) stays selected while sizes between it
+# and the cutoff can no longer overflow even if Mosaic double-buffers the
+# constant-index-map x operand (ADVICE r2)
 
 
 def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
@@ -282,7 +286,12 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     x_len = (grid_rows + span) * LANES
     data_block = len(offsets) * tile * LANES * data_bytes
     y_block = tile * LANES * x_bytes
-    budget = x_len * x_bytes + 2 * (data_block + y_block)
+    # Count x TWICE: Pallas may multi-buffer blocked operands even with a
+    # constant index map, so near the cutoff a doubled x allocation could
+    # exceed VMEM and fail compilation (ADVICE r2); halving the effective
+    # x budget keeps auto-selection safely conservative — dbuf is only ~8%
+    # slower right at the boundary.
+    budget = 2 * x_len * x_bytes + 2 * (data_block + y_block)
     if budget <= VMEM_BUDGET_BYTES:
         return "xres", tile
     return "dbuf", tile

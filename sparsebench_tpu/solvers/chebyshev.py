@@ -36,12 +36,16 @@ class ChebyshevResult:
     bounds: Tuple[float, float]
 
 
-def estimate_bounds(
-    A, nr: int, dtype, exchange=_identity, allsum=_identity, steps: int = 25,
-    seed: int = 0,
-) -> Tuple[float, float]:
-    """Lanczos extreme-eigenvalue estimate with safety margins."""
+def lanczos_tridiag(A, v0, steps: int, exchange=_identity, allsum=_identity):
+    """Jittable Lanczos recurrence: the WHOLE ``steps``-step process is one
+    ``lax.fori_loop`` (one dispatch — the round-2 version drove one mesh
+    dispatch per step from the host, ~25 x the relay RTT of setup cost).
+    Returns (alphas[steps], betas[steps], count): entries past the
+    breakdown step (beta < 1e-12) are masked out and ``count`` tells the
+    host how many are valid."""
+    nr = v0.shape[0]
     nc = A.nc
+    dtype = v0.dtype
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
 
     def widen(v):
@@ -49,37 +53,64 @@ def estimate_bounds(
             return v
         return jnp.concatenate([v, jnp.zeros(nc - nr, dtype)])
 
-    @jax.jit
     def matvec(v):
         return spmv(exchange(widen(v)))
 
-    rng = np.random.default_rng(seed)
-    v = jnp.asarray(rng.standard_normal(nr).astype(dtype))
-    v = v / jnp.sqrt(allsum(jnp.sum(v * v)))
-    v_prev = jnp.zeros_like(v)
-    alphas, betas = [], []
-    beta = 0.0
-    steps = min(steps, nr)
-    for _ in range(steps):
-        w = matvec(v)
-        alpha = float(allsum(jnp.sum(v * w)))
-        w = w - alpha * v - beta * v_prev
-        beta_new = float(jnp.sqrt(allsum(jnp.sum(w * w))))
-        alphas.append(alpha)
-        betas.append(beta_new)
-        if beta_new < 1e-12:
-            break
-        v_prev, v = v, w / beta_new
-        beta = beta_new
+    v = v0 / jnp.sqrt(allsum(jnp.sum(v0 * v0)))
 
+    def body(i, carry):
+        v_prev, v, beta, alphas, betas, count, active = carry
+        w = matvec(v)
+        alpha = allsum(jnp.sum(v * w))
+        w = w - alpha * v - beta * v_prev
+        beta_new = jnp.sqrt(allsum(jnp.sum(w * w)))
+        alphas = jnp.where(active, alphas.at[i].set(alpha), alphas)
+        betas = jnp.where(active, betas.at[i].set(beta_new), betas)
+        count = count + active.astype(jnp.int32)
+        go_on = jnp.logical_and(active, beta_new >= 1e-12)
+        safe = jnp.where(beta_new > 0, beta_new, 1)
+        v_prev = jnp.where(go_on, v, v_prev)
+        v = jnp.where(go_on, w / safe, v)
+        beta = jnp.where(go_on, beta_new, beta)
+        return v_prev, v, beta, alphas, betas, count, go_on
+
+    init = (
+        jnp.zeros_like(v), v, jnp.zeros((), dtype),
+        jnp.zeros(steps, dtype), jnp.zeros(steps, dtype),
+        jnp.zeros((), jnp.int32), jnp.asarray(True),
+    )
+    *_x, alphas, betas, count, _a = jax.lax.fori_loop(0, steps, body, init)
+    return alphas, betas, count
+
+
+def bounds_from_tridiag(alphas, betas, count: int) -> Tuple[float, float]:
+    """Host-side tridiagonal eigensolve + defensive margins."""
+    alphas = np.asarray(alphas, dtype=np.float64)[:count]
+    betas = np.asarray(betas, dtype=np.float64)[:count]
     T = np.diag(alphas)
-    off = np.asarray(betas[: len(alphas) - 1])
+    off = betas[: len(alphas) - 1]
     T += np.diag(off, 1) + np.diag(off, -1)
     ev = np.linalg.eigvalsh(T)
     lmin, lmax = float(ev[0]), float(ev[-1])
     # Lanczos underestimates the spread on few steps; widen defensively.
     spread = max(lmax - lmin, 1e-30)
     return max(lmin - 0.1 * spread, 1e-8 * lmax), lmax * 1.05
+
+
+def estimate_bounds(
+    A, nr: int, dtype, exchange=_identity, allsum=_identity, steps: int = 25,
+    seed: int = 0,
+) -> Tuple[float, float]:
+    """Lanczos extreme-eigenvalue estimate with safety margins (one fused
+    device dispatch + a tiny host eigensolve)."""
+    rng = np.random.default_rng(seed)
+    v0 = jnp.asarray(rng.standard_normal(nr).astype(dtype))
+    fn = jax.jit(
+        partial(lanczos_tridiag, steps=min(steps, nr), exchange=exchange,
+                allsum=allsum)
+    )
+    alphas, betas, count = fn(A, v0)
+    return bounds_from_tridiag(alphas, betas, int(count))
 
 
 def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
