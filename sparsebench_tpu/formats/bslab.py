@@ -1,29 +1,31 @@
-"""BSLAB — slab-table BSELL, round-3 successor of the general TPU format.
+"""BSLAB — slab-table BSELL, the round-3 general TPU format.
 
-Layout contract: see ops/bslab_pallas.py. Differences from BSELL
-(formats/bsell.py):
+Kernel contract and the microbenchmark evidence behind the design:
+ops/bslab_pallas.py. Differences from BSELL (formats/bsell.py):
 
   * entries bucket by block-diagonal d = col/128 - row/128 instead of
-    absolute block, so a slice's (8,128) x-table is ONE contiguous
-    8-row slice of x (the round-2 kernel assembled it from 8 scattered
-    row loads);
+    absolute block, so a slice's (sub,128) x-table is ONE contiguous
+    slice of x (the round-2 kernel assembled it from 8 scattered loads);
+  * slices are TALL: ``sub`` lane-groups (default 64 -> (64,128) slices)
+    — the round-3 microbenchmarks showed per-iteration overhead, not
+    table assembly, dominated the round-2 kernel; tall slices amortize
+    it and the kernel turns memory-bound (f32: 95% of measured STREAM);
   * slices are classified at build time: **affine** slices (lane index
-    = (lane + r) & 127 for a per-slice scalar r — all diagonal A/B parts
-    qualify, i.e. every stencil/banded slice) store NO index plane and
-    use a single dynamic lane-rotation in the kernel; **general** slices
-    keep the int8 index plane and the lane-gather.
+    = (lane + r) & 127 for one scalar r — all diagonal A/B parts, i.e.
+    every stencil/banded slice) store NO index plane and use one dynamic
+    lane roll; **general** slices keep the int8 index plane + gather.
 
-Like BSELL there is no row permutation: padding is bounded by column
-locality (per-tile, per-d row-count skew), so `--rcm` helps and row
-sorting is unnecessary.
+No row permutation (padding is bounded by column locality); `--rcm`
+helps scattered matrices, row sorting is unnecessary.
 
-Reference parity: this is the TPU answer to the reference's SELL-C-sigma
-SIMD kernel (src/matrix-SCS.c:198-227) for general matrices; the byte
-model follows src/main.c:187-189 for "effective" reporting.
+Reference parity: the TPU answer to the reference's SELL-C-sigma SIMD
+kernel (src/matrix-SCS.c:198-227); "effective" reporting follows the
+src/main.c:187-189 byte model.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import flax.struct as struct
@@ -37,9 +39,6 @@ from sparsebench_tpu.formats.registry import register_format
 from sparsebench_tpu.host.csr import HostCSR
 from sparsebench_tpu.ops.bslab_pallas import (
     LANES,
-    LEAD,
-    SUBLANES,
-    TILE_ROWS,
     bslab_spmv,
     bslab_spmv_win,
 )
@@ -48,6 +47,7 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 VALID_IMPLS = ("auto", "xla", "pallas", "pallas_interpret", "pallas_win",
                "pallas_win_interpret")
+DEFAULT_SUB = 64
 
 
 def _check_impl(impl: str) -> None:
@@ -61,41 +61,56 @@ def _backend_is_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _auto_sub(nr: int, sub: int) -> int:
+    """Default slice height: the tallest power-of-two (<= 64) whose tile
+    does not dwarf the matrix (tiny problems keep short tiles)."""
+    if sub:
+        if sub % 8 or sub < 8:
+            raise ValueError(f"sub must be a multiple of 8 >= 8, got {sub}")
+        return sub
+    s = DEFAULT_SUB
+    while s > 8 and s * LANES > max(nr, 1):
+        s //= 2
+    return s
+
+
 # (sz, sy, sx) in the reference generator's loop order (src/matrix.c:71-75)
 _OFFSETS_27 = [
     (sz, sy, sx) for sz in (-1, 0, 1) for sy in (-1, 0, 1) for sx in (-1, 0, 1)
 ]
 
 
-def _window_plan(n_tiles: int, lo: np.ndarray, hi: np.ndarray):
+def _window_plan(n_tiles: int, lo: np.ndarray, hi: np.ndarray, sub: int):
     """Chunk plan for the windowed kernel: per-tile slab starts lie in
-    [lo_t, hi_t]; W covers the worst span + slab height, chunks are
-    W-aligned and every tile's slabs fit chunks [wchunk, wchunk+2)."""
+    [lo_t, hi_t]; W covers worst span + slab height; every tile's slabs
+    fit chunks [wchunk, wchunk+2)."""
     span = int(max(1, (hi - lo).max())) if n_tiles else 1
-    w_blocks = round_up(span + SUBLANES, SUBLANES)
+    w_blocks = round_up(span + sub, 8)
     wchunk = (lo // w_blocks).astype(np.int32)
     xw_rows = int(wchunk.max() + 2) * w_blocks
     return w_blocks, wchunk, xw_rows
 
 
-def _build_arrays(csr: HostCSR, policy: DTypePolicy):
+def _build_arrays(csr: HostCSR, policy: DTypePolicy, sub: int):
     """Vectorized host construction (numpy) of the slab-slice arrays."""
     nr, nc = csr.nr, csr.nc
-    n_tiles = max(1, -(-nr // TILE_ROWS))
-    n_groups = n_tiles * SUBLANES
+    lead = sub  # x lead pad rows: slab of a real entry never underflows
+    tile_rows = sub * LANES
+    n_tiles = max(1, -(-nr // tile_rows))
+    n_groups_total = n_tiles * sub
     nb = max(1, -(-nc // LANES))
-    x_rows = LEAD + nb + SUBLANES          # whole-x padded row count
+    x_rows = lead + nb + sub
     nnz = csr.nnz
     if nnz == 0:
-        meta_aff = np.zeros((n_tiles, 1, 2), np.int32)
-        meta_aff[:, :, 0] = LEAD
-        vals_aff = np.zeros((n_tiles, 1, SUBLANES, LANES), policy.value)
+        meta_aff = np.full((n_tiles, 1, 2), 0, np.int32)
+        meta_aff[:, :, 0] = lead
+        vals_aff = np.zeros((n_tiles, 1, sub, LANES), policy.value)
         meta_gen = np.zeros((n_tiles, 0), np.int32)
-        vals_gen = np.zeros((n_tiles, 0, SUBLANES, LANES), policy.value)
-        lidx_gen = np.zeros((n_tiles, 0, SUBLANES, LANES), np.int8)
+        vals_gen = np.zeros((n_tiles, 0, sub, LANES), policy.value)
+        lidx_gen = np.zeros((n_tiles, 0, sub, LANES), np.int8)
         wchunk = np.zeros(n_tiles, np.int32)
         return (meta_aff, vals_aff, meta_gen, vals_gen, lidx_gen, wchunk,
-                n_tiles, 1, 0, x_rows, SUBLANES, 2 * SUBLANES)
+                n_tiles, 1, 0, x_rows, 2 * sub, 4 * sub)
 
     lens = csr.row_lengths
     rows = np.repeat(np.arange(nr, dtype=np.int64), lens)
@@ -104,10 +119,10 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     lane = (rows & 127).astype(np.int64)
     b = col >> 7
     lidx = (col & 127).astype(np.int64)
-    t = g >> 3
-    s = g & 7
-    dk = b - g + n_groups                   # shifted block-diagonal >= 1-ish
-    ndk = nb + n_groups                      # dk < ndk
+    t = g // sub
+    s = g % sub
+    dk = b - g + n_groups_total             # shifted block-diagonal >= 0
+    ndk = nb + n_groups_total               # dk < ndk
 
     # occurrence j within each (row, d) run (entries sorted by (row, col)
     # -> d nondecreasing within a row, runs contiguous)
@@ -153,20 +168,21 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     affine = re_min == re_max                # every slice has >= 1 entry
 
     # per-slice attrs (expand (t,d) runs)
-    rep = np.repeat(np.arange(td_keys.size), lmax_td)
     within = np.arange(total_slices, dtype=np.int64) - np.repeat(
         gbase_td, lmax_td
     )
+    rep = np.repeat(np.arange(td_keys.size), lmax_td)
     sl_tile = td_t[rep]
     sl_dk = td_dk[rep]
-    sl_dbase = (SUBLANES * sl_tile + (sl_dk - n_groups) + LEAD).astype(
+    # dbase in padded x rows; real-entry slices satisfy
+    # dbase = b - (g - sub*t) + lead in [b + lead - (sub-1), b + lead]
+    # -> [1, nb - 1 + lead] subset of [0, x_rows - sub]
+    sl_dbase = (sub * sl_tile + (sl_dk - n_groups_total) + lead).astype(
         np.int64
-    )  # in [1, nb + 7] for real slices (see module doc)
+    )
 
-    # per-tile class partition: affine slices first (ordered by d, j),
-    # then general — stable within the existing (d, j) order
+    # per-tile class partition: affine slices first (ordered by d, j)
     order2 = np.lexsort((within, sl_dk, np.logical_not(affine), sl_tile))
-    # position within tile after reorder
     sorted_tile = sl_tile[order2]
     tile_change = np.empty(total_slices, bool)
     tile_change[0] = True
@@ -181,27 +197,27 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     np.add.at(n_aff_tile, sl_tile, affine)
     n_all_tile = np.zeros(n_tiles, np.int64)
     np.add.at(n_all_tile, sl_tile, 1)
-    # class-local position: affine slices sort first within the tile
     pos_cls = np.where(affine, pos, pos - n_aff_tile[sl_tile])
     s_aff = int(n_aff_tile.max())
     s_gen = int((n_all_tile - n_aff_tile).max())
 
     # window plan from real slice dbase ranges
-    lo = np.full(n_tiles, LEAD + nb, np.int64)
-    hi = np.full(n_tiles, 0, np.int64)
+    lo = np.full(n_tiles, x_rows - sub, np.int64)
+    hi = np.zeros(n_tiles, np.int64)
     np.minimum.at(lo, sl_tile, sl_dbase)
     np.maximum.at(hi, sl_tile, sl_dbase)
-    lo = np.minimum(lo, hi)                  # empty tiles -> 0.. fix below
+    lo = np.minimum(lo, hi)
     empty = n_all_tile == 0
-    lo[empty] = LEAD
-    hi[empty] = LEAD
-    w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi)
+    lo[empty] = lead
+    hi[empty] = lead
+    w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi, sub)
 
-    # allocate + scatter slice metadata
+    # allocate + scatter slice metadata (padding slices stay in-window)
     meta_aff = np.zeros((n_tiles, max(s_aff, 1), 2), np.int32)
-    meta_aff[:, :, 0] = lo[:, None]          # padding slices: in-window
+    meta_aff[:, :, 0] = lo[:, None]
     meta_gen = np.zeros((n_tiles, s_gen), np.int32)
-    meta_gen[:, :] = lo[:, None]
+    if s_gen:
+        meta_gen[:, :] = lo[:, None]
     a_sel = affine
     meta_aff[sl_tile[a_sel], pos_cls[a_sel], 0] = sl_dbase[a_sel]
     meta_aff[sl_tile[a_sel], pos_cls[a_sel], 1] = re_min[a_sel]
@@ -211,9 +227,9 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
     s_aff = max(s_aff, 1)
 
     # scatter entries
-    vals_aff = np.zeros((n_tiles, s_aff, SUBLANES, LANES), policy.value)
-    vals_gen = np.zeros((n_tiles, s_gen, SUBLANES, LANES), policy.value)
-    lidx_gen = np.zeros((n_tiles, s_gen, SUBLANES, LANES), np.int8)
+    vals_aff = np.zeros((n_tiles, s_aff, sub, LANES), policy.value)
+    vals_gen = np.zeros((n_tiles, s_gen, sub, LANES), policy.value)
+    lidx_gen = np.zeros((n_tiles, s_gen, sub, LANES), np.int8)
     e_aff = affine[gid]
     e_pos = pos_cls[gid]
     v = csr.val.astype(policy.value)
@@ -230,10 +246,10 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy):
 @struct.dataclass
 class BslabMatrix:
     meta_aff: jnp.ndarray   # (n_tiles, s_aff, 2) int32 [dbase, r]
-    vals_aff: jnp.ndarray   # (n_tiles, s_aff, 8, 128) value dtype
+    vals_aff: jnp.ndarray   # (n_tiles, s_aff, sub, 128) value dtype
     meta_gen: jnp.ndarray   # (n_tiles, s_gen) int32 dbase
-    vals_gen: jnp.ndarray   # (n_tiles, s_gen, 8, 128)
-    lidx_gen: jnp.ndarray   # (n_tiles, s_gen, 8, 128) int8
+    vals_gen: jnp.ndarray   # (n_tiles, s_gen, sub, 128)
+    lidx_gen: jnp.ndarray   # (n_tiles, s_gen, sub, 128) int8
     wchunk: jnp.ndarray     # (n_tiles,) int32 covering-chunk index
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
@@ -241,6 +257,7 @@ class BslabMatrix:
     n_tiles: int = struct.field(pytree_node=False)
     s_aff: int = struct.field(pytree_node=False)
     s_gen: int = struct.field(pytree_node=False)
+    sub: int = struct.field(pytree_node=False)       # slice height (groups)
     x_rows: int = struct.field(pytree_node=False)    # whole-x padded rows
     w_blocks: int = struct.field(pytree_node=False)
     xw_rows: int = struct.field(pytree_node=False)   # windowed x rows
@@ -249,6 +266,10 @@ class BslabMatrix:
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def lead(self) -> int:
+        return self.sub
 
     # ------------------------------------------------------------- builders
     @classmethod
@@ -259,14 +280,18 @@ class BslabMatrix:
         *,
         impl: str = "auto",
         compress: bool = True,
+        sub: int = 0,
         min_s_aff: int = 0,
         min_s_gen: int = 0,
         **_opts,
     ) -> "BslabMatrix":
         policy = default_policy(policy)
         _check_impl(impl)
+        sub = _auto_sub(csr.nr, sub)
         (meta_aff, vals_aff, meta_gen, vals_gen, lidx_gen, wchunk, n_tiles,
-         s_aff, s_gen, x_rows, w_blocks, xw_rows) = _build_arrays(csr, policy)
+         s_aff, s_gen, x_rows, w_blocks, xw_rows) = _build_arrays(
+            csr, policy, sub
+        )
         if compress and vals_aff.dtype == np.float32:
             import ml_dtypes
 
@@ -290,10 +315,12 @@ class BslabMatrix:
             lidx_gen = np.pad(lidx_gen, ((0, 0), (0, pad), (0, 0), (0, 0)))
             m = np.zeros((n_tiles, pad), np.int32)
             m[:, :] = meta_aff[:, :1, 0]
-            meta_gen = np.concatenate([meta_gen, m], axis=1)
+            meta_gen = (
+                np.concatenate([meta_gen, m], axis=1) if s_gen else m
+            )
             s_gen = min_s_gen
-        impl = cls._resolve_impl(impl, policy, s_aff, s_gen, x_rows)
-        obj = cls(
+        impl = cls._resolve_impl(impl, policy, s_aff, s_gen, sub, x_rows)
+        return cls(
             meta_aff=jnp.asarray(meta_aff),
             vals_aff=jnp.asarray(vals_aff),
             meta_gen=jnp.asarray(meta_gen),
@@ -301,23 +328,22 @@ class BslabMatrix:
             lidx_gen=jnp.asarray(lidx_gen),
             wchunk=jnp.asarray(wchunk),
             nr=csr.nr, nc=csr.nc, nnz=csr.nnz,
-            n_tiles=n_tiles, s_aff=s_aff, s_gen=s_gen,
+            n_tiles=n_tiles, s_aff=s_aff, s_gen=s_gen, sub=sub,
             x_rows=x_rows, w_blocks=w_blocks, xw_rows=xw_rows,
-            n_elems=n_tiles * (s_aff + s_gen) * TILE_ROWS,
+            n_elems=n_tiles * (s_aff + s_gen) * sub * LANES,
             impl=impl,
             start_row=csr.start_row,
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
         )
-        return obj
 
     @staticmethod
-    def _resolve_impl(impl, policy, s_aff, s_gen, x_rows) -> str:
+    def _resolve_impl(impl, policy, s_aff, s_gen, sub, x_rows) -> str:
         if impl != "auto":
             return impl
         if not (_backend_is_tpu() and policy.value.itemsize <= 4):
             return "xla"
-        slice_bytes = (s_aff + s_gen) * TILE_ROWS * (policy.value_bytes + 4)
+        slice_bytes = (s_aff + s_gen) * sub * LANES * (policy.value_bytes + 4)
         whole_fits = (
             x_rows * LANES * policy.value_bytes + 2 * slice_bytes
             < _VMEM_BUDGET
@@ -335,6 +361,7 @@ class BslabMatrix:
         policy: Optional[DTypePolicy] = None,
         impl: str = "auto",
         compress: bool = True,
+        sub: int = 0,
     ) -> Tuple["BslabMatrix", jnp.ndarray]:
         """Analytic ON-DEVICE build of the 27/7-pt stencil (reference
         src/matrix.c:30-121) in slab layout: every slice is the A or B
@@ -343,6 +370,8 @@ class BslabMatrix:
         policy = default_policy(policy)
         _check_impl(impl)
         nr = nx * ny * nz
+        sub = _auto_sub(nr, sub)
+        lead = sub
         plane = nx * ny
         specs = sorted(
             (sz * plane + sy * nx + sx, sz, sy, sx)
@@ -354,11 +383,12 @@ class BslabMatrix:
 
             csr = generate_stencil(nx, ny, nz, use_7pt=use_7pt,
                                    dtype=policy.value)
-            obj = cls.from_csr(csr, policy, impl=impl, compress=compress)
+            obj = cls.from_csr(csr, policy, impl=impl, compress=compress,
+                               sub=sub)
             return obj, jnp.asarray(csr.row_lengths)
 
-        # slice plan: (off, sz, sy, sx, d, r, part); part B when the lane
-        # shift wraps into the next block
+        # slice plan: (off, sz, sy, sx, d, r, part) — part B when the
+        # lane shift wraps into the next block
         slices = []
         for off, sz, sy, sx in specs:
             q, r = divmod(off, LANES)
@@ -366,21 +396,21 @@ class BslabMatrix:
             if r != 0:
                 slices.append((off, sz, sy, sx, q + 1, r, 1))
         s_aff = len(slices)
-        n_tiles = max(1, -(-nr // TILE_ROWS))
+        tile_rows = sub * LANES
+        n_tiles = max(1, -(-nr // tile_rows))
         nb = max(1, -(-nr // LANES))
-        x_rows = LEAD + nb + SUBLANES
+        x_rows = lead + nb + sub
         d_arr = np.asarray([sp[4] for sp in slices], np.int64)
         r_arr = np.asarray([sp[5] for sp in slices], np.int64)
         t_np = np.arange(n_tiles, dtype=np.int64)
         dbase = np.clip(
-            SUBLANES * t_np[:, None] + d_arr[None, :] + LEAD, 0,
-            x_rows - SUBLANES,
+            sub * t_np[:, None] + d_arr[None, :] + lead, 0, x_rows - sub
         )
         meta_aff = np.stack(
             [dbase, np.broadcast_to(r_arr[None, :], dbase.shape)], axis=2
         ).astype(np.int32)
         lo, hi = dbase.min(axis=1), dbase.max(axis=1)
-        w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi)
+        w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi, sub)
 
         use_bf16 = compress and np.dtype(policy.value) == np.float32
         if use_bf16:
@@ -391,22 +421,22 @@ class BslabMatrix:
             store_dt = jnp.dtype(policy.value)
         vals_aff, counts = _stencil_vals_device(
             tuple((sp[0], sp[1], sp[2], sp[3], sp[5], sp[6]) for sp in slices),
-            nx, ny, nr, n_tiles, store_dt,
+            nx, ny, nr, n_tiles, sub, store_dt,
         )
         counts = counts[:nr]
         nnz = int(counts.sum())
-        impl = cls._resolve_impl(impl, policy, s_aff, 0, x_rows)
+        impl = cls._resolve_impl(impl, policy, s_aff, 0, sub, x_rows)
         obj = cls(
             meta_aff=jnp.asarray(meta_aff),
             vals_aff=vals_aff,
             meta_gen=jnp.zeros((n_tiles, 0), jnp.int32),
-            vals_gen=jnp.zeros((n_tiles, 0, SUBLANES, LANES), store_dt),
-            lidx_gen=jnp.zeros((n_tiles, 0, SUBLANES, LANES), jnp.int8),
+            vals_gen=jnp.zeros((n_tiles, 0, sub, LANES), store_dt),
+            lidx_gen=jnp.zeros((n_tiles, 0, sub, LANES), jnp.int8),
             wchunk=jnp.asarray(wchunk),
             nr=nr, nc=nr, nnz=nnz,
-            n_tiles=n_tiles, s_aff=s_aff, s_gen=0,
+            n_tiles=n_tiles, s_aff=s_aff, s_gen=0, sub=sub,
             x_rows=x_rows, w_blocks=w_blocks, xw_rows=xw_rows,
-            n_elems=n_tiles * s_aff * TILE_ROWS,
+            n_elems=n_tiles * s_aff * sub * LANES,
             impl=impl,
             start_row=0, total_nr=nr, total_nnz=nnz,
         )
@@ -414,24 +444,27 @@ class BslabMatrix:
 
     # ---------------------------------------------------------------- spmv
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        lead_el = self.lead * LANES
         if self.impl in ("pallas", "pallas_interpret"):
             xp = jnp.zeros(self.x_rows * LANES, x.dtype)
-            xp = xp.at[LEAD * LANES : LEAD * LANES + x.shape[0]].set(x)
+            xp = xp.at[lead_el : lead_el + x.shape[0]].set(x)
             y3 = bslab_spmv(
                 self.meta_aff, self.vals_aff, self.meta_gen, self.vals_gen,
                 self.lidx_gen, xp.reshape(self.x_rows, LANES),
-                s_aff=self.s_aff, s_gen=self.s_gen,
+                s_aff=self.s_aff, s_gen=self.s_gen, sub=self.sub,
                 interpret=self.impl.endswith("interpret"),
             )
         elif self.impl in ("pallas_win", "pallas_win_interpret"):
             need = self.xw_rows * LANES
             xp = jnp.zeros(need, x.dtype)
-            take = min(x.shape[0], need - LEAD * LANES)
-            xp = xp.at[LEAD * LANES : LEAD * LANES + take].set(x[:take])
+            take_n = min(int(x.shape[0]), need - lead_el)
+            xp = xp.at[lead_el : lead_el + take_n].set(x[:take_n])
             y3 = bslab_spmv_win(
                 self.wchunk, self.meta_aff, self.vals_aff, self.meta_gen,
-                self.vals_gen, self.lidx_gen, xp.reshape(self.xw_rows, LANES),
-                s_aff=self.s_aff, s_gen=self.s_gen, w_blocks=self.w_blocks,
+                self.vals_gen, self.lidx_gen,
+                xp.reshape(self.xw_rows, LANES),
+                s_aff=self.s_aff, s_gen=self.s_gen, sub=self.sub,
+                w_blocks=self.w_blocks,
                 interpret=self.impl.endswith("interpret"),
             )
         else:
@@ -441,17 +474,16 @@ class BslabMatrix:
     def _spmv_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         from sparsebench_tpu.formats.base import take
 
+        lead_el = self.lead * LANES
         xp = jnp.zeros(self.x_rows * LANES, x.dtype)
-        xp = xp.at[LEAD * LANES : LEAD * LANES + x.shape[0]].set(x)
+        xp = xp.at[lead_el : lead_el + x.shape[0]].set(x)
         lanes = jnp.arange(LANES, dtype=jnp.int32)
-        acc = jnp.zeros((self.n_tiles, SUBLANES, LANES), x.dtype)
+        subs = jnp.arange(self.sub, dtype=jnp.int32)
+        acc = jnp.zeros((self.n_tiles, self.sub, LANES), x.dtype)
         if self.s_aff:
-            # columns: 128 * (dbase + s) + (lane + r) & 127
             dbase = self.meta_aff[:, :, 0].astype(jnp.int32)
             r = self.meta_aff[:, :, 1].astype(jnp.int32)
-            rowp = dbase[:, :, None] + jnp.arange(SUBLANES, dtype=jnp.int32)[
-                None, None, :
-            ]
+            rowp = dbase[:, :, None] + subs[None, None, :]
             idx = (lanes[None, None, None, :] + r[:, :, None, None]) & (
                 LANES - 1
             )
@@ -460,9 +492,7 @@ class BslabMatrix:
             acc = acc + (self.vals_aff.astype(x.dtype) * g).sum(axis=1)
         if self.s_gen:
             dbase = self.meta_gen.astype(jnp.int32)
-            rowp = dbase[:, :, None] + jnp.arange(SUBLANES, dtype=jnp.int32)[
-                None, None, :
-            ]
+            rowp = dbase[:, :, None] + subs[None, None, :]
             gcol = rowp[:, :, :, None] * LANES + self.lidx_gen.astype(
                 jnp.int32
             )
@@ -486,19 +516,17 @@ class BslabMatrix:
         return self.n_elems / max(self.nnz, 1)
 
 
-import functools  # noqa: E402
-
-
 @functools.partial(
-    jax.jit, static_argnames=("slices", "nx", "ny", "local_nrow", "n_tiles",
-                              "store_dt"),
+    jax.jit,
+    static_argnames=("slices", "nx", "ny", "local_nrow", "n_tiles", "sub",
+                     "store_dt"),
 )
-def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, store_dt):
+def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, sub, store_dt):
     """Device-side value planes for the stencil slab build: per slice
     (diagonal part) the values are a constant under vectorized bound
     checks on iota grid coordinates (cf. formats/dia.py
-    _stencil_dia_device, formats/bsell.py _stencil_bsell_device)."""
-    nr_pad = n_tiles * TILE_ROWS
+    _stencil_dia_device)."""
+    nr_pad = n_tiles * sub * LANES
     i = jax.lax.iota(jnp.int32, nr_pad)
     ix = i % nx
     iy = (i // nx) % ny
@@ -520,7 +548,7 @@ def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, store_dt):
         v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
         planes.append(
             jnp.where(m & sel, v, 0.0).astype(store_dt).reshape(
-                n_tiles, SUBLANES, LANES
+                n_tiles, sub, LANES
             )
         )
     vals = jnp.stack(planes, axis=1)

@@ -38,7 +38,13 @@ def from_csr(name: str, csr, policy=None, **opts):
 
 def _register_builtin_formats() -> None:
     # Imported for registration side effects.
-    from sparsebench_tpu.formats import bsell, crs, dia, sell  # noqa: F401
+    from sparsebench_tpu.formats import (  # noqa: F401
+        bsell,
+        bslab,
+        crs,
+        dia,
+        sell,
+    )
 
 
 _register_builtin_formats()
