@@ -1,0 +1,82 @@
+"""RGL (seeded random-graph Laplacian) tests: host spec vs device builder
+parity, SPD/exact-solution structure, CG convergence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sparsebench_tpu.config import DTypePolicy
+from sparsebench_tpu.formats.rgl_build import rgl_bslab
+from sparsebench_tpu.host.rgl import mix32, rgl_csr
+
+F32 = DTypePolicy.from_names("f32", "i32")
+
+
+def test_mix32_deterministic_and_spread():
+    a = mix32(np.arange(1000), np.arange(1000) + 7, 1)
+    b = mix32(np.arange(1000), np.arange(1000) + 7, 1)
+    np.testing.assert_array_equal(a, b)
+    c = mix32(np.arange(1000), np.arange(1000) + 7, 2)
+    assert (a != c).mean() > 0.99
+    # roughly uniform: mean near 2^31
+    assert abs(a.astype(np.float64).mean() / 2**31 - 1) < 0.1
+
+
+def test_rgl_csr_structure():
+    csr = rgl_csr(800, band=96, deg=8.0, seed=3)
+    dense = csr.to_dense()
+    np.testing.assert_allclose(dense, dense.T)        # symmetric
+    ones = np.ones(800)
+    np.testing.assert_allclose(dense @ ones, ones)     # row sums == 1
+    d = np.diag(dense)
+    off = np.abs(dense).sum(axis=1) - d
+    assert np.all(d >= off + 1 - 1e-9)                 # strictly dominant
+    avg_deg = (csr.nnz - 800) / 800
+    assert 4.0 < avg_deg < 12.0                        # near requested 8
+
+
+@pytest.mark.parametrize("n,band,deg,sub", [
+    (700, 96, 8.0, 8),
+    (1500, 200, 10.0, 16),
+])
+def test_rgl_device_matches_host_oracle(n, band, deg, sub):
+    csr = rgl_csr(n, band=band, deg=deg, seed=5)
+    A, nnz = rgl_bslab(n, band=band, deg=deg, seed=5, policy=F32, sub=sub,
+                       impl="xla")
+    assert nnz == csr.nnz
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    y = np.asarray(A.spmv(jnp.asarray(x)))
+    want = csr.spmv(x.astype(np.float64))
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-3
+
+
+def test_rgl_device_interpret_kernel():
+    n, band = 900, 96
+    csr = rgl_csr(n, band=band, deg=6.0, seed=2)
+    A, _ = rgl_bslab(n, band=band, deg=6.0, seed=2, policy=F32, sub=8,
+                     impl="pallas_win_interpret")
+    x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+    y = np.asarray(jax.jit(lambda A, x: A.spmv(x))(A, jnp.asarray(x)))
+    want = csr.spmv(x.astype(np.float64))
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-3
+
+
+def test_rgl_exact_solution_is_ones():
+    """b = A @ 1 == 1 on device — the CG oracle needs no row counts."""
+    A, _ = rgl_bslab(1000, band=128, deg=8.0, seed=1, policy=F32, sub=8,
+                     impl="xla")
+    y = np.asarray(A.spmv(jnp.ones(1000, jnp.float32)))
+    np.testing.assert_allclose(y, 1.0, atol=1e-3)
+
+
+def test_rgl_cg_converges():
+    from sparsebench_tpu.solvers.cg import check_residual, solve_cg
+
+    n = 1200
+    A, _ = rgl_bslab(n, band=128, deg=8.0, seed=4, policy=F32, sub=8,
+                     impl="xla")
+    b = np.ones(n, dtype=np.float32)
+    res = solve_cg(A, b, itermax=300, eps=1e-7, verbose=False)
+    assert check_residual(res.x, np.ones(n)) < 1e-4
