@@ -80,10 +80,13 @@ def build_argparser() -> argparse.ArgumentParser:
     # runtime options (compile-time in the reference, config.mk:1-8)
     ap.add_argument("--fmt", default=None,
                     choices=["auto", "crs", "ccrs", "sell", "ell", "dia",
-                             "bsell"],
+                             "bsell", "bslab"],
                     help="Matrix format (reference MTX_FMT). Default auto: "
-                    "dia for banded matrices, else bsell (the TPU Pallas "
-                    "fast paths).")
+                    "bslab (the tall-slice TPU format; 1.03x STREAM "
+                    "physical at 200^3), dia for banded .mtx ingest.")
+    ap.add_argument("--sub", type=int, default=None,
+                    help="bslab slice height in 128-row lane groups "
+                    "(default 64, auto-shrunk for small matrices)")
     ap.add_argument("--dtype", default=None, choices=["f64", "f32", "bf16"],
                     help="Value dtype (reference FLOAT_TYPE). Default f32 "
                     "(the TPU-native path; the reference compiles double — "
@@ -124,6 +127,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="GMRES orthogonalization: classical Gram-Schmidt "
                     "or reorthogonalized CGS2 (robust for ill-conditioned "
                     "bases; ~2x orthogonalization cost)")
+    ap.add_argument("--band", type=int, default=None,
+                    help="generateRGL: half-bandwidth of the random graph "
+                    "(default 512)")
+    ap.add_argument("--deg", type=float, default=None,
+                    help="generateRGL: target average degree (default 16)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="generateRGL: graph seed (default 1)")
     ap.add_argument("--rcm", action="store_true",
                     help="Reverse Cuthill-McKee row/col reordering before "
                     "format conversion (cuts BSELL padding / enables DIA "
@@ -147,7 +157,8 @@ def apply_args(param: Parameter, args: argparse.Namespace) -> Parameter:
         ("eps", "eps"), ("fmt", "fmt"), ("dtype", "dtype"),
         ("index_dtype", "index_dtype"), ("chunk_height", "chunk_height"),
         ("sigma", "sigma"), ("shards", "shards"), ("bench", "bench"),
-        ("exchange", "exchange"),
+        ("exchange", "exchange"), ("band", "band"), ("deg", "deg"),
+        ("seed", "seed"),
     ]:
         v = getattr(args, key_cli, None)
         if v is not None:
@@ -239,11 +250,46 @@ def main(argv: Optional[list] = None) -> int:
 
     csr = None
     row_counts = None
+    rgl = param.filename == "generateRGL"
     impl_opts = {"impl": args.impl} if args.impl else {}
-    if generated and param.fmt in ("auto", "dia"):
-        # Fast path: the stencil's diagonals are analytically known — build
-        # the DIA format directly, no CSR intermediate (minutes -> seconds
-        # on this host's lazy-memory VM).
+    sub_opts = {"sub": args.sub} if args.sub else {}
+    if rgl:
+        # Irregular benchmark matrix: seeded random-graph Laplacian,
+        # generated and laid out entirely ON DEVICE (host/rgl.py spec,
+        # formats/rgl_build.py builder). n = nx*ny*nz.
+        if param.fmt not in ("auto", "bslab"):
+            raise SystemExit(
+                "generateRGL builds on-device in bslab layout; use "
+                "--fmt auto|bslab (host formats would need a "
+                "disqualifyingly slow host build + upload at scale)"
+            )
+        from sparsebench_tpu.formats.rgl_build import rgl_bslab
+
+        n = param.nx * param.ny * param.nz
+        A, nnz = rgl_bslab(
+            n, band=param.band, deg=param.deg, seed=param.seed,
+            policy=policy, **impl_opts, **sub_opts,
+        )
+        param.fmt = "bslab"
+        total_nr, model_nnz = n, nnz
+        print(f"RGL: n={n} band={param.band} deg~{param.deg} seed="
+              f"{param.seed} nnz={nnz} padding={A.padding_ratio:.2f}")
+    elif generated and param.fmt in ("auto", "bslab"):
+        # Fast path: analytic ON-DEVICE stencil build, no CSR intermediate
+        # and no host->device transfer. bslab (tall-slice slab kernel) is
+        # the round-3 default: 1.255 ms/SpMV at 200^3 = 1.03x measured
+        # STREAM physical; CG x150 = 0.295 s (NOTES.md round-3 results).
+        from sparsebench_tpu.formats.bslab import BslabMatrix
+
+        A, row_counts = BslabMatrix.from_stencil(
+            param.nx, param.ny, param.nz,
+            use_7pt=param.filename == "generate7P",
+            policy=policy, **impl_opts, **sub_opts,
+        )
+        param.fmt = "bslab"
+        total_nr, model_nnz = A.total_nr, 27 * A.total_nr
+    elif generated and param.fmt == "dia":
+        # The banded-specialist path (round-2 default), kept selectable.
         from sparsebench_tpu.formats.dia import DiaMatrix
 
         A, row_counts = DiaMatrix.from_stencil(
@@ -268,12 +314,13 @@ def main(argv: Optional[list] = None) -> int:
                 A = from_csr("dia", csr, policy, **impl_opts)
                 param.fmt = "dia"
             except DiaUnsuitableError:
-                A = from_csr("bsell", csr, policy, **impl_opts)
-                param.fmt = "bsell"
+                A = from_csr("bslab", csr, policy, **impl_opts, **sub_opts)
+                param.fmt = "bslab"
         else:
+            extra = dict(sub_opts) if param.fmt == "bslab" else {}
             A = from_csr(
                 param.fmt, csr, policy, C=param.chunk_height,
-                sigma=param.sigma, **impl_opts,
+                sigma=param.sigma, **impl_opts, **extra,
             )
         total_nr = csr.total_nr
         model_nnz = (
@@ -295,14 +342,21 @@ def main(argv: Optional[list] = None) -> int:
         total_nr, model_nnz, policy.value_bytes, policy.index_bytes
     )
 
+    def make_vectors():
+        if rgl:
+            # RGL row sums are exactly 1 (host/rgl.py): b = A @ 1 = ones,
+            # exact solution x == 1 — the same oracle as the stencil.
+            n = A.nr
+            return (np.zeros(n, policy.value), np.ones(n, policy.value),
+                    np.ones(n, policy.value))
+        return init_vectors(csr, dtype=policy.value, generated=generated,
+                            row_lengths=row_counts)
+
     iterations = 0
     with trace(args.trace):
         if param.bench == "cg":
             print("Test type: CG")
-            x0, b, xexact = init_vectors(
-                csr, dtype=policy.value, generated=generated,
-                row_lengths=row_counts,
-            )
+            x0, b, xexact = make_vectors()
             inv_diag = None
             if args.precond == "jacobi":
                 if csr is not None:
@@ -359,10 +413,7 @@ def main(argv: Optional[list] = None) -> int:
             print("Test type: CHEBFD")
             from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
 
-            x0, b, xexact = init_vectors(
-                csr, dtype=policy.value, generated=generated,
-                row_lengths=row_counts,
-            )
+            x0, b, xexact = make_vectors()
             res = solve_chebyshev(A, b, itermax=param.itermax, eps=param.eps)
             iterations = res.iterations
             if xexact is not None:

@@ -57,12 +57,18 @@ class Parameter:
     shards: int = 1            # number of mesh devices for the row partition
     exchange: str = "auto"     # halo exchange impl: auto | ppermute | allgather
 
+    # --- generateRGL (irregular random-graph Laplacian, host/rgl.py) ---
+    band: int = 512            # half-bandwidth of the random graph
+    deg: float = 16.0          # target average degree
+    seed: int = 1              # graph seed
+
     # --- bench type (reference -t flag, src/main.c:22,116-129) ---
     bench: str = "cg"          # cg | spmv | gmres | cheb
 
 
-_INT_KEYS = {"nx", "ny", "nz", "itermax", "chunk_height", "sigma", "shards"}
-_REAL_KEYS = {"eps"}
+_INT_KEYS = {"nx", "ny", "nz", "itermax", "chunk_height", "sigma", "shards",
+             "band", "seed"}
+_REAL_KEYS = {"eps", "deg"}
 _STR_KEYS = {"filename", "fmt", "dtype", "index_dtype", "exchange", "bench"}
 
 

@@ -516,6 +516,30 @@ class BslabMatrix:
         return self.n_elems / max(self.nnz, 1)
 
 
+def with_window(A: "BslabMatrix", w_blocks: int,
+                xw_rows: int = 0) -> "BslabMatrix":
+    """Rebuild the windowed-kernel chunk plan with a FORCED chunk size
+    (>= the matrix's own requirement). Distributed builds force one
+    (w_blocks, xw_rows) across shards so the stacked pytrees share a
+    treedef; dbase metadata is absolute and unchanged."""
+    if w_blocks < A.w_blocks:
+        raise ValueError(
+            f"forced w_blocks {w_blocks} < required {A.w_blocks}"
+        )
+    meta = [np.asarray(A.meta_aff[:, :, 0])] if A.s_aff else []
+    if A.s_gen:
+        meta.append(np.asarray(A.meta_gen))
+    lo = np.min(np.concatenate([m.reshape(A.n_tiles, -1) for m in meta],
+                               axis=1), axis=1)
+    wchunk = (lo // w_blocks).astype(np.int32)
+    need = int(wchunk.max() + 2) * w_blocks
+    return A.replace(
+        wchunk=jnp.asarray(wchunk),
+        w_blocks=w_blocks,
+        xw_rows=max(need, xw_rows),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("slices", "nx", "ny", "local_nrow", "n_tiles", "sub",
@@ -525,31 +549,40 @@ def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, sub, store_dt):
     """Device-side value planes for the stencil slab build: per slice
     (diagonal part) the values are a constant under vectorized bound
     checks on iota grid coordinates (cf. formats/dia.py
-    _stencil_dia_device)."""
-    nr_pad = n_tiles * sub * LANES
-    i = jax.lax.iota(jnp.int32, nr_pad)
-    ix = i % nx
-    iy = (i // nx) % ny
-    valid = i < local_nrow
-    lane = i % LANES
-    counts = jnp.zeros(nr_pad, jnp.int32)
-    planes = []
-    for off, sz, sy, sx, r, is_b in slices:
-        col = i + off
-        m = (
-            valid
-            & (ix + sx >= 0) & (ix + sx < nx)
-            & (iy + sy >= 0) & (iy + sy < ny)
-            & (col >= 0) & (col < local_nrow)
-        )
-        if not is_b:
-            counts = counts + m
-        sel = (lane + r >= LANES) if is_b else (lane + r < LANES)
-        v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
-        planes.append(
-            jnp.where(m & sel, v, 0.0).astype(store_dt).reshape(
-                n_tiles, sub, LANES
+    _stencil_dia_device). Computed per TILE under ``lax.map`` so the
+    compiled program size is independent of the matrix size — the fully
+    unrolled whole-matrix build compiled for ~35 s at 200^3/sub=64
+    (NOTES.md round 3); the mapped build compiles once per tile shape."""
+    R = sub * LANES
+
+    def tile_fn(t):
+        i = t * R + jax.lax.iota(jnp.int32, R)
+        ix = i % nx
+        iy = (i // nx) % ny
+        valid = i < local_nrow
+        lane = i % LANES
+        counts = jnp.zeros(R, jnp.int32)
+        planes = []
+        for off, sz, sy, sx, r, is_b in slices:
+            col = i + off
+            m = (
+                valid
+                & (ix + sx >= 0) & (ix + sx < nx)
+                & (iy + sy >= 0) & (iy + sy < ny)
+                & (col >= 0) & (col < local_nrow)
             )
-        )
-    vals = jnp.stack(planes, axis=1)
-    return vals, counts
+            if not is_b:
+                counts = counts + m
+            sel = (lane + r >= LANES) if is_b else (lane + r < LANES)
+            v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
+            planes.append(
+                jnp.where(m & sel, v, 0.0).astype(store_dt).reshape(
+                    sub, LANES
+                )
+            )
+        return jnp.stack(planes), counts
+
+    vals, counts = jax.lax.map(
+        tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return vals, counts.reshape(-1)

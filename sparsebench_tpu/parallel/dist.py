@@ -102,7 +102,7 @@ class DistMatrix:
         self.policy = policy
         size = part.plan.size
         cls = get_format(fmt)
-        if impl and fmt not in ("dia", "bsell"):
+        if impl and fmt not in ("dia", "bsell", "bslab"):
             raise ValueError(
                 f"--impl applies to dia/bsell kernels; format {fmt!r} has a "
                 "single implementation"
@@ -163,10 +163,31 @@ class DistMatrix:
                 for o, s in zip(probe, part.shards)
             ]
             self.perms = None
+        elif fmt == "bslab":
+            from sparsebench_tpu.formats.bslab import with_window
+
+            probe = [cls.from_csr(s, policy, **impl_kw) for s in part.shards]
+            sub = probe[0].sub
+            s_aff = max(o.s_aff for o in probe)
+            s_gen = max(o.s_gen for o in probe)
+            objs = [
+                o
+                if (o.s_aff, o.s_gen, o.sub) == (s_aff, s_gen, sub)
+                else cls.from_csr(s, policy, sub=sub, min_s_aff=s_aff,
+                                  min_s_gen=s_gen, **impl_kw)
+                for o, s in zip(probe, part.shards)
+            ]
+            # one chunk plan across shards so the stacked pytrees share
+            # a treedef (dbase metadata is absolute; see with_window)
+            w = max(o.w_blocks for o in objs)
+            probe2 = [with_window(o, w) for o in objs]
+            xw = max(o.xw_rows for o in probe2)
+            objs = [o.replace(xw_rows=xw) for o in probe2]
+            self.perms = None
         else:
             raise NotImplementedError(
                 f"format {fmt!r} has no distributed build; "
-                "use sell/ell/crs/bsell/dia for sharded solves"
+                "use sell/ell/crs/bsell/bslab/dia for sharded solves"
             )
 
         # Per-shard metadata snapshot, taken BEFORE statics are normalized
@@ -531,7 +552,7 @@ def build_distributed(
                 exchange_backend=exchange_backend, mesh=mesh, impl=impl,
             )
         except DiaUnsuitableError:
-            fmt = "bsell"
+            fmt = "bslab"
     return DistMatrix(
         part, fmt, policy, C=C, sigma=sigma,
         exchange_backend=exchange_backend, mesh=mesh, impl=impl,

@@ -170,3 +170,28 @@ def test_bslab_padding_ratio_reasonable_on_stencil():
     csr = generate_stencil(8, 8, 8)
     A = BslabMatrix.from_csr(csr, F32)
     assert A.padding_ratio < 4.0
+
+
+def test_bslab_distributed_cg_matches_serial():
+    """Sharded bslab: stacked shard pytrees (forced uniform slice counts
+    + one chunk plan) reproduce the serial residual history."""
+    from sparsebench_tpu.host.coo import COOMatrix
+    from sparsebench_tpu.parallel.dist import build_distributed, dist_solve_cg
+    from sparsebench_tpu.parallel.partition import slice_coo_rows
+
+    gcsr = generate_stencil(5, 5, 5)
+    rows = np.repeat(np.arange(gcsr.nr), gcsr.row_lengths)
+    coo = COOMatrix(row=rows, col=gcsr.col, val=gcsr.val, nr=gcsr.nr,
+                    nc=gcsr.nc)
+    shards = [HostCSR.from_coo(slice_coo_rows(coo, r, 4)) for r in range(4)]
+    _, b, xexact = init_vectors(gcsr)
+    res_serial = solve_cg(from_csr("crs", gcsr), b, itermax=40, eps=0.0,
+                          verbose=False)
+    dm = build_distributed(shards, fmt="bslab")
+    res = dist_solve_cg(dm, b, itermax=40, eps=0.0, verbose=False)
+    n = min(len(res_serial.residual_history), len(res.residual_history))
+    np.testing.assert_allclose(
+        res.residual_history[:n], res_serial.residual_history[:n],
+        rtol=2e-5, atol=1e-7 * res_serial.residual_history[0],
+    )
+    assert np.abs(res.x - xexact).max() < 1e-4

@@ -177,6 +177,42 @@ def test_sharded_rcm_flag(tmp_path, data_dir, capsys, monkeypatch):
         drv.init_shards(Parameter(), 2, rcm=True)
 
 
+def test_rgl_cli_cg(capsys):
+    """generateRGL: on-device irregular random-graph Laplacian, solved
+    through the standard CG path with the x == 1 exact-solution oracle."""
+    rc = run_cli(["-t", "cg", "-m", "generateRGL", "-x", "3000", "-y", "1",
+                  "-z", "1", "--band", "96", "--deg", "8.0", "-i", "120",
+                  "-e", "1e-7"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "RGL: n=3000" in out
+    assert "Difference between computed and exact  = 0.000" in out
+
+
+def test_rgl_cli_rejects_host_formats():
+    with pytest.raises(SystemExit, match="bslab"):
+        run_cli(["-t", "cg", "-m", "generateRGL", "-x", "1000", "-y", "1",
+                 "-z", "1", "--fmt", "crs", "-i", "5"])
+
+
+def test_bslab_cli_generated_default(capsys):
+    """--fmt auto on generated problems now selects the bslab analytic
+    device build (round-3 default)."""
+    rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "format bslab" in out
+    assert "Difference between computed and exact  = 0.000" in out
+
+
+def test_bslab_cli_sharded(capsys):
+    rc = run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "10",
+                  "--shards", "4", "--fmt", "bslab"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Difference between computed and exact  = 0.000" in out
+
+
 def test_cg_profile_cli(capsys):
     """--profile runs the separately-jitted region kernels
     (solvers/profiled.py) and prints the reference per-region table."""
