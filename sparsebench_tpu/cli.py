@@ -274,30 +274,33 @@ def main(argv: Optional[list] = None) -> int:
         total_nr, model_nnz = n, nnz
         print(f"RGL: n={n} band={param.band} deg~{param.deg} seed="
               f"{param.seed} nnz={nnz} padding={A.padding_ratio:.2f}")
-    elif generated and param.fmt in ("auto", "bslab"):
+    elif generated and param.fmt in ("auto", "bslab", "dia"):
         # Fast path: analytic ON-DEVICE stencil build, no CSR intermediate
-        # and no host->device transfer. bslab (tall-slice slab kernel) is
-        # the round-3 default: 1.255 ms/SpMV at 200^3 = 1.03x measured
-        # STREAM physical; CG x150 = 0.295 s (NOTES.md round-3 results).
-        from sparsebench_tpu.formats.bslab import BslabMatrix
+        # and no host->device transfer. auto picks by size (measured CG
+        # x150, NOTES.md round 3): the bslab tall-slice kernel wins at
+        # 200^3 (0.295 s vs dia 0.390) but its higher fixed per-call cost
+        # loses at 100^3 (0.073 vs dia 0.060) — crossover ~2M rows.
+        pick = param.fmt
+        if pick == "auto":
+            nrows = param.nx * param.ny * param.nz
+            pick = "bslab" if nrows >= 2_000_000 else "dia"
+        if pick == "bslab":
+            from sparsebench_tpu.formats.bslab import BslabMatrix
 
-        A, row_counts = BslabMatrix.from_stencil(
-            param.nx, param.ny, param.nz,
-            use_7pt=param.filename == "generate7P",
-            policy=policy, **impl_opts, **sub_opts,
-        )
-        param.fmt = "bslab"
-        total_nr, model_nnz = A.total_nr, 27 * A.total_nr
-    elif generated and param.fmt == "dia":
-        # The banded-specialist path (round-2 default), kept selectable.
-        from sparsebench_tpu.formats.dia import DiaMatrix
+            A, row_counts = BslabMatrix.from_stencil(
+                param.nx, param.ny, param.nz,
+                use_7pt=param.filename == "generate7P",
+                policy=policy, **impl_opts, **sub_opts,
+            )
+        else:
+            from sparsebench_tpu.formats.dia import DiaMatrix
 
-        A, row_counts = DiaMatrix.from_stencil(
-            param.nx, param.ny, param.nz,
-            use_7pt=param.filename == "generate7P",
-            policy=policy, **impl_opts,
-        )
-        param.fmt = "dia"
+            A, row_counts = DiaMatrix.from_stencil(
+                param.nx, param.ny, param.nz,
+                use_7pt=param.filename == "generate7P",
+                policy=policy, **impl_opts,
+            )
+        param.fmt = pick
         total_nr, model_nnz = A.total_nr, 27 * A.total_nr
     else:
         csr = init_matrix(param)

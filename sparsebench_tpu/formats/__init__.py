@@ -14,9 +14,13 @@ jittable ``spmv``. TPU-native additions beyond the reference's lineup:
 ``ell``    padded ELLPACK (SELL with one global chunk); simplest dense layout
 ``dia``    diagonal storage for banded/stencil matrices — gather-free SpMV
            from shifted slices; Pallas kernel with VMEM-resident x window
-``bsell``  block-column SELL — the TPU-native general format: per-slice
+``bsell``  block-column SELL — the round-2 general format: per-slice
            lane-gathers from 128-wide column blocks, whole x VMEM-resident,
            int8 local indices (5 B/nnz); see ops/bsell_pallas.py
+``bslab``  slab-table BSELL — the round-3 flagship general format: tall
+           (sub,128) slices whose x-table is one contiguous slab; affine
+           slices store a rotation scalar instead of an index plane;
+           memory-bound at the STREAM roofline (ops/bslab_pallas.py)
 =========  ====================================================================
 """
 

@@ -105,7 +105,7 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy, sub: int):
         meta_aff = np.full((n_tiles, 1, 2), 0, np.int32)
         meta_aff[:, :, 0] = lead
         vals_aff = np.zeros((n_tiles, 1, sub, LANES), policy.value)
-        meta_gen = np.zeros((n_tiles, 0), np.int32)
+        meta_gen = np.zeros((n_tiles, 0, 1), np.int32)
         vals_gen = np.zeros((n_tiles, 0, sub, LANES), policy.value)
         lidx_gen = np.zeros((n_tiles, 0, sub, LANES), np.int8)
         wchunk = np.zeros(n_tiles, np.int32)
@@ -215,15 +215,15 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy, sub: int):
     # allocate + scatter slice metadata (padding slices stay in-window)
     meta_aff = np.zeros((n_tiles, max(s_aff, 1), 2), np.int32)
     meta_aff[:, :, 0] = lo[:, None]
-    meta_gen = np.zeros((n_tiles, s_gen), np.int32)
+    meta_gen = np.zeros((n_tiles, s_gen, 1), np.int32)
     if s_gen:
-        meta_gen[:, :] = lo[:, None]
+        meta_gen[:, :, 0] = lo[:, None]
     a_sel = affine
     meta_aff[sl_tile[a_sel], pos_cls[a_sel], 0] = sl_dbase[a_sel]
     meta_aff[sl_tile[a_sel], pos_cls[a_sel], 1] = re_min[a_sel]
     g_sel = ~affine
     if s_gen:
-        meta_gen[sl_tile[g_sel], pos_cls[g_sel]] = sl_dbase[g_sel]
+        meta_gen[sl_tile[g_sel], pos_cls[g_sel], 0] = sl_dbase[g_sel]
     s_aff = max(s_aff, 1)
 
     # scatter entries
@@ -247,7 +247,7 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy, sub: int):
 class BslabMatrix:
     meta_aff: jnp.ndarray   # (n_tiles, s_aff, 2) int32 [dbase, r]
     vals_aff: jnp.ndarray   # (n_tiles, s_aff, sub, 128) value dtype
-    meta_gen: jnp.ndarray   # (n_tiles, s_gen) int32 dbase
+    meta_gen: jnp.ndarray   # (n_tiles, s_gen, 1) int32 dbase
     vals_gen: jnp.ndarray   # (n_tiles, s_gen, sub, 128)
     lidx_gen: jnp.ndarray   # (n_tiles, s_gen, sub, 128) int8
     wchunk: jnp.ndarray     # (n_tiles,) int32 covering-chunk index
@@ -313,11 +313,9 @@ class BslabMatrix:
             pad = min_s_gen - s_gen
             vals_gen = np.pad(vals_gen, ((0, 0), (0, pad), (0, 0), (0, 0)))
             lidx_gen = np.pad(lidx_gen, ((0, 0), (0, pad), (0, 0), (0, 0)))
-            m = np.zeros((n_tiles, pad), np.int32)
-            m[:, :] = meta_aff[:, :1, 0]
-            meta_gen = (
-                np.concatenate([meta_gen, m], axis=1) if s_gen else m
-            )
+            m = np.zeros((n_tiles, pad, 1), np.int32)
+            m[:, :, 0] = meta_aff[:, :1, 0]
+            meta_gen = np.concatenate([meta_gen, m], axis=1)
             s_gen = min_s_gen
         impl = cls._resolve_impl(impl, policy, s_aff, s_gen, sub, x_rows)
         return cls(
@@ -429,7 +427,7 @@ class BslabMatrix:
         obj = cls(
             meta_aff=jnp.asarray(meta_aff),
             vals_aff=vals_aff,
-            meta_gen=jnp.zeros((n_tiles, 0), jnp.int32),
+            meta_gen=jnp.zeros((n_tiles, 0, 1), jnp.int32),
             vals_gen=jnp.zeros((n_tiles, 0, sub, LANES), store_dt),
             lidx_gen=jnp.zeros((n_tiles, 0, sub, LANES), jnp.int8),
             wchunk=jnp.asarray(wchunk),
@@ -491,7 +489,7 @@ class BslabMatrix:
             g = take(xp, gcol.reshape(-1)).reshape(gcol.shape)
             acc = acc + (self.vals_aff.astype(x.dtype) * g).sum(axis=1)
         if self.s_gen:
-            dbase = self.meta_gen.astype(jnp.int32)
+            dbase = self.meta_gen[:, :, 0].astype(jnp.int32)
             rowp = dbase[:, :, None] + subs[None, None, :]
             gcol = rowp[:, :, :, None] * LANES + self.lidx_gen.astype(
                 jnp.int32
@@ -528,7 +526,7 @@ def with_window(A: "BslabMatrix", w_blocks: int,
         )
     meta = [np.asarray(A.meta_aff[:, :, 0])] if A.s_aff else []
     if A.s_gen:
-        meta.append(np.asarray(A.meta_gen))
+        meta.append(np.asarray(A.meta_gen[:, :, 0]))
     lo = np.min(np.concatenate([m.reshape(A.n_tiles, -1) for m in meta],
                                axis=1), axis=1)
     wchunk = (lo // w_blocks).astype(np.int32)

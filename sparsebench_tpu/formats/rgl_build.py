@@ -7,14 +7,13 @@ entirely ON DEVICE from the (n, band, deg, seed) spec in host/rgl.py:
   * per tile of ``sub``*128 rows, the (rows x offsets) edge mask is pure
     u32 hash arithmetic on iota grids (no scatter, no gather);
   * the BSLAB slice layout uses STATIC per-block-diagonal capacity caps
-    (cap_d ~ mean + 6 sigma of the per-row per-128-column-window edge
-    count), so every slice plane is a masked REDUCTION over the offset
-    axis — slice k of bucket d selects entries whose within-(row,d)
-    cumulative count equals k+1. Static positions -> a plain stack, no
-    dynamic updates;
-  * a device-side overflow check guarantees no edge was dropped (caps
-    are generous; the build aborts loudly if the seed defeats them,
-    keeping the matrix exactly the host/rgl.py spec).
+    measured EXACTLY by a cheap phase-1 device pass (global max of the
+    per-(row, d) entry count — a handful of scalars read back), so every
+    slice plane in phase 2 is a masked REDUCTION over the offset axis —
+    slice k of bucket d selects entries whose within-(row, d) cumulative
+    count equals k+1. Static positions -> a plain stack, no dynamic
+    updates, zero layout slack beyond the matrix's own row-count skew;
+  * a device-side overflow check cross-validates the two phases.
 
 All slices are general (stored int8 lane indices) — the matrix is
 irregular by design. Values are -1 / degree+1 <= 255, exactly
@@ -24,7 +23,6 @@ representable in bf16, so compression is lossless by construction.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -38,14 +36,58 @@ from sparsebench_tpu.host.rgl import threshold
 from sparsebench_tpu.ops.bslab_pallas import LANES
 
 
-def _caps(band: int, deg: float, nD: int):
-    """Static per-bucket slice capacities: mean + 6 sigma + slack (the
-    per-row per-window edge count is ~Binomial(<=128, p))."""
-    lam = 128.0 * min(max(deg / (2.0 * band), 0.0), 1.0)
-    cap = int(math.ceil(lam + 6.0 * math.sqrt(max(lam, 1.0)) + 4.0))
-    caps = [cap] * nD
-    caps[nD // 2] += 1  # d == 0 bucket also holds the diagonal
-    return caps
+def _tile_masks(t, n, band, sub, offs):
+    """Shared per-tile mask/value computation — the host/rgl.py spec in
+    jnp (mix32 on iota grids)."""
+    R = sub * LANES
+    i = t * R + jnp.arange(R, dtype=jnp.int32)
+    j = i[:, None] + offs[None, :]
+    row_ok = i < n
+    inb = (j >= 0) & (j < n) & (offs[None, :] != 0) & row_ok[:, None]
+    lo = jnp.minimum(i[:, None], j)
+    hi = jnp.maximum(i[:, None], j)
+    h = (
+        jnp.maximum(lo, 0).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + jnp.maximum(hi, 0).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    return i, j, row_ok, inb, h
+
+
+def _hash_finish(h, seed, thresh):
+    h = h + jnp.uint32(seed) * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 16)
+    return h < jnp.uint32(thresh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "band", "sub", "n_tiles", "nD", "d_min",
+                     "thresh", "seed"),
+)
+def _probe_caps(n, band, sub, n_tiles, nD, d_min, thresh, seed):
+    """Phase 1: exact global per-bucket slice counts (max over all rows
+    of the per-(row, d) entry count) — a handful of scalars read back so
+    phase 2 can lay slices out with zero slack."""
+    offs = jnp.arange(-band, band + 1, dtype=jnp.int32)
+
+    def tile_fn(t):
+        i, j, row_ok, inb, h = _tile_masks(t, n, band, sub, offs)
+        edge = inb & _hash_finish(h, seed, thresh)
+        mask = edge | ((offs[None, :] == 0) & row_ok[:, None])
+        d_full = ((i[:, None] & (LANES - 1)) + offs[None, :]) >> 7
+        caps_t = []
+        for bi in range(nD):
+            md = mask & (d_full == d_min + bi)
+            cnt = jnp.cumsum(md, axis=1)
+            caps_t.append(jnp.max(jnp.where(md, cnt, 0)))
+        return jnp.stack(caps_t)
+
+    per_tile = jax.lax.map(tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
+    return per_tile.max(axis=0)
 
 
 @functools.partial(
@@ -55,29 +97,12 @@ def _caps(band: int, deg: float, nD: int):
 )
 def _build_device(n, band, sub, n_tiles, caps, d_min, thresh, seed,
                   store_dt):
-    R = sub * LANES
     nD = len(caps)
     offs = jnp.arange(-band, band + 1, dtype=jnp.int32)
 
     def tile_fn(t):
-        i = t * R + jnp.arange(R, dtype=jnp.int32)
-        j = i[:, None] + offs[None, :]
-        row_ok = i < n
-        inb = (j >= 0) & (j < n) & (offs[None, :] != 0) & row_ok[:, None]
-        lo = jnp.minimum(i[:, None], j)
-        hi = jnp.maximum(i[:, None], j)
-        # mix32 (host/rgl.py formula, jnp u32)
-        h = (
-            jnp.maximum(lo, 0).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-            + jnp.maximum(hi, 0).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-            + jnp.uint32(seed) * jnp.uint32(0xC2B2AE3D)
-        )
-        h = h ^ (h >> 15)
-        h = h * jnp.uint32(0x2C1B3C6D)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0x297A2D39)
-        h = h ^ (h >> 16)
-        edge = inb & (h < jnp.uint32(thresh))
+        i, j, row_ok, inb, h = _tile_masks(t, n, band, sub, offs)
+        edge = inb & _hash_finish(h, seed, thresh)
         degree = edge.sum(axis=1).astype(jnp.float32)
         mask = edge | ((offs[None, :] == 0) & row_ok[:, None])
         val = jnp.where(offs[None, :] == 0, degree[:, None] + 1.0, -1.0)
@@ -145,7 +170,13 @@ def rgl_bslab(
     d_min = -((band + LANES - 1) // LANES)
     d_max = (LANES - 1 + band) // LANES
     nD = d_max - d_min + 1
-    caps = _caps(band, deg, nD)
+    thresh = int(threshold(band, deg))
+    # phase 1: exact per-bucket capacities (zero layout slack)
+    caps = tuple(
+        max(1, int(c)) for c in np.asarray(
+            _probe_caps(n, band, sub, n_tiles, nD, d_min, thresh, seed)
+        )
+    )
     s_gen = int(sum(caps))
     store_dt = (
         jnp.dtype(jnp.bfloat16)
@@ -153,13 +184,12 @@ def rgl_bslab(
         else jnp.dtype(policy.value)
     )
     vals, lidx, nnz_dev, over = _build_device(
-        n, band, sub, n_tiles, tuple(caps), d_min,
-        int(threshold(band, deg)), seed, store_dt,
+        n, band, sub, n_tiles, caps, d_min, thresh, seed, store_dt,
     )
     if bool(over):
         raise SystemExit(
-            f"RGL build overflowed the static slice caps {caps} for "
-            f"seed={seed}; raise deg-derived caps (formats/rgl_build.py)"
+            f"RGL build overflowed the probed slice caps {caps} for "
+            f"seed={seed} — phase-1/phase-2 disagreement (bug)"
         )
     nnz = int(nnz_dev)
 
@@ -172,7 +202,7 @@ def rgl_bslab(
     dbase = np.clip(
         sub * t_np[:, None] + pos_d[None, :] + lead, 0, x_rows - sub
     )
-    meta_gen = dbase.astype(np.int32)
+    meta_gen = dbase.astype(np.int32)[:, :, None]
     lo, hi = dbase.min(axis=1), dbase.max(axis=1)
     w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi, sub)
 

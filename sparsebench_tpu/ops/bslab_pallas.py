@@ -56,7 +56,7 @@ def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
         return acc + va_ref[0, p].astype(acc.dtype) * g
 
     def gen_body(p, acc):
-        tbl = get_slab(meta_g_ref[0, p] - base)
+        tbl = get_slab(meta_g_ref[0, p, 0] - base)
         idx = lg_ref[0, p].astype(jnp.int32)
         g = jnp.take_along_axis(tbl, idx, axis=1)
         return acc + vg_ref[0, p].astype(acc.dtype) * g
@@ -84,7 +84,10 @@ def _specs(s_aff: int, s_gen: int, sub: int):
                               lambda t: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     if s_gen:
-        meta_g = pl.BlockSpec((1, s_gen), lambda t: (t, 0),
+        # 3-D (n_tiles, s_gen, 1): Mosaic requires the last two block
+        # dims divisible by (8, 128) OR equal to the array dims — a 2-D
+        # (1, s_gen) block with a blocked leading dim violates that
+        meta_g = pl.BlockSpec((1, s_gen, 1), lambda t: (t, 0, 0),
                               memory_space=pltpu.SMEM)
         vals_g = pl.BlockSpec((1, s_gen, sub, LANES),
                               lambda t: (t, 0, 0, 0),
@@ -142,7 +145,7 @@ def _kernel_whole(*refs, s_aff: int, s_gen: int, sub: int):
 def bslab_spmv(
     meta_aff,   # (n_tiles, s_aff, 2) int32: [dbase (padded rows), r]
     vals_aff,   # (n_tiles, s_aff, sub, 128) value dtype
-    meta_gen,   # (n_tiles, s_gen) int32: dbase
+    meta_gen,   # (n_tiles, s_gen, 1) int32: dbase
     vals_gen,   # (n_tiles, s_gen, sub, 128)
     lidx_gen,   # (n_tiles, s_gen, sub, 128) int8
     x2d,        # (x_rows, 128) padded: LEAD zero rows, data, trailing pad

@@ -195,10 +195,17 @@ def test_rgl_cli_rejects_host_formats():
                  "-z", "1", "--fmt", "crs", "-i", "5"])
 
 
-def test_bslab_cli_generated_default(capsys):
-    """--fmt auto on generated problems now selects the bslab analytic
-    device build (round-3 default)."""
+def test_generated_auto_picks_by_size_and_bslab_path_works(capsys):
+    """--fmt auto on generated problems picks dia below the ~2M-row
+    crossover (measured, NOTES.md r3); --fmt bslab forces the analytic
+    bslab device build."""
     rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "format dia" in out
+    assert "Difference between computed and exact  = 0.000" in out
+    rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15",
+                  "--fmt", "bslab"])
     out = capsys.readouterr().out
     assert rc == 0
     assert "format bslab" in out
