@@ -547,19 +547,23 @@ def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, sub, store_dt):
     """Device-side value planes for the stencil slab build: per slice
     (diagonal part) the values are a constant under vectorized bound
     checks on iota grid coordinates (cf. formats/dia.py
-    _stencil_dia_device). Computed per TILE under ``lax.map`` so the
-    compiled program size is independent of the matrix size — the fully
-    unrolled whole-matrix build compiled for ~35 s at 200^3/sub=64
-    (NOTES.md round 3); the mapped build compiles once per tile shape."""
+    _stencil_dia_device). Computed in BLOCKS of tiles under ``lax.map``:
+    the fully unrolled whole-matrix build compiled for ~35 s at
+    200^3/sub=64, while one-tile map steps left ~2x dispatch overhead
+    (8.9 s vs the ~3 s write floor) — blocks bound compile size AND
+    amortize per-step cost."""
     R = sub * LANES
+    blk = min(16, n_tiles)
+    nblk = -(-n_tiles // blk)  # build nblk*blk tiles, slice the excess off
+    BR = blk * R
 
-    def tile_fn(t):
-        i = t * R + jax.lax.iota(jnp.int32, R)
+    def block_fn(tb):
+        i = tb * BR + jax.lax.iota(jnp.int32, BR)
         ix = i % nx
         iy = (i // nx) % ny
         valid = i < local_nrow
         lane = i % LANES
-        counts = jnp.zeros(R, jnp.int32)
+        counts = jnp.zeros(BR, jnp.int32)
         planes = []
         for off, sz, sy, sx, r, is_b in slices:
             col = i + off
@@ -575,12 +579,15 @@ def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, sub, store_dt):
             v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
             planes.append(
                 jnp.where(m & sel, v, 0.0).astype(store_dt).reshape(
-                    sub, LANES
+                    blk, sub, LANES
                 )
             )
-        return jnp.stack(planes), counts
+        # (S, blk, sub, L) -> (blk, S, sub, L)
+        return jnp.stack(planes).swapaxes(0, 1), counts
 
     vals, counts = jax.lax.map(
-        tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)
+        block_fn, jnp.arange(nblk, dtype=jnp.int32)
     )
-    return vals, counts.reshape(-1)
+    # excess tiles (rows >= local_nrow) are fully masked -> zero planes
+    return (vals.reshape(nblk * blk, len(slices), sub, LANES)[:n_tiles],
+            counts.reshape(-1)[: n_tiles * R])
