@@ -393,12 +393,17 @@ def run_suite() -> int:
             log(f"RGL spmv: {dtr * 1e3:.3f} ms, {gr:.1f} GB/s effective, "
                 f"{pgr:.1f} GB/s physical ({pgr / (stream or 1):.2f} of "
                 f"stream)")
-            br = np.ones(n_rgl, np.float32)
+            # CG against a NON-trivial manufactured solution: b = ones
+            # converges in ~3 iterations (the solution is the constant
+            # vector — a degenerate Krylov space). b = A @ xe with a
+            # rough deterministic xe exercises the full 150 iterations.
+            xe = 0.5 + (jnp.arange(n_rgl, dtype=jnp.float32) % 97) / 97.0
+            br = np.asarray(Ar.spmv(xe))
             res_r = solve_cg(Ar, br, itermax=150, eps=0.0, verbose=False)
-            err_r = check_residual(res_r.x, np.ones(n_rgl))
-            ok = np.isfinite(res_r.residual_history).all() and err_r < 1e-3
+            err_r = check_residual(res_r.x, np.asarray(xe))
+            ok = np.isfinite(res_r.residual_history).all() and err_r < 1e-2
             log(f"RGL cg: {res_r.solve_seconds:.3f}s "
-                f"({res_r.iterations} iters, max|x-1| {err_r:.2e}, "
+                f"({res_r.iterations} iters, max|x-xe| {err_r:.2e}, "
                 f"{'ok' if ok else 'INVALID'})")
             if ok:
                 extra["rgl_cg150_seconds"] = round(res_r.solve_seconds, 3)

@@ -115,6 +115,15 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy, sub: int):
     lens = csr.row_lengths
     rows = np.repeat(np.arange(nr, dtype=np.int64), lens)
     col = csr.col.astype(np.int64)
+    val = csr.val
+    # the occurrence-run logic below requires column-sorted rows; every
+    # in-tree ingest path produces them, but guard (an unsorted row would
+    # silently collapse same-(row,d) entries onto one slot)
+    same_row = rows[1:] == rows[:-1]
+    if np.any(same_row & (col[1:] <= col[:-1])):
+        order0 = np.lexsort((col, rows))
+        col = col[order0]
+        val = val[order0]
     g = rows >> 7
     lane = (rows & 127).astype(np.int64)
     b = col >> 7
@@ -232,7 +241,7 @@ def _build_arrays(csr: HostCSR, policy: DTypePolicy, sub: int):
     lidx_gen = np.zeros((n_tiles, s_gen, sub, LANES), np.int8)
     e_aff = affine[gid]
     e_pos = pos_cls[gid]
-    v = csr.val.astype(policy.value)
+    v = val.astype(policy.value)
     vals_aff[t[e_aff], e_pos[e_aff], s[e_aff], lane[e_aff]] = v[e_aff]
     if s_gen:
         ge = ~e_aff

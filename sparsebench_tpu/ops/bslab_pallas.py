@@ -41,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 LEAD = 8  # leading x pad rows (min slab underflow guard, multiple of 8)
 
-_UNROLL_LIMIT = 96
+# Static unroll bound: dynamic (traced) VMEM slice indices in kernel
+# loops measured ~4x slower than a static unroll (NOTES.md round 2), and
+# the RGL matrix's 107 general slices ran 2.6x slower through the
+# fori_loop path (round 3). 192 covers every in-tree workload; beyond it
+# the fori fallback still exists.
+_UNROLL_LIMIT = 192
 
 
 def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,

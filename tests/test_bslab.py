@@ -195,3 +195,20 @@ def test_bslab_distributed_cg_matches_serial():
         rtol=2e-5, atol=1e-7 * res_serial.residual_history[0],
     )
     assert np.abs(res.x - xexact).max() < 1e-4
+
+
+def test_bslab_unsorted_rows_guard():
+    """Columns unsorted within a row must not collapse entries (builder
+    sorts defensively)."""
+    from sparsebench_tpu.host.coo import COOMatrix
+
+    rows = np.array([0, 0, 0, 1, 1])
+    cols = np.array([5, 2, 9, 7, 3])
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    row_ptr = np.array([0, 3, 5])
+    csr = HostCSR(row_ptr=row_ptr, col=cols, val=vals, nr=2, nc=12)
+    A = BslabMatrix.from_csr(csr, F32, impl="xla")
+    x = np.arange(12, dtype=np.float32)
+    y = np.asarray(A.spmv(jnp.asarray(x)))
+    want = np.array([1 * 5 + 2 * 2 + 3 * 9, 4 * 7 + 5 * 3], np.float64)
+    np.testing.assert_allclose(y, want, rtol=1e-2)
