@@ -61,14 +61,17 @@ def _backend_is_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _auto_sub(nr: int, sub: int) -> int:
-    """Default slice height: the tallest power-of-two (<= 64) whose tile
-    does not dwarf the matrix (tiny problems keep short tiles)."""
+def _auto_sub(nr: int, sub: int, default: int = DEFAULT_SUB) -> int:
+    """Default slice height: the tallest power-of-two (<= default) whose
+    tile does not dwarf the matrix (tiny problems keep short tiles).
+    General builds default to 64 (high slice counts at 128 would overflow
+    the VMEM operand blocks); the analytic stencil (53 slices) defaults
+    to 128 — measured 1.188 ms vs 1.235 at 200^3."""
     if sub:
         if sub % 8 or sub < 8:
             raise ValueError(f"sub must be a multiple of 8 >= 8, got {sub}")
         return sub
-    s = DEFAULT_SUB
+    s = default
     while s > 8 and s * LANES > max(nr, 1):
         s //= 2
     return s
@@ -377,7 +380,7 @@ class BslabMatrix:
         policy = default_policy(policy)
         _check_impl(impl)
         nr = nx * ny * nz
-        sub = _auto_sub(nr, sub)
+        sub = _auto_sub(nr, sub, default=128)
         lead = sub
         plane = nx * ny
         specs = sorted(
