@@ -9,6 +9,10 @@ rc = main()
 # (NOTES.md). All user-visible work (prints, checkpoint/binfile writes)
 # is flushed synchronously by main(), so a hard exit is safe — and only
 # taken on the axon dev backend; normal interpreter shutdown otherwise.
+# CONTRACT for new output writers (trace files, dumps, reports): flush/
+# close synchronously before main() returns — atexit handlers and
+# buffered writers registered for teardown will be skipped on this path
+# (profiler.trace() already stops its jax trace inside the with-block).
 # Probe only if main() already imported jax: initializing a backend here
 # would dial (and claim) the TPU for host-only runs like `-c file.mtx`.
 backend = ""

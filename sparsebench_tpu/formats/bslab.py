@@ -577,14 +577,19 @@ def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, sub, store_dt):
         lane = i % LANES
         counts = jnp.zeros(BR, jnp.int32)
         planes = []
+        mask_cache = {}  # a diagonal's A and B parts share one mask
         for off, sz, sy, sx, r, is_b in slices:
-            col = i + off
-            m = (
-                valid
-                & (ix + sx >= 0) & (ix + sx < nx)
-                & (iy + sy >= 0) & (iy + sy < ny)
-                & (col >= 0) & (col < local_nrow)
-            )
+            if off in mask_cache:
+                m = mask_cache[off]
+            else:
+                col = i + off
+                m = (
+                    valid
+                    & (ix + sx >= 0) & (ix + sx < nx)
+                    & (iy + sy >= 0) & (iy + sy < ny)
+                    & (col >= 0) & (col < local_nrow)
+                )
+                mask_cache[off] = m
             if not is_b:
                 counts = counts + m
             sel = (lane + r >= LANES) if is_b else (lane + r < LANES)
