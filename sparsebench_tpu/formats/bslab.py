@@ -559,52 +559,49 @@ def _stencil_vals_device(slices, nx, ny, local_nrow, n_tiles, sub, store_dt):
     """Device-side value planes for the stencil slab build: per slice
     (diagonal part) the values are a constant under vectorized bound
     checks on iota grid coordinates (cf. formats/dia.py
-    _stencil_dia_device). Computed in BLOCKS of tiles under ``lax.map``:
-    the fully unrolled whole-matrix build compiled for ~35 s at
-    200^3/sub=64, while one-tile map steps left ~2x dispatch overhead
-    (8.9 s vs the ~3 s write floor) — blocks bound compile size AND
-    amortize per-step cost."""
+    _stencil_dia_device). Two levels of batching keep BOTH compile time
+    and dispatch overhead bounded: tiles process in 16-tile blocks under
+    ``lax.map`` (the fully unrolled whole-matrix build compiled ~35 s at
+    200^3; one-tile steps left ~2x dispatch overhead), and the slice
+    axis is a broadcast dimension instead of a 53-expression python loop
+    (another ~2x of trace/compile)."""
     R = sub * LANES
     blk = min(16, n_tiles)
     nblk = -(-n_tiles // blk)  # build nblk*blk tiles, slice the excess off
     BR = blk * R
+    S = len(slices)
+    off_a = jnp.asarray([sp[0] for sp in slices], jnp.int32)[:, None]
+    sz_a = jnp.asarray([sp[1] for sp in slices], jnp.int32)[:, None]
+    sy_a = jnp.asarray([sp[2] for sp in slices], jnp.int32)[:, None]
+    sx_a = jnp.asarray([sp[3] for sp in slices], jnp.int32)[:, None]
+    r_a = jnp.asarray([sp[4] for sp in slices], jnp.int32)[:, None]
+    isb_a = jnp.asarray([sp[5] for sp in slices], bool)[:, None]
+    del sz_a  # z bounds are captured by the col range check
+    v_a = jnp.where(off_a == 0, jnp.float32(27.0), jnp.float32(-1.0))
 
     def block_fn(tb):
-        i = tb * BR + jax.lax.iota(jnp.int32, BR)
+        i = (tb * BR + jax.lax.iota(jnp.int32, BR))[None, :]
         ix = i % nx
         iy = (i // nx) % ny
         valid = i < local_nrow
         lane = i % LANES
-        counts = jnp.zeros(BR, jnp.int32)
-        planes = []
-        mask_cache = {}  # a diagonal's A and B parts share one mask
-        for off, sz, sy, sx, r, is_b in slices:
-            if off in mask_cache:
-                m = mask_cache[off]
-            else:
-                col = i + off
-                m = (
-                    valid
-                    & (ix + sx >= 0) & (ix + sx < nx)
-                    & (iy + sy >= 0) & (iy + sy < ny)
-                    & (col >= 0) & (col < local_nrow)
-                )
-                mask_cache[off] = m
-            if not is_b:
-                counts = counts + m
-            sel = (lane + r >= LANES) if is_b else (lane + r < LANES)
-            v = jnp.float32(27.0) if off == 0 else jnp.float32(-1.0)
-            planes.append(
-                jnp.where(m & sel, v, 0.0).astype(store_dt).reshape(
-                    blk, sub, LANES
-                )
-            )
+        col = i + off_a
+        m = (
+            valid
+            & (ix + sx_a >= 0) & (ix + sx_a < nx)
+            & (iy + sy_a >= 0) & (iy + sy_a < ny)
+            & (col >= 0) & (col < local_nrow)
+        )                                        # (S, BR)
+        counts = (m & ~isb_a).sum(axis=0).astype(jnp.int32)
+        wrap = lane + r_a >= LANES
+        sel = jnp.where(isb_a, wrap, ~wrap)
+        planes = jnp.where(m & sel, v_a, 0.0).astype(store_dt)
         # (S, blk, sub, L) -> (blk, S, sub, L)
-        return jnp.stack(planes).swapaxes(0, 1), counts
+        return planes.reshape(S, blk, sub, LANES).swapaxes(0, 1), counts
 
     vals, counts = jax.lax.map(
         block_fn, jnp.arange(nblk, dtype=jnp.int32)
     )
     # excess tiles (rows >= local_nrow) are fully masked -> zero planes
-    return (vals.reshape(nblk * blk, len(slices), sub, LANES)[:n_tiles],
+    return (vals.reshape(nblk * blk, S, sub, LANES)[:n_tiles],
             counts.reshape(-1)[: n_tiles * R])
