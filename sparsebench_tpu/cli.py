@@ -96,9 +96,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-C", "--chunk-height", type=int, default=None,
                     help="SELL-C-sigma chunk height C (0 = auto)")
     ap.add_argument("--impl", default=None,
-                    help="Kernel implementation override for dia/bsell "
-                    "(e.g. xla, pallas, pallas_win2, pallas_interpret); "
-                    "default auto-selects per backend/size")
+                    help="Kernel implementation override for dia/bsell/"
+                    "bslab (e.g. xla, pallas, pallas_win, pallas_win2, "
+                    "pallas_interpret); default auto-selects per "
+                    "backend/size")
     ap.add_argument("--sigma", type=int, default=None,
                     help="SELL-C-sigma sorting scope (0 = full sort)")
     # TPU-specific

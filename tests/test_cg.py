@@ -16,7 +16,7 @@ from sparsebench_tpu.solvers.cg import check_residual, init_vectors, solve_cg
 jax.config.update("jax_enable_x64", True)
 
 
-@pytest.mark.parametrize("fmt", ["crs", "sell", "ell", "dia"])
+@pytest.mark.parametrize("fmt", ["crs", "sell", "ell", "dia", "bslab"])
 def test_generated_problem_converges_to_exact(fmt):
     csr = generate_stencil(8, 8, 8)
     x0, b, xexact = init_vectors(csr)
@@ -123,7 +123,7 @@ def test_histories_agree_across_formats():
     # iterations, making histories degenerate
     b = np.random.default_rng(7).standard_normal(csr.nr)
     hists = {}
-    for fmt in ("crs", "sell", "ell", "dia"):
+    for fmt in ("crs", "sell", "ell", "dia", "bslab"):
         A = from_csr(fmt, csr)
         res = solve_cg(A, b, itermax=60, verbose=False)
         hists[fmt] = res.residual_history
