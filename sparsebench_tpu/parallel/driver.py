@@ -62,6 +62,19 @@ def init_shards(param: Parameter, size: int, rcm: bool = False):
             )
             for r in range(size)
         ]
+    if fn == "generateRGL":
+        # distributed RGL builds shards from the host spec (host/rgl.py;
+        # the single-chip path uses the on-device builder) so the
+        # partition planner sees ordinary CSR shards
+        from sparsebench_tpu.host.rgl import rgl_csr
+
+        csr = rgl_csr(param.nx * param.ny * param.nz, band=param.band,
+                      deg=param.deg, seed=param.seed)
+        coo = _csr_to_coo(csr)
+        return [
+            HostCSR.from_coo(slice_coo_rows(coo, r, size))
+            for r in range(size)
+        ]
 
     if fn.endswith(".mtx"):
         coo = read_mm(fn)
@@ -146,6 +159,10 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             [27.0 - (s.row_lengths - 1) for s in shards]
         ).astype(policy.value)
         xexact = np.ones(b.shape[0], dtype=policy.value)
+    elif param.filename == "generateRGL":
+        # RGL row sums are exactly 1 (host/rgl.py): b = ones, x == 1
+        b = np.ones(dm.part.total_nr, dtype=policy.value)
+        xexact = np.ones(dm.part.total_nr, dtype=policy.value)
     else:
         b = np.ones(dm.part.total_nr, dtype=policy.value)
         xexact = None

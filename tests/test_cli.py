@@ -189,6 +189,17 @@ def test_rgl_cli_cg(capsys):
     assert "Difference between computed and exact  = 0.000" in out
 
 
+def test_rgl_cli_sharded(capsys):
+    """generateRGL under --shards: host-spec shards through the standard
+    partition/exchange pipeline, exact-solution check."""
+    rc = run_cli(["-t", "cg", "-m", "generateRGL", "-x", "2000", "-y", "1",
+                  "-z", "1", "--band", "64", "--deg", "6.0", "-i", "80",
+                  "-e", "1e-8", "--shards", "4", "--fmt", "bslab"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Difference between computed and exact  = 0.000" in out
+
+
 def test_rgl_cli_rejects_host_formats():
     with pytest.raises(SystemExit, match="bslab"):
         run_cli(["-t", "cg", "-m", "generateRGL", "-x", "1000", "-y", "1",
