@@ -117,16 +117,19 @@ def build_stencil_dia(n: int):
     return A, b, xexact, setup_s
 
 
-def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3):
+def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
+             variant: str = "standard"):
     """Best validated CG solve seconds, or None if every attempt invalid."""
     from sparsebench_tpu.solvers.cg import check_residual, solve_cg
 
     best, good = float("inf"), False
     for _ in range(attempts):
-        res = solve_cg(A, b, itermax=itermax, eps=0.0, verbose=False)
+        res = solve_cg(A, b, itermax=itermax, eps=0.0, verbose=False,
+                       variant=variant)
         err = check_residual(res.x, xexact)
         ok = np.isfinite(res.residual_history).all() and err < 1e-3
-        log(f"  cg {n}^3: {res.solve_seconds:.3f}s ({res.iterations} iters, "
+        log(f"  cg {n}^3 [{variant}]: {res.solve_seconds:.3f}s "
+            f"({res.iterations} iters, "
             f"final residual {res.final_normr:.2e}, max|x-1| {err:.2e}, "
             f"{'ok' if ok else 'INVALID'})")
         if ok:
@@ -205,6 +208,9 @@ def run_suite() -> int:
         stream = None
 
     # -- 2. headline: CG 100^3 ----------------------------------------------
+    # Both CG formulations are measured (mathematically identical
+    # iterates): the single-reduction cs variant drops one fused-reduction
+    # dispatch per iteration, worth ~8% at this size (NOTES r3).
     best100 = None
     try:
         A, b, xexact, setup_s = build_stencil_dia(100)
@@ -214,6 +220,12 @@ def run_suite() -> int:
             log("pallas results invalid; retrying with the XLA dia path")
             A = A.replace(impl="xla")
             best100 = timed_cg(A, b, xexact, 100)
+        t_cs = timed_cg(A, b, xexact, 100, attempts=2, variant="cs")
+        if t_cs is not None:
+            extra["cg100_cs_seconds"] = round(t_cs, 4)
+            if best100 is None or t_cs < best100:
+                best100 = t_cs
+                extra["cg100_variant"] = "cs"
     except Exception as e:  # noqa: BLE001
         log(f"cg 100^3 failed: {e!r}")
 
@@ -349,11 +361,12 @@ def run_suite() -> int:
         extra["setup100_bslab_seconds"] = round(time.perf_counter() - t0, 1)
         x01, b1, xexact1 = init_vectors(row_lengths=counts1,
                                         dtype=np.float32)
-        best_b1 = timed_cg(A1, b1, xexact1, 100, attempts=3)
+        best_b1 = timed_cg(A1, b1, xexact1, 100, attempts=2, variant="cs")
         if best_b1 is not None:
             extra["cg100_bslab_seconds"] = round(best_b1, 4)
             if best100 is None or best_b1 < best100:
                 best100 = best_b1
+                extra["cg100_variant"] = "bslab-cs"
         del A1
     except Exception as e:  # noqa: BLE001
         log(f"bslab 100^3 failed: {e!r}")
@@ -526,6 +539,9 @@ def _ensure_device() -> None:
 
 def main() -> int:
     args = sys.argv[1:]
+    from sparsebench_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # setup times are compile-dominated (NOTES r3)
     _ensure_device()
     if args and args[0] == "spmv":
         n = int(args[1]) if len(args) > 1 else 100

@@ -219,6 +219,9 @@ def main(argv: Optional[list] = None) -> int:
 
     policy = DTypePolicy.from_names(param.dtype, param.index_dtype)
     policy.ensure_x64()
+    from sparsebench_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # setup is compile-dominated (NOTES.md r3)
 
     import jax
 

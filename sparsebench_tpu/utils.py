@@ -64,3 +64,27 @@ def device_banner() -> str:
             f"  device {d.id}: {d.device_kind} ({d.platform}){mem}"
         )
     return "\n".join(lines)
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache (XLA executables
+    serialized to disk). The analytic device builds and Pallas kernels
+    compile in ~4-12 s per shape on the dev chip and dominate "setup"
+    (NOTES.md round 3); with the cache a fresh process reuses them.
+    Safe no-op if the backend does not support serialization. The
+    SB_NO_COMPILE_CACHE env var disables it (cold-compile measurement)."""
+    if os.environ.get("SB_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = cache_dir or os.environ.get(
+        "SB_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - older jax knob names
+        pass
