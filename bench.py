@@ -128,12 +128,18 @@ def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
                        variant=variant)
         err = check_residual(res.x, xexact)
         ok = np.isfinite(res.residual_history).all() and err < 1e-3
+        # the breakdown guard can exit a few iterations early at exact
+        # (machine-zero) convergence; the benchmark metric is FIXED work
+        # (itermax iterations), so scale to per-iteration cost x itermax
+        t = res.solve_seconds * itermax / max(res.iterations, 1)
+        scaled = f" -> {t:.3f}s @{itermax}" if res.iterations != itermax \
+            else ""
         log(f"  cg {n}^3 [{variant}]: {res.solve_seconds:.3f}s "
-            f"({res.iterations} iters, "
+            f"({res.iterations} iters{scaled}, "
             f"final residual {res.final_normr:.2e}, max|x-1| {err:.2e}, "
             f"{'ok' if ok else 'INVALID'})")
         if ok:
-            best = min(best, res.solve_seconds)
+            best = min(best, t)
             good = True
     return best if good else None
 
