@@ -349,6 +349,7 @@ class BslabMatrix:
 
     @staticmethod
     def _resolve_impl(impl, policy, s_aff, s_gen, sub, x_rows) -> str:
+        _check_impl(impl)  # all builders funnel here (incl. rgl_bslab)
         if impl != "auto":
             return impl
         if not (_backend_is_tpu() and policy.value.itemsize <= 4):

@@ -109,6 +109,23 @@ def _backend_is_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _grid_pad(nr: int) -> int:
+    """nr_pad for the DIA layout: 128-lane rows, and at benchmark scale
+    rounded up to a multiple of 512 rows so every kernel tile height
+    (128/256/512) divides the stored grid. Otherwise dia_spmv_pallas must
+    jnp.pad the WHOLE data operand inside every call — measured r3 at
+    200^3: a 432 MB read + write copy costing ~1.0 ms/SpMV, i.e. the
+    entire gap between the kernel's ~845 GB/s micro rate
+    (benchmarks/dia_micro.py grid=256) and the ~270 GB/s end-to-end rate.
+    Kept lane-only for small matrices (the padded-row cost would dominate
+    and call-time padding of a tiny operand is free)."""
+    pad = max(LANES, round_up(nr, LANES))
+    rows = pad // LANES
+    if rows >= 4096 and rows % 512:
+        pad = round_up(rows, 512) * LANES
+    return pad
+
+
 @register_format("dia")
 @struct.dataclass
 class DiaMatrix:
@@ -166,7 +183,7 @@ class DiaMatrix:
             raise DiaUnsuitableError(
                 f"{offsets.size} populated diagonals exceeds max_diags={max_diags}"
             )
-        nr_pad = max(LANES, round_up(csr.nr, LANES))
+        nr_pad = _grid_pad(csr.nr)
         data = np.zeros((offsets.size, nr_pad), dtype=policy.value)
         d_idx = np.searchsorted(offsets, keys)
         data[d_idx, rows] = csr.val.astype(policy.value)
@@ -288,7 +305,7 @@ class DiaMatrix:
         else:
             store_dt = policy.value
 
-        nr_pad = max(LANES, round_up(local_nrow, LANES))
+        nr_pad = _grid_pad(local_nrow)
         data, counts_dev = _stencil_dia_device(
             tuple(specs), nx, ny, local_nrow, local_nrow * size, start_row,
             nr_pad, jnp.dtype(store_dt),

@@ -134,6 +134,82 @@ def _dia_kernel_dbuf(
     _accumulate(xw2, data_ref, y_ref, shifts, rows, roll)
 
 
+def _dia_kernel_win(
+    x_hbm, data_ref, y_ref, xwin, sem, prev_ref, *,
+    shifts: Tuple[int, ...], rows: int, span: int, tiles_per_chunk: int,
+    roll: str = "roll1",
+):
+    """Chunk-resident x window (the bslab win2 scheme, ops/bslab_pallas.py
+    _kernel_win): ONE (chunk + span)-row x DMA serves ``tiles_per_chunk``
+    consecutive row tiles, so the x overlap traffic is amortized from
+    (rows+span)/rows per tile (3.5x at 200^3, span=632) down to
+    (chunk+span)/chunk (~1.15x) — the dbuf kernel's sliding window
+    re-reads dominate its 2x-off-roofline gap (benchmarks/dia_micro.py:
+    with x resident every roll variant is memory-bound at 700+ GB/s).
+    x_hbm is (x_rows, 128); the scratch window is 2-D so all addressing
+    is row-sliced (no raw element math — the bslab layout lesson)."""
+    i = pl.program_id(0)
+    c = i // tiles_per_chunk
+    win_rows = tiles_per_chunk * rows + span + 8  # matches the scratch
+
+    @pl.when(jnp.logical_or(i == 0, c != prev_ref[0]))
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(c * tiles_per_chunk * rows, win_rows), :],
+            xwin, sem,
+        )
+        cp.start()
+        cp.wait()
+
+    prev_ref[0] = c
+    off = (i - c * tiles_per_chunk) * rows
+    out_dtype = y_ref.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    acc = None
+
+    def add(d, xs):
+        nonlocal acc
+        term = data_ref[d].astype(out_dtype) * xs
+        acc = term if acc is None else acc + term
+
+    if roll in ("carry", "gcarry"):
+        # carry row via a cheap sublane roll by -1 instead of a second
+        # sublane-misaligned value slice (benchmarks/dia_micro.py);
+        # "gcarry" additionally hoists the window slice per distinct q
+        # (the 27-pt stencil has 9-10 q-groups of ~3 diagonals)
+        plan = sorted(
+            (s // LANES, s % LANES, d) for d, s in enumerate(shifts)
+        )
+        groups: dict = {}
+        for q, r, d in plan:
+            groups.setdefault(q, []).append((r, d))
+        for q, group in groups.items():
+            w = None
+            if roll == "gcarry":
+                w = xwin[pl.ds(off + q, rows + 8), :]
+            for r, d in group:
+                wv = w if w is not None else xwin[pl.ds(off + q, rows + 8), :]
+                if r == 0:
+                    add(d, wv[:rows])
+                    continue
+                rolled = pltpu.roll(wv, shift=LANES - r, axis=1)
+                carry = pltpu.roll(rolled, shift=rolled.shape[0] - 1, axis=0)
+                add(d, jnp.where(lane < LANES - r, rolled[:rows],
+                                 carry[:rows]))
+    else:
+        for d, s in enumerate(shifts):
+            q, r = divmod(s, LANES)
+            if r == 0:
+                add(d, xwin[pl.ds(off + q, rows), :])
+                continue
+            rolled = pltpu.roll(
+                xwin[pl.ds(off + q, rows + 1), :], shift=LANES - r, axis=1
+            )
+            add(d, jnp.where(lane < LANES - r, rolled[:rows, :],
+                             rolled[1 : rows + 1, :]))
+    y_ref[:, :] = acc
+
+
 def _dia_kernel_xres(
     x_ref, data_ref, y_ref, *, shifts: Tuple[int, ...],
     rows: int, span: int, roll: str = "roll1",
@@ -147,6 +223,9 @@ def _dia_kernel_xres(
     xw = x_ref[pl.ds(i * rows * LANES, (rows + span) * LANES)]
     xw2 = xw.reshape(rows + span, LANES)
     _accumulate(xw2, data_ref, y_ref, shifts, rows, roll)
+
+
+DEFAULT_TILES_PER_CHUNK = 16
 
 
 def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
@@ -171,6 +250,14 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
             _dia_kernel_xres, shifts=shifts, rows=tile_rows, span=span,
             roll=roll,
         )
+        # the whole-x VMEM operand exceeds Mosaic's default 16 MB scoped
+        # vmem allowance beyond ~100^3; the chip has 128 MB VMEM and the
+        # raised limit measured at full HBM rate up to 67 MB of x (r3)
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024,
+            )
         return pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -182,6 +269,34 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
             ],
             out_specs=out_spec,
             out_shape=out_shape,
+            interpret=interpret,
+            **params,
+        )
+    if variant.startswith("win"):
+        tpc = DEFAULT_TILES_PER_CHUNK
+        # +8 rows: the carry/gcarry schemes slice (rows + 8)-row windows
+        win_rows = tpc * tile_rows + span + 8
+        if variant.endswith("carry"):
+            roll = "gcarry" if variant.endswith("gcarry") else "carry"
+        kernel = functools.partial(
+            _dia_kernel_win, shifts=shifts, rows=tile_rows, span=span,
+            tiles_per_chunk=tpc, roll=roll,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                # (x_rows, 128) unblocked HBM; all addressing row-sliced
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                data_spec,
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((win_rows, LANES), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((1,), jnp.int32),
+            ],
             interpret=interpret,
         )
     if variant.startswith("dbuf"):
@@ -241,34 +356,53 @@ def dia_spmv_pallas(
     grid_rows = ((n_rows + tile_rows - 1) // tile_rows) * tile_rows
     if grid_rows != data3d.shape[1]:
         data3d = jnp.pad(data3d, ((0, 0), (0, grid_rows - data3d.shape[1]), (0, 0)))
-    need_x = (grid_rows + span) * LANES
+    if variant.startswith("win"):
+        # the last chunk's window DMA reads a full (tpc*tile + span) rows;
+        # pad x (zeros, read once per chunk) rather than the data grid
+        chunk = DEFAULT_TILES_PER_CHUNK * tile_rows
+        n_chunks = (grid_rows + chunk - 1) // chunk
+        need_x = (n_chunks * chunk + span + 8) * LANES
+    else:
+        need_x = (grid_rows + span) * LANES
     if x1d.shape[0] < need_x:
         x1d = jnp.pad(x1d, (0, need_x - x1d.shape[0]))
     call = _build_call(
         ndiag, n_rows, shifts, tile_rows, span, x1d.dtype, interpret, variant,
         x_len=x1d.shape[0],
     )
-    y = call(x1d, data3d)
+    x_arg = x1d.reshape(-1, LANES) if variant.startswith("win") else x1d
+    y = call(x_arg, data3d)
     return y[:n_rows]
 
 
-VMEM_BUDGET_BYTES = 15 * 1024 * 1024  # vs the ~16 MB physical VMEM; the
-# budget now counts x twice (see choose_schedule), so the known-good 100^3
-# xres case (2x + blocks = 12.1 MB) stays selected while sizes between it
-# and the cutoff can no longer overflow even if Mosaic double-buffers the
-# constant-index-map x operand (ADVICE r2)
+VMEM_BUDGET_BYTES = 72 * 1024 * 1024  # the dev chip (v5e) has 128 MB
+# VMEM, not the generic "~16 MB" older-part figure: measured r3
+# (benchmarks/dia_micro.py), a 33.9 MB whole-x VMEM operand at 200^3
+# streams at ~845 GB/s and a 67.4 MB one at grid=512 still compiles and
+# runs at ~743 GB/s (with the raised per-kernel vmem_limit_bytes). Since
+# 2 x 67 MB would exceed physical VMEM, Mosaic provably single-buffers
+# the constant-index-map x operand (resolves the ADVICE r2 multi-buffer
+# concern empirically), so x is counted ONCE.
+
+XRES_BUDGET_BYTES = 24 * 1024 * 1024  # auto's xres cutoff: r3 sweeps
+# (benchmarks/dia_variant_sweep.py, data pre-padded so no per-call copy)
+# measured per-SpMV at 100^3 xres 0.048 ms vs dbuf 0.059; at 200^3
+# (x = 32.6 MB) xres 0.76 ms vs dbuf 0.61 — pinning a huge x costs more
+# than dbuf's fully-overlapped window DMA once x is tens of MB, so auto
+# keeps xres only while x stays comfortably small.
 
 
 def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
                     variant: str = "auto", tile_rows: int = 0):
     """Resolve (variant, tile_rows) for the DIA kernel. "auto" holds the
-    whole padded x VMEM-resident ("xres") when x plus the double-buffered
-    data/y blocks fit VMEM_BUDGET_BYTES — no per-tile HBM DMA at all —
-    and otherwise double-buffers the sliding x window ("dbuf"). Measured
-    on the dev v5e with differential timing (NOTES.md round-2 results):
-    at 100^3 xres 0.109 ms/spmv vs roll1 0.128; at 200^3 (beyond-VMEM x)
-    dbuf 1.79 ms vs roll1 1.94 — the overlapped window DMA is worth ~8%
-    once x no longer fits."""
+    whole padded x VMEM-resident ("xres") while x plus the double-
+    buffered data/y blocks fit XRES_BUDGET_BYTES — no per-tile x DMA at
+    all — and otherwise uses the sliding double-buffered window
+    ("dbuf"), which measured at HBM roofline at 200^3. NOTE r3: the
+    historical 200^3 "2x-off-roofline" gap was NOT the kernel — it was
+    dia_spmv_pallas's per-call jnp.pad of the whole data operand when
+    nr_pad's row count wasn't tile-divisible (fixed by _grid_pad in
+    formats/dia.py)."""
     tile = tile_rows or DEFAULT_TILE_ROWS
     if variant != "auto":
         return variant, tile
@@ -286,14 +420,17 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     x_len = (grid_rows + span) * LANES
     data_block = len(offsets) * tile * LANES * data_bytes
     y_block = tile * LANES * x_bytes
-    # Count x TWICE: Pallas may multi-buffer blocked operands even with a
-    # constant index map, so near the cutoff a doubled x allocation could
-    # exceed VMEM and fail compilation (ADVICE r2); halving the effective
-    # x budget keeps auto-selection safely conservative — dbuf is only ~8%
-    # slower right at the boundary.
-    budget = 2 * x_len * x_bytes + 2 * (data_block + y_block)
-    if budget <= VMEM_BUDGET_BYTES:
+    # x counted once: constant-index-map operands are single-buffered
+    # (proved by the 67 MB grid=512 run — see VMEM_BUDGET_BYTES note)
+    budget = x_len * x_bytes + 2 * (data_block + y_block)
+    if budget <= XRES_BUDGET_BYTES:
         return "xres", tile
+    # Beyond small x: dbuf (sliding double-buffered window) measured at
+    # HBM roofline once the data operand is build-time grid-padded —
+    # 0.614 ms / 813 GB/s physical at 200^3 (r3 sweep; win 0.63-0.64,
+    # xres 0.74-0.76). The window re-reads ride under the dominant
+    # diagonal-data stream, so the chunk-resident "win" kernel buys
+    # nothing at auto sizes; it stays available as an explicit variant.
     return "dbuf", tile
 
 

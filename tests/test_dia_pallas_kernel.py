@@ -16,7 +16,8 @@ POLICY = DTypePolicy.from_names("f32", "i32")
 
 @pytest.mark.parametrize("dims", [(8, 8, 8), (10, 9, 7), (4, 4, 4)])
 @pytest.mark.parametrize(
-    "variant", ["roll1", "roll2", "dbuf", "dbuf_roll2", "xres", "xres_roll2"]
+    "variant", ["roll1", "roll2", "dbuf", "dbuf_roll2", "xres", "xres_roll2",
+                "win", "win_carry", "win_gcarry"]
 )
 def test_kernel_matches_oracle(dims, variant):
     from sparsebench_tpu.ops import dia_pallas
@@ -82,7 +83,9 @@ def test_choose_schedule_auto():
     # small: fits VMEM comfortably
     v, t = dp.choose_schedule(offsets, 128 * 1024, 4, 2)
     assert (v, t) == ("xres", dp.DEFAULT_TILE_ROWS)
-    # 8M rows of f32 x alone exceeds the 12 MB budget
+    # 65536 rows of f32 x (33.9 MB) exceeds the xres cutoff -> dbuf,
+    # which measured at HBM roofline at 200^3 once the data operand is
+    # build-time grid-padded (r3 sweep; see choose_schedule comments)
     v, t = dp.choose_schedule(offsets, 128 * 65536, 4, 2)
     assert v == "dbuf"
     # explicit variant wins regardless of size

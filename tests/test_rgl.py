@@ -80,3 +80,13 @@ def test_rgl_cg_converges():
     b = np.ones(n, dtype=np.float32)
     res = solve_cg(A, b, itermax=300, eps=1e-7, verbose=False)
     assert check_residual(res.x, np.ones(n)) < 1e-4
+
+
+def test_rgl_impl_validation():
+    """A typo'd impl must raise, not silently fall to the XLA path
+    (ADVICE r2; every bslab builder funnels through _resolve_impl)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown bslab impl"):
+        rgl_bslab(256, band=16, deg=4.0, seed=1, policy=F32, sub=8,
+                  impl="palas")
