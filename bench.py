@@ -377,6 +377,42 @@ def run_suite() -> int:
     except Exception as e:  # noqa: BLE001
         log(f"bslab 100^3 failed: {e!r}")
 
+    # -- 6b. MATRIX-FREE stencil operator (formats/stencil.py) ---------------
+    # The generated matrix is exactly 28I - Sz.Sy.Sx (tensor product of
+    # 1-D 3-point sums), so the operator streams ZERO matrix bytes — the
+    # endpoint of the compression ladder. Its times are reported under
+    # separate keys (vectors-only traffic; deliberately NOT a *_phys_GBps
+    # key, so the SpMV roofline fraction below stays a storing-format
+    # claim), but CG time-to-solution is the same workload and iterates as
+    # the reference's, so it may take the headline.
+    try:
+        from sparsebench_tpu.formats.stencil import StencilOperator
+        from sparsebench_tpu.solvers.cg import init_vectors
+
+        for n in (100, 200):
+            As, cs = StencilOperator.from_stencil(n, n, n, policy=policy)
+            _, bs, xes = init_vectors(row_lengths=cs, dtype=np.float32)
+            dts = spmv_chain_time(As, reps=20, trials=3)
+            extra[f"stencilfree{n}_spmv_ms"] = round(dts * 1e3, 4)
+            log(f"matrix-free stencil {n}^3 apply: {dts * 1e3:.3f} ms "
+                f"({(As.nr + As.nc) * 4 / dts / 1e9:.0f} GB/s vectors-only)")
+            best_s = None
+            for var in ("standard", "cs"):
+                t = timed_cg(As, bs, xes, n, attempts=2, variant=var)
+                if t is not None and (best_s is None or t < best_s):
+                    best_s = t
+            if best_s is None:
+                continue
+            extra[f"cg{n}_stencilfree_seconds"] = round(best_s, 4)
+            if n == 100 and (best100 is None or best_s < best100):
+                best100 = best_s
+                extra["cg100_variant"] = "stencil-free"
+            if n == 200 and best_s < extra.get("cg200_seconds", 1e9):
+                extra["cg200_seconds"] = round(best_s, 3)
+                extra["cg200_variant"] = "stencil-free"
+    except Exception as e:  # noqa: BLE001
+        log(f"matrix-free stencil failed: {e!r}")
+
     # -- 7. RGL: large IRREGULAR matrix end-to-end (VERDICT r2 #2) -----------
     # Seeded random-graph Laplacian (host/rgl.py), n=2M rows, ~2.2e7 nnz,
     # generated and laid out entirely on device; exact solution x == 1.

@@ -80,10 +80,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # runtime options (compile-time in the reference, config.mk:1-8)
     ap.add_argument("--fmt", default=None,
                     choices=["auto", "crs", "ccrs", "sell", "ell", "dia",
-                             "bsell", "bslab"],
+                             "bsell", "bslab", "stencil"],
                     help="Matrix format (reference MTX_FMT). Default auto: "
                     "bslab (the tall-slice TPU format; 1.03x STREAM "
-                    "physical at 200^3), dia for banded .mtx ingest.")
+                    "physical at 200^3), dia for banded .mtx ingest. "
+                    "'stencil' is a MATRIX-FREE apply for generated "
+                    "problems only (zero matrix bytes streamed).")
     ap.add_argument("--sub", type=int, default=None,
                     help="bslab slice height in 128-row lane groups "
                     "(default 64, auto-shrunk for small matrices)")
@@ -278,7 +280,7 @@ def main(argv: Optional[list] = None) -> int:
         total_nr, model_nnz = n, nnz
         print(f"RGL: n={n} band={param.band} deg~{param.deg} seed="
               f"{param.seed} nnz={nnz} padding={A.padding_ratio:.2f}")
-    elif generated and param.fmt in ("auto", "bslab", "dia"):
+    elif generated and param.fmt in ("auto", "bslab", "dia", "stencil"):
         # Fast path: analytic ON-DEVICE stencil build, no CSR intermediate
         # and no host->device transfer. auto picks by size (measured CG
         # x150, NOTES.md round 3): the bslab tall-slice kernel wins at
@@ -288,7 +290,15 @@ def main(argv: Optional[list] = None) -> int:
         if pick == "auto":
             nrows = param.nx * param.ny * param.nz
             pick = "bslab" if nrows >= 2_000_000 else "dia"
-        if pick == "bslab":
+        if pick == "stencil":
+            from sparsebench_tpu.formats.stencil import StencilOperator
+
+            A, row_counts = StencilOperator.from_stencil(
+                param.nx, param.ny, param.nz,
+                use_7pt=param.filename == "generate7P",
+                policy=policy, **impl_opts,
+            )
+        elif pick == "bslab":
             from sparsebench_tpu.formats.bslab import BslabMatrix
 
             A, row_counts = BslabMatrix.from_stencil(

@@ -44,6 +44,7 @@ def _register_builtin_formats() -> None:
         crs,
         dia,
         sell,
+        stencil,
     )
 
 
