@@ -250,6 +250,12 @@ def main(argv: Optional[list] = None) -> int:
 
     t0 = time.perf_counter()
     if param.shards > 1:
+        if param.fmt == "stencil":
+            from sparsebench_tpu.parallel.stencil_dist import (
+                run_distributed_stencil,
+            )
+
+            return run_distributed_stencil(param, policy, args)
         from sparsebench_tpu.parallel.driver import run_distributed
 
         return run_distributed(param, policy, args)

@@ -1,0 +1,89 @@
+"""Distributed matrix-free stencil: z-slab SPMD parity tests.
+
+Oracles: the z-stacked multi-rank generated problem equals one big
+(nx, ny, nz*size) grid (reference src/matrix.c:37-41), so the dense
+generated matrix and the SERIAL matrix-free operator on the global grid
+are exact references for the sharded apply and solve."""
+
+import numpy as np
+import pytest
+
+from sparsebench_tpu.config import DTypePolicy
+from sparsebench_tpu.formats.stencil import StencilOperator
+from sparsebench_tpu.host import generate_stencil
+from sparsebench_tpu.parallel.stencil_dist import (
+    build_halo_stencil,
+    dist_solve_cg_stencil,
+    dist_spmv_stencil,
+)
+from sparsebench_tpu.solvers.cg import check_residual, init_vectors, solve_cg
+
+F32 = DTypePolicy.from_names("f32", "i32")
+SIZE = 4
+
+
+@pytest.mark.parametrize("dims", [(6, 5, 4), (4, 4, 1), (3, 3, 2)])
+@pytest.mark.parametrize("use_7pt", [False, True])
+def test_dist_spmv_matches_global_matrix(dims, use_7pt):
+    nx, ny, nz = dims
+    A, counts = build_halo_stencil(nx, ny, nz, SIZE, use_7pt=use_7pt)
+    csr = generate_stencil(nx, ny, nz * SIZE, use_7pt=use_7pt,
+                           dtype=np.float64)
+    assert A.nnz == csr.nnz
+    np.testing.assert_array_equal(counts, csr.row_lengths)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(A.total_nr).astype(np.float32)
+    want = csr.to_dense() @ x.astype(np.float64)
+    got = dist_spmv_stencil(A, SIZE, x)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("variant", ["standard", "cs"])
+def test_dist_cg_matches_serial(variant):
+    nx, ny, nz = 6, 6, 3
+    A, counts = build_halo_stencil(nx, ny, nz, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    res = dist_solve_cg_stencil(A, SIZE, b, itermax=60, eps=0.0,
+                                variant=variant, verbose=False)
+    assert check_residual(res.x, np.ones(A.total_nr)) < 1e-4
+
+    As, counts_s = StencilOperator.from_stencil(nx, ny, nz * SIZE,
+                                                policy=F32)
+    _, bs, _ = init_vectors(row_lengths=counts_s, dtype=np.float32)
+    res_s = solve_cg(As, bs, itermax=60, eps=0.0, verbose=False,
+                     variant=variant)
+    n = min(res.iterations, res_s.iterations)
+    np.testing.assert_allclose(res.residual_history[:n],
+                               res_s.residual_history[:n],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_dist_cg_jacobi():
+    A, counts = build_halo_stencil(5, 5, 2, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    inv_d = np.full(A.total_nr, 1.0 / 27.0, dtype=np.float32)
+    res = dist_solve_cg_stencil(A, SIZE, b, itermax=60, eps=0.0,
+                                inv_diag=inv_d, verbose=False)
+    assert check_residual(res.x, np.ones(A.total_nr)) < 1e-4
+
+
+def test_cli_sharded_stencil(capsys):
+    from sparsebench_tpu.cli import main
+
+    rc = main(["-t", "cg", "-x", "6", "-y", "6", "-z", "3", "-i", "40",
+               "--fmt", "stencil", "--shards", str(SIZE)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "z-slabs" in out
+    assert "Difference between computed and exact" in out
+
+
+def test_cli_sharded_stencil_guards():
+    from sparsebench_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="-t cg"):
+        main(["-t", "spmv", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+              "--fmt", "stencil", "--shards", "2"])
+    with pytest.raises(SystemExit, match="stored-format"):
+        main(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+              "--fmt", "stencil", "--shards", "2", "--profile"])
