@@ -288,14 +288,14 @@ def main(argv: Optional[list] = None) -> int:
               f"{param.seed} nnz={nnz} padding={A.padding_ratio:.2f}")
     elif generated and param.fmt in ("auto", "bslab", "dia", "stencil"):
         # Fast path: analytic ON-DEVICE stencil build, no CSR intermediate
-        # and no host->device transfer. auto picks by size (measured CG
-        # x150, NOTES.md round 3): the bslab tall-slice kernel wins at
-        # 200^3 (0.295 s vs dia 0.390) but its higher fixed per-call cost
-        # loses at 100^3 (0.073 vs dia 0.060) — crossover ~2M rows.
+        # and no host->device transfer. auto picks dia at every size since
+        # the r3 grid-padding fix (measured CG x150 on the chip, NOTES.md:
+        # 100^3 dia 0.052 s vs bslab 0.063; 200^3 dia 0.199 vs 0.285 —
+        # the dbuf DIA kernel runs at 1.2x measured STREAM physical).
+        # bslab remains the general-format (non-banded) answer.
         pick = param.fmt
         if pick == "auto":
-            nrows = param.nx * param.ny * param.nz
-            pick = "bslab" if nrows >= 2_000_000 else "dia"
+            pick = "dia"
         if pick == "stencil":
             from sparsebench_tpu.formats.stencil import StencilOperator
 

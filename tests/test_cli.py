@@ -207,9 +207,9 @@ def test_rgl_cli_rejects_host_formats():
 
 
 def test_generated_auto_picks_by_size_and_bslab_path_works(capsys):
-    """--fmt auto on generated problems picks dia below the ~2M-row
-    crossover (measured, NOTES.md r3); --fmt bslab forces the analytic
-    bslab device build."""
+    """--fmt auto on generated problems picks dia at every size (the r3
+    grid-padded dbuf kernel wins both 100^3 and 200^3, NOTES.md);
+    --fmt bslab forces the analytic bslab device build."""
     rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "15"])
     out = capsys.readouterr().out
     assert rc == 0
