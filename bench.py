@@ -167,6 +167,10 @@ def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
     @jax.jit
     def chain(A, c, n):
         def step(A, u):
+            # permuted formats chain in their native (permuted/padded)
+            # space — that is the kernel the solvers run
+            if getattr(A, "permuted_output", False):
+                return A.spmv_permuted(u)
             y = A.spmv(u)
             if y.shape[0] == A.nc:
                 return y
@@ -394,8 +398,11 @@ def run_suite() -> int:
             _, bs, xes = init_vectors(row_lengths=cs, dtype=np.float32)
             dts = spmv_chain_time(As, reps=20, trials=3)
             extra[f"stencilfree{n}_spmv_ms"] = round(dts * 1e3, 4)
-            log(f"matrix-free stencil {n}^3 apply: {dts * 1e3:.3f} ms "
-                f"({(As.nr + As.nc) * 4 / dts / 1e9:.0f} GB/s vectors-only)")
+            vec_bytes = (2 * As.nc if As.permuted_output
+                         else As.nr + As.nc) * 4
+            log(f"matrix-free stencil {n}^3 apply ({As.impl}): "
+                f"{dts * 1e3:.3f} ms "
+                f"({vec_bytes / dts / 1e9:.0f} GB/s vectors-only)")
             best_s = None
             for var in ("standard", "cs"):
                 t = timed_cg(As, bs, xes, n, attempts=2, variant=var)

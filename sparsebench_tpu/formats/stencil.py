@@ -126,16 +126,27 @@ class StencilOperator:
                 "z-stacked multi-rank problem needs halo columns — use "
                 "--fmt dia|bslab under --shards"
             )
-        if impl not in ("auto", "xla"):
+        if impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown stencil impl {impl!r}; "
-                             "available: auto, xla")
+                             "available: auto, xla, pallas")
         default_policy(policy)  # validates; operator itself stores nothing
+        if impl == "auto":
+            import jax
+
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
         nr = nx * ny * nz
         counts = stencil_row_counts(nx, ny, nz, use_7pt)
         nnz = int(counts.sum())
+        nc = nr
+        if impl == "pallas":
+            from sparsebench_tpu.ops.stencil_pallas import pad_dims
+
+            nxp, nyp = pad_dims(nx, ny, nz)
+            nc = (nz + 2) * nyp * nxp  # the padded vector space (see
+            # ops/stencil_pallas.py): solvers run permuted, like SELL
         return (
-            cls(nx=nx, ny=ny, nz=nz, use_7pt=use_7pt, nr=nr, nc=nr,
-                nnz=nnz, total_nr=nr, total_nnz=nnz),
+            cls(nx=nx, ny=ny, nz=nz, use_7pt=use_7pt, nr=nr, nc=nc,
+                nnz=nnz, total_nr=nr, total_nnz=nnz, impl=impl),
             counts,
         )
 
@@ -143,7 +154,49 @@ class StencilOperator:
     def padding_ratio(self) -> float:
         return 0.0
 
+    # --------------------------------------------- padded ("permuted") space
+    # The Pallas path runs solvers in the zero-padded (nz+2, nyp, nxp)
+    # vector space (ops/stencil_pallas.py module doc) — structurally the
+    # same contract as SELL's permuted space (solvers/cg.py), with
+    # pad-in/pad-out as the permutation.
+    @property
+    def permuted_output(self) -> bool:
+        return self.impl == "pallas"
+
+    def _pads(self):
+        from sparsebench_tpu.ops.stencil_pallas import pad_dims
+
+        return pad_dims(self.nx, self.ny, self.nz)
+
+    def permute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        nxp, nyp = self._pads()
+        v3 = jnp.asarray(v)[: self.nr].reshape(self.nz, self.ny, self.nx)
+        out = jnp.zeros((self.nz + 2, nyp, nxp), v3.dtype)
+        return out.at[1 : self.nz + 1, : self.ny, : self.nx].set(
+            v3
+        ).reshape(-1)
+
+    def unpermute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        nxp, nyp = self._pads()
+        v4 = jnp.asarray(v).reshape(self.nz + 2, nyp, nxp)
+        return v4[1 : self.nz + 1, : self.ny, : self.nx].reshape(-1)
+
+    def spmv_permuted(self, xp: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        from sparsebench_tpu.ops.stencil_pallas import stencil_apply_pallas
+
+        return stencil_apply_pallas(
+            xp, self.nx, self.ny, self.nz, use_7pt=self.use_7pt,
+            interpret=jax.default_backend() in ("cpu",),
+        )
+
+    # ------------------------------------------------------------ logical
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.impl == "pallas":
+            return self.unpermute_vector(
+                self.spmv_permuted(self.permute_vector(x))
+            )
         v = x[: self.nr].reshape(self.nz, self.ny, self.nx)
         if self.use_7pt:
             s = _sum3(v, 0) + _sum3(v, 1) + _sum3(v, 2)

@@ -1,0 +1,187 @@
+"""Fused Pallas kernel for the matrix-free stencil apply.
+
+The XLA lowering of the tensor-product form (formats/stencil.py
+28I - Sz.Sy.Sx) materializes every pad/slice intermediate in HBM —
+measured 0.357 ms at 100^3 (22 GB/s vectors-only, ~5 full-array round
+trips). This kernel fuses the whole separable apply per z-slab tile in
+VMEM, so traffic is one x read + one y write (+ a (tz+2)/tz z-halo
+re-read) — the true speed-of-light for the operator.
+
+Padded vector space ("the stencil permutation"): x lives as a 2-D
+(n_rows, nxp) array — one row per (z, y) line, nx rounded to the
+128-lane tile (one extra zero lane group when nx is an exact multiple,
+so lane rolls wrap zeros, never data), ny rounded to the 8-sublane tile
+(nyp rows per plane), and one ZERO halo plane before and after the
+domain. All padding is zero and every kernel output keeps it zero, so
+BLAS-1/dot arithmetic over the padded space is exact — the same contract
+row-permuting formats use (solvers/cg.py permuted_output path).
+
+Everything in-kernel is strictly 2-D: Mosaic rejected the whole-window
+1-D -> 2-D value reshape ("infer-vector-layout: unsupported shape
+cast"), so the window loads as (rows, nxp) and
+
+    Sx = two lane rolls (pad lanes are zero),
+    Sy = two sublane rolls masked at plane-boundary rows,
+    Sz = three static row slices at plane stride nyp,
+
+with plane-position masks derived from one row iota mod nyp. Manual
+DMAs address whole rows; slice offsets are multiples of nyp (8-aligned),
+per the dbuf tile-alignment lesson (NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+
+
+def pad_dims(nx: int, ny: int, nz: int) -> Tuple[int, int]:
+    """(nxp, nyp): lane/sublane-padded x/y extents. nx an exact lane
+    multiple gets one extra zero lane group so cyclic rolls wrap zeros."""
+    if nx % LANES == 0:
+        nxp = nx + LANES
+    else:
+        nxp = (nx + LANES - 1) // LANES * LANES
+    nyp = (ny + SUBLANES - 1) // SUBLANES * SUBLANES
+    return nxp, nyp
+
+
+def choose_tz(nz: int, plane_bytes: int,
+              budget: int = 4 * 1024 * 1024) -> int:
+    """Largest divisor of nz with a (tz+2)-plane window under ``budget``."""
+    best = 1
+    for tz in range(1, nz + 1):
+        if nz % tz == 0 and (tz + 2) * plane_bytes <= budget and tz <= 64:
+            best = tz
+    return best
+
+
+def _stencil_kernel(
+    x_hbm, y_hbm, xwin, ywin, zplane, sem_in, sem_out, sem_z, *,
+    nx: int, ny: int, nz: int, nxp: int, nyp: int, tz: int, use_7pt: bool,
+):
+    a = pl.program_id(0)
+    n_tiles = nz // tz
+    w_rows = (tz + 2) * nyp
+
+    cp_in = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(a * tz * nyp, w_rows), :], xwin, sem_in
+    )
+    cp_in.start()
+    cp_in.wait()
+
+    v = xwin[:, :]
+    dt = v.dtype
+    # plane-position of each row: one iota + constant-divisor mod
+    row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, nxp), 0)
+    pos = row - (row // nyp) * nyp
+
+    def sum_x(t):  # lane rolls; pad lanes are zero so wraps carry zeros
+        return (t + pltpu.roll(t, shift=nxp - 1, axis=1)
+                + pltpu.roll(t, shift=1, axis=1))
+
+    def sum_y(t):  # sublane rolls masked at plane-boundary rows
+        up = jnp.where(pos < ny - 1, pltpu.roll(t, shift=w_rows - 1, axis=0),
+                       jnp.asarray(0, dt))
+        dn = jnp.where(pos > 0, pltpu.roll(t, shift=1, axis=0),
+                       jnp.asarray(0, dt))
+        return t + up + dn
+
+    def sum_z(t):  # three static row slices at plane stride
+        return (t[0 : tz * nyp] + t[nyp : (tz + 1) * nyp]
+                + t[2 * nyp : (tz + 2) * nyp])
+
+    vc = v[nyp : (tz + 1) * nyp]
+    if use_7pt:
+        s = (sum_x(v)[nyp : (tz + 1) * nyp]
+             + sum_y(v)[nyp : (tz + 1) * nyp] + sum_z(v))
+        y = jnp.asarray(30.0, dt) * vc - s
+    else:
+        y = jnp.asarray(28.0, dt) * vc - sum_z(sum_y(sum_x(v)))
+
+    # zero the pad rows/lanes (their Sy/Sx sums see real data, but the
+    # padded vector space contract is pad == 0 everywhere). pos_c is a
+    # FRESH iota, not pos[:tz*nyp]: slicing a lane-broadcast iota crashes
+    # Mosaic when nxp spans >1 lane tile (vector_extract_slice_impl
+    # "limits[i] <= dim(i) (2 vs. 1)", observed at nxp=256 on v5e)
+    row_c = jax.lax.broadcasted_iota(jnp.int32, (tz * nyp, nxp), 0)
+    pos_c = row_c - (row_c // nyp) * nyp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tz * nyp, nxp), 1)
+    ywin[:, :] = jnp.where(
+        (pos_c < ny) & (lane < nx), y, jnp.asarray(0, dt)
+    )
+
+    cp_out = pltpu.make_async_copy(
+        ywin, y_hbm.at[pl.ds((1 + a * tz) * nyp, tz * nyp), :], sem_out
+    )
+    cp_out.start()
+    cp_out.wait()
+
+    # the two output halo planes belong to no tile: edge tiles zero them
+    @pl.when(a == 0)
+    def _():
+        zplane[:, :] = jnp.zeros((nyp, nxp), dt)
+        cp = pltpu.make_async_copy(
+            zplane, y_hbm.at[pl.ds(0, nyp), :], sem_z
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(a == n_tiles - 1)
+    def _():
+        zplane[:, :] = jnp.zeros((nyp, nxp), dt)
+        cp = pltpu.make_async_copy(
+            zplane, y_hbm.at[pl.ds((1 + nz) * nyp, nyp), :], sem_z
+        )
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "nz", "use_7pt", "tz", "interpret"),
+)
+def stencil_apply_pallas(
+    xpad: jnp.ndarray,   # flat (nz+2)*nyp*nxp padded vector space
+    nx: int, ny: int, nz: int,
+    use_7pt: bool = False,
+    tz: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    nxp, nyp = pad_dims(nx, ny, nz)
+    plane = nyp * nxp
+    assert xpad.shape[0] == (nz + 2) * plane, (xpad.shape, nz, plane)
+    tz = tz or choose_tz(nz, plane * xpad.dtype.itemsize)
+    kernel = functools.partial(
+        _stencil_kernel, nx=nx, ny=ny, nz=nz, nxp=nxp, nyp=nyp, tz=tz,
+        use_7pt=use_7pt,
+    )
+    # the 2-D (rows, nxp) view is reshaped OUTSIDE the kernel; the kernel
+    # only ever row-slices it (no raw element math on a 2-D operand —
+    # the bslab layout lesson, NOTES.md)
+    x2d = xpad.reshape(-1, nxp)
+    y2d = pl.pallas_call(
+        kernel,
+        grid=(nz // tz,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((tz + 2) * nyp, nxp), xpad.dtype),
+            pltpu.VMEM((tz * nyp, nxp), xpad.dtype),
+            pltpu.VMEM((nyp, nxp), xpad.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2d)
+    return y2d.reshape(-1)

@@ -55,6 +55,22 @@ class HaloStencilOperator:
     impl: str = struct.field(pytree_node=False, default="xla")
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.impl == "pallas":
+            # x IS the padded (nz+2, nyp, nxp) space; the received halo
+            # planes sit exactly where the fused kernel reads its z-window
+            # boundaries, so the distributed apply is the SAME kernel as
+            # the serial one (ops/stencil_pallas.py) — zero extra code on
+            # the compute path.
+            import jax as _jax
+
+            from sparsebench_tpu.ops.stencil_pallas import (
+                stencil_apply_pallas,
+            )
+
+            return stencil_apply_pallas(
+                x, self.nx, self.ny, self.nz, use_7pt=self.use_7pt,
+                interpret=_jax.default_backend() in ("cpu",),
+            )
         nz, ny, nx = self.nz, self.ny, self.nx
         plane = nx * ny
         v3 = x[: self.nr].reshape(nz, ny, nx)
@@ -70,6 +86,28 @@ class HaloStencilOperator:
             s = t[0:nz] + t[1 : nz + 1] + t[2 : nz + 2]
             y = jnp.asarray(28.0, v3.dtype) * v3 - s
         return y.reshape(-1)
+
+    # ---------------------------------------------------- padded space
+    # (pallas impl only) flat (nz+2, nyp, nxp) per shard; the halo
+    # planes 0 / nz+1 are written by the exchange, everything else is
+    # the serial operator's zero-padding contract.
+    def _pads(self):
+        from sparsebench_tpu.ops.stencil_pallas import pad_dims
+
+        return pad_dims(self.nx, self.ny, self.nz)
+
+    def pad_shard_vector(self, v: np.ndarray) -> np.ndarray:
+        nxp, nyp = self._pads()
+        out = np.zeros(((self.nz + 2), nyp, nxp), dtype=v.dtype)
+        out[1 : self.nz + 1, : self.ny, : self.nx] = np.asarray(v).reshape(
+            self.nz, self.ny, self.nx
+        )
+        return out.reshape(-1)
+
+    def unpad_shard_vector(self, v: np.ndarray) -> np.ndarray:
+        nxp, nyp = self._pads()
+        v4 = np.asarray(v).reshape(self.nz + 2, nyp, nxp)
+        return v4[1 : self.nz + 1, : self.ny, : self.nx].reshape(-1)
 
 
 def make_plane_exchange(nr: int, plane: int, size: int, axis: str = AXIS):
@@ -88,37 +126,98 @@ def make_plane_exchange(nr: int, plane: int, size: int, axis: str = AXIS):
     return exchange
 
 
+def make_padded_plane_exchange(A: "HaloStencilOperator", size: int,
+                               axis: str = AXIS):
+    """Pallas-impl exchange: neighbor planes land IN the padded space's
+    halo planes (rows 0 and nz+1), which is exactly where the fused
+    kernel reads its z-window boundaries."""
+    nxp, nyp = A._pads()
+    pp = nyp * nxp  # padded plane elements
+    nz = A.nz
+    up_perm = [(i, i + 1) for i in range(size - 1)]
+    dn_perm = [(i + 1, i) for i in range(size - 1)]
+
+    def exchange(p):
+        last_real = p[nz * pp : (nz + 1) * pp]
+        first_real = p[pp : 2 * pp]
+        up = jax.lax.ppermute(last_real, axis, up_perm)
+        dn = jax.lax.ppermute(first_real, axis, dn_perm)
+        return jnp.concatenate([up, p[pp : (nz + 1) * pp], dn])
+
+    return exchange
+
+
 def build_halo_stencil(nx: int, ny: int, nz: int, size: int,
-                       use_7pt: bool = False):
+                       use_7pt: bool = False, impl: str = "auto"):
     """(operator, global row_counts) for the z-stacked ``size``-rank
-    problem; counts feed b = 27 - (nnzrow - 1) (src/CGSolver.c:25-36)."""
+    problem; counts feed b = 27 - (nnzrow - 1) (src/CGSolver.c:25-36).
+    impl "pallas" (auto on TPU) runs the fused serial kernel per shard in
+    the padded vector space; "xla" keeps the tail-halo tensor form."""
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown stencil impl {impl!r}; "
+                         "available: auto, xla, pallas")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     nr = nx * ny * nz
     counts = stencil_row_counts(nx, ny, nz * size, use_7pt)
     nnz = int(counts.sum())
+    if impl == "pallas":
+        from sparsebench_tpu.ops.stencil_pallas import pad_dims
+
+        nxp, nyp = pad_dims(nx, ny, nz)
+        nc = (nz + 2) * nyp * nxp
+    else:
+        nc = nr + 2 * nx * ny
     A = HaloStencilOperator(
         nx=nx, ny=ny, nz=nz, use_7pt=use_7pt, nr=nr,
-        nc=nr + 2 * nx * ny, nnz=nnz, total_nr=nr * size, total_nnz=nnz,
+        nc=nc, nnz=nnz, total_nr=nr * size, total_nnz=nnz, impl=impl,
     )
     return A, counts
+
+
+def _shard_in(A: HaloStencilOperator, size: int, v_global) -> np.ndarray:
+    """Global row vector -> stacked per-shard working vectors (padded
+    space for the pallas impl, bare local rows for xla)."""
+    vs = np.asarray(v_global).reshape(size, A.nr)
+    if A.impl == "pallas":
+        return np.stack([A.pad_shard_vector(vs[s]) for s in range(size)])
+    return vs
+
+
+def _shard_out(A: HaloStencilOperator, size: int, v_stacked) -> np.ndarray:
+    v = np.asarray(v_stacked)
+    if A.impl == "pallas":
+        return np.concatenate(
+            [A.unpad_shard_vector(v[s]) for s in range(size)]
+        )
+    return v.reshape(-1)[: size * A.nr]
+
+
+def _make_exchange(A: HaloStencilOperator, size: int):
+    if A.impl == "pallas":
+        return make_padded_plane_exchange(A, size)
+    return make_plane_exchange(A.nr, A.nx * A.ny, size)
 
 
 def dist_spmv_stencil(A: HaloStencilOperator, size: int,
                       x_global: np.ndarray, mesh=None) -> np.ndarray:
     """One exchanged SpMV over the mesh (testing/parity oracle)."""
     mesh = mesh if mesh is not None else make_mesh(size)
-    plane = A.nx * A.ny
-    exchange = make_plane_exchange(A.nr, plane, size)
+    exchange = _make_exchange(A, size)
+    tail = A.nc - A.nr if A.impl != "pallas" else 0
 
     def local(x):
-        xl = jnp.concatenate([x[0], jnp.zeros(2 * plane, x.dtype)])
+        xl = x[0]
+        if tail:
+            xl = jnp.concatenate([xl, jnp.zeros(tail, xl.dtype)])
         return A.spmv(exchange(xl))[None]
 
     fn = jax.jit(
         jax.shard_map(local, mesh=mesh, in_specs=(P(AXIS),),
                       out_specs=P(AXIS), check_vma=False)
     )
-    xs = np.asarray(x_global, dtype=np.float32).reshape(size, A.nr)
-    return np.asarray(fn(jnp.asarray(xs))).reshape(-1)
+    xs = _shard_in(A, size, np.asarray(x_global, dtype=np.float32))
+    return _shard_out(A, size, fn(jnp.asarray(xs)))
 
 
 def dist_solve_cg_stencil(
@@ -137,18 +236,19 @@ def dist_solve_cg_stencil(
     collective structure as dist_solve_cg — 2 psums + 1 plane exchange
     per iteration; 1 fused psum with variant="cs")."""
     mesh = mesh if mesh is not None else make_mesh(size)
-    plane = A.nx * A.ny
-    exchange = make_plane_exchange(A.nr, plane, size)
+    exchange = _make_exchange(A, size)
     allsum = make_allsum(AXIS)
     loop = partial(
         cg_cs_loop if variant == "cs" else cg_loop,
         itermax=itermax, exchange=exchange, allsum=allsum,
     )
 
-    b_st = jnp.asarray(np.asarray(b_global).reshape(size, A.nr))
+    b_st = jnp.asarray(_shard_in(A, size, b_global))
     x0_st = jnp.zeros_like(b_st)
     md_st = (
-        jnp.asarray(np.asarray(inv_diag, dtype=b_st.dtype).reshape(size, A.nr))
+        jnp.asarray(_shard_in(
+            A, size, np.asarray(inv_diag, dtype=np.asarray(b_global).dtype)
+        ))
         if inv_diag is not None else None
     )
 
@@ -185,7 +285,7 @@ def dist_solve_cg_stencil(
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 
     return CGResult(
-        x=np.asarray(x_dev).reshape(-1),
+        x=_shard_out(A, size, x_dev),
         iterations=k,
         residual_history=hist[:k],
         final_normr=float(hist[k - 1] if k > 1 else hist[0]),
@@ -210,11 +310,11 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
             "for the other distributed bench types"
         )
     for flag, msg in (("profile", "--profile"), ("checkpoint", "--checkpoint"),
-                      ("rcm", "--rcm"), ("impl", "--impl")):
+                      ("rcm", "--rcm")):
         if getattr(args, flag, None):
             raise SystemExit(
                 f"{msg} combines with the stored-format distributed paths; "
-                "--fmt stencil streams no matrix and has one implementation"
+                "--fmt stencil streams no matrix"
             )
     size = param.shards
     if len(jax.devices()) < size:
@@ -226,9 +326,10 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
     A, counts = build_halo_stencil(
         param.nx, param.ny, param.nz, size,
         use_7pt=param.filename == "generate7P",
+        impl=getattr(args, "impl", None) or "auto",
     )
     print(f"Setup took {time.perf_counter() - t0:.2f}s (format stencil, "
-          f"matrix-free)")
+          f"matrix-free, impl={A.impl})")
     plane = param.nx * param.ny
     print(f"Partition: {size} z-slabs x {A.nr} rows, halo {2 * plane}")
 

@@ -99,12 +99,18 @@ def bounds_from_tridiag(alphas, betas, count: int) -> Tuple[float, float]:
 
 def estimate_bounds(
     A, nr: int, dtype, exchange=_identity, allsum=_identity, steps: int = 25,
-    seed: int = 0,
+    seed: int = 0, permute=None,
 ) -> Tuple[float, float]:
     """Lanczos extreme-eigenvalue estimate with safety margins (one fused
-    device dispatch + a tiny host eigensolve)."""
+    device dispatch + a tiny host eigensolve). For permuted-space
+    operators pass ``permute`` (e.g. ``A.permute_vector``): the seed is
+    lifted into the operator's working space — for zero-padded spaces
+    (stencil Pallas) this also keeps the Krylov basis orthogonal to the
+    pad's artificial zero modes, which would otherwise drag lmin to 0."""
     rng = np.random.default_rng(seed)
     v0 = jnp.asarray(rng.standard_normal(nr).astype(dtype))
+    if permute is not None:
+        v0 = permute(v0)
     fn = jax.jit(
         partial(lanczos_tridiag, steps=min(steps, nr), exchange=exchange,
                 allsum=allsum)
@@ -186,7 +192,8 @@ def solve_chebyshev(
 
     if bounds is None:
         bounds = estimate_bounds(
-            A, b.shape[0], b.dtype, exchange=exchange, allsum=allsum
+            A, b.shape[0], b.dtype, exchange=exchange, allsum=allsum,
+            permute=A.permute_vector if permuted else None,
         )
     lmin, lmax = bounds
     if verbose:

@@ -24,9 +24,11 @@ SIZE = 4
 
 @pytest.mark.parametrize("dims", [(6, 5, 4), (4, 4, 1), (3, 3, 2)])
 @pytest.mark.parametrize("use_7pt", [False, True])
-def test_dist_spmv_matches_global_matrix(dims, use_7pt):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_dist_spmv_matches_global_matrix(dims, use_7pt, impl):
     nx, ny, nz = dims
-    A, counts = build_halo_stencil(nx, ny, nz, SIZE, use_7pt=use_7pt)
+    A, counts = build_halo_stencil(nx, ny, nz, SIZE, use_7pt=use_7pt,
+                                   impl=impl)
     csr = generate_stencil(nx, ny, nz * SIZE, use_7pt=use_7pt,
                            dtype=np.float64)
     assert A.nnz == csr.nnz
@@ -39,9 +41,10 @@ def test_dist_spmv_matches_global_matrix(dims, use_7pt):
 
 
 @pytest.mark.parametrize("variant", ["standard", "cs"])
-def test_dist_cg_matches_serial(variant):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_dist_cg_matches_serial(variant, impl):
     nx, ny, nz = 6, 6, 3
-    A, counts = build_halo_stencil(nx, ny, nz, SIZE)
+    A, counts = build_halo_stencil(nx, ny, nz, SIZE, impl=impl)
     b = (27.0 - (counts - 1)).astype(np.float32)
     res = dist_solve_cg_stencil(A, SIZE, b, itermax=60, eps=0.0,
                                 variant=variant, verbose=False)

@@ -74,7 +74,68 @@ def test_guards():
     with pytest.raises(ValueError, match="matrix-free"):
         StencilOperator.from_csr(None)
     with pytest.raises(ValueError, match="unknown stencil impl"):
-        StencilOperator.from_stencil(4, 4, 4, impl="pallas")
+        StencilOperator.from_stencil(4, 4, 4, impl="palas")
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 8), (10, 9, 7), (128, 3, 2),
+                                  (5, 4, 3)])
+@pytest.mark.parametrize("use_7pt", [False, True])
+def test_pallas_kernel_matches_oracle(dims, use_7pt):
+    """Fused Pallas apply (interpret mode on CPU) vs the generated CSR,
+    including the nx%128==0 extra-lane-group case and prime nz."""
+    nx, ny, nz = dims
+    A, _ = StencilOperator.from_stencil(nx, ny, nz, use_7pt=use_7pt,
+                                        policy=F32, impl="pallas")
+    assert A.permuted_output
+    csr = generate_stencil(nx, ny, nz, use_7pt=use_7pt, dtype=np.float64)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(A.nr).astype(np.float32)
+    want = csr.to_dense() @ x.astype(np.float64)
+    got = np.asarray(A.spmv(x))  # pad -> fused kernel -> unpad
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+    # padded-space invariant: pad stays exactly zero
+    yp = np.asarray(A.spmv_permuted(A.permute_vector(x)))
+    back = np.asarray(A.permute_vector(A.unpermute_vector(yp)))
+    np.testing.assert_array_equal(yp, back)
+
+
+def test_pallas_cg_end_to_end():
+    from sparsebench_tpu.solvers.cg import (
+        check_residual,
+        init_vectors,
+        solve_cg,
+    )
+
+    A, counts = StencilOperator.from_stencil(10, 9, 8, policy=F32,
+                                             impl="pallas")
+    _, b, xexact = init_vectors(row_lengths=counts, dtype=np.float32)
+    res = solve_cg(A, b, itermax=80, eps=0.0, verbose=False)
+    assert check_residual(res.x, xexact) < 1e-4
+    # iterates match the XLA (unpadded) operator to rounding
+    Ax, _ = StencilOperator.from_stencil(10, 9, 8, policy=F32, impl="xla")
+    res_x = solve_cg(Ax, b, itermax=80, eps=0.0, verbose=False)
+    n = min(res.iterations, res_x.iterations)
+    np.testing.assert_allclose(res.residual_history[:n],
+                               res_x.residual_history[:n],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_other_solvers():
+    """GMRES and Chebyshev handle the padded ('permuted') stencil space
+    through the same generic hooks as SELL (solvers/*.py)."""
+    from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
+    from sparsebench_tpu.solvers.cg import check_residual, init_vectors
+    from sparsebench_tpu.solvers.gmres import solve_gmres
+
+    A, counts = StencilOperator.from_stencil(4, 4, 3, policy=F32,
+                                             impl="pallas")
+    _, b, xexact = init_vectors(row_lengths=counts, dtype=np.float32)
+    # small sizes: interpret-mode pallas makes each traced spmv costly,
+    # and GMRES unrolls `restart` of them into one jit
+    res = solve_gmres(A, b, itermax=16, restart=8, eps=1e-8, verbose=False)
+    assert check_residual(res.x, xexact) < 1e-3
+    res_c = solve_chebyshev(A, b, itermax=80, eps=1e-10, verbose=False)
+    assert check_residual(res_c.x, xexact) < 1e-2
 
 
 def test_cli_stencil_fmt(capsys):
