@@ -45,12 +45,18 @@ SUBLANES = 8
 
 def pad_dims(nx: int, ny: int, nz: int) -> Tuple[int, int]:
     """(nxp, nyp): lane/sublane-padded x/y extents. nx an exact lane
-    multiple gets one extra zero lane group so cyclic rolls wrap zeros."""
+    multiple gets one extra zero lane group so cyclic rolls wrap zeros;
+    ny an exact sublane-tile multiple likewise gets one extra zero row
+    group, so the Sy sublane rolls cross plane boundaries through zeros
+    and need NO masks (the masked version measured VPU-bound: the two
+    (w_rows, nxp) mask selects cost more than the rolls themselves)."""
     if nx % LANES == 0:
         nxp = nx + LANES
     else:
         nxp = (nx + LANES - 1) // LANES * LANES
     nyp = (ny + SUBLANES - 1) // SUBLANES * SUBLANES
+    if nyp == ny:
+        nyp += SUBLANES
     return nxp, nyp
 
 
@@ -80,20 +86,18 @@ def _stencil_kernel(
 
     v = xwin[:, :]
     dt = v.dtype
-    # plane-position of each row: one iota + constant-divisor mod
-    row = jax.lax.broadcasted_iota(jnp.int32, (w_rows, nxp), 0)
-    pos = row - (row // nyp) * nyp
 
     def sum_x(t):  # lane rolls; pad lanes are zero so wraps carry zeros
         return (t + pltpu.roll(t, shift=nxp - 1, axis=1)
                 + pltpu.roll(t, shift=1, axis=1))
 
-    def sum_y(t):  # sublane rolls masked at plane-boundary rows
-        up = jnp.where(pos < ny - 1, pltpu.roll(t, shift=w_rows - 1, axis=0),
-                       jnp.asarray(0, dt))
-        dn = jnp.where(pos > 0, pltpu.roll(t, shift=1, axis=0),
-                       jnp.asarray(0, dt))
-        return t + up + dn
+    def sum_y(t):
+        # sublane rolls, UNMASKED: pad_dims guarantees at least one zero
+        # pad row between planes, so every real row's cross-plane
+        # neighbor read lands on a zero row. Pad rows read real data —
+        # garbage confined to pad rows, killed by the output mask.
+        return (t + pltpu.roll(t, shift=w_rows - 1, axis=0)
+                + pltpu.roll(t, shift=1, axis=0))
 
     def sum_z(t):  # three static row slices at plane stride
         return (t[0 : tz * nyp] + t[nyp : (tz + 1) * nyp]
