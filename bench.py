@@ -248,8 +248,12 @@ def run_suite() -> int:
         model_bytes = A.nnz * (policy.value_bytes + policy.index_bytes)
         gbps = model_bytes / dt / 1e9
         pgbps = phys_gbps(A, dt)
+        # 100^3 keys are deliberately NOT *_phys_GBps: at this size the
+        # differential is ~50 us against ~ms relay jitter, and one noisy
+        # reading (1515 GB/s "physical" observed) would poison the
+        # roofline max below. Fractions come from 200^3-scale numbers.
         extra["spmv_GBps"] = round(gbps, 1)
-        extra["spmv_phys_GBps"] = round(pgbps, 1)
+        extra["spmv100_phys_GBps_noisy"] = round(pgbps, 1)
         log(f"spmv 100^3 dia: {dt * 1e3:.3f} ms, {gbps:.1f} GB/s effective "
             f"(reference byte model), {pgbps:.1f} GB/s physical")
     except Exception as e:  # noqa: BLE001
@@ -277,7 +281,7 @@ def run_suite() -> int:
                 f"effective (reference byte model), {pgbps2:.1f} GB/s "
                 f"physical")
             if stream:
-                best_phys = max(pgbps2, extra.get("spmv_phys_GBps", 0.0))
+                best_phys = pgbps2  # 100^3 phys excluded: noise-prone
                 best_eff = max(gbps2, extra.get("spmv_GBps", 0.0))
                 extra["spmv_frac_of_stream"] = round(best_phys / stream, 3)
                 extra["spmv_effective_frac_of_stream"] = round(
