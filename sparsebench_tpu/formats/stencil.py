@@ -129,11 +129,18 @@ class StencilOperator:
         if impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown stencil impl {impl!r}; "
                              "available: auto, xla, pallas")
-        default_policy(policy)  # validates; operator itself stores nothing
+        policy = default_policy(policy)  # operator itself stores nothing
         if impl == "auto":
             import jax
 
-            impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+            # pallas only for <=32-bit vectors (Mosaic has no f64; the
+            # f64 path keeps the XLA tensor-product form, like dia)
+            impl = (
+                "pallas"
+                if jax.default_backend() not in ("cpu",)
+                and policy.value.itemsize <= 4
+                else "xla"
+            )
         nr = nx * ny * nz
         counts = stencil_row_counts(nx, ny, nz, use_7pt)
         nnz = int(counts.sum())

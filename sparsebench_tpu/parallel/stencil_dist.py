@@ -148,16 +148,22 @@ def make_padded_plane_exchange(A: "HaloStencilOperator", size: int,
 
 
 def build_halo_stencil(nx: int, ny: int, nz: int, size: int,
-                       use_7pt: bool = False, impl: str = "auto"):
+                       use_7pt: bool = False, impl: str = "auto",
+                       value_bytes: int = 4):
     """(operator, global row_counts) for the z-stacked ``size``-rank
     problem; counts feed b = 27 - (nnzrow - 1) (src/CGSolver.c:25-36).
-    impl "pallas" (auto on TPU) runs the fused serial kernel per shard in
-    the padded vector space; "xla" keeps the tail-halo tensor form."""
+    impl "pallas" (auto on TPU for <=32-bit vectors — Mosaic has no f64)
+    runs the fused serial kernel per shard in the padded vector space;
+    "xla" keeps the tail-halo tensor form."""
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown stencil impl {impl!r}; "
                          "available: auto, xla, pallas")
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        impl = (
+            "pallas"
+            if jax.default_backend() not in ("cpu",) and value_bytes <= 4
+            else "xla"
+        )
     nr = nx * ny * nz
     counts = stencil_row_counts(nx, ny, nz * size, use_7pt)
     nnz = int(counts.sum())
@@ -327,6 +333,7 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
         param.nx, param.ny, param.nz, size,
         use_7pt=param.filename == "generate7P",
         impl=getattr(args, "impl", None) or "auto",
+        value_bytes=policy.value_bytes,
     )
     print(f"Setup took {time.perf_counter() - t0:.2f}s (format stencil, "
           f"matrix-free, impl={A.impl})")

@@ -147,3 +147,25 @@ def test_cli_stencil_fmt(capsys):
     assert rc == 0
     assert "format stencil" in out
     assert "Difference between computed and exact" in out
+
+
+def test_cli_stencil_spmv_bench(capsys):
+    from sparsebench_tpu.cli import main
+
+    rc = main(["-t", "spmv", "-x", "8", "-y", "8", "-z", "8", "-i", "5",
+               "--fmt", "stencil"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Test type: SPMVM" in out
+
+
+def test_f64_policy_keeps_xla_impl():
+    """auto never picks the Pallas kernel for f64 vectors (Mosaic has no
+    f64); the XLA tensor-product form carries the f64 path."""
+    F64 = DTypePolicy.from_names("f64", "i32")
+    A, _ = StencilOperator.from_stencil(4, 4, 4, policy=F64)
+    assert A.impl == "xla"
+    from sparsebench_tpu.parallel.stencil_dist import build_halo_stencil
+
+    Ad, _ = build_halo_stencil(4, 4, 2, 2, value_bytes=8)
+    assert Ad.impl == "xla"
