@@ -198,6 +198,25 @@ class StencilOperator:
             interpret=jax.default_backend() in ("cpu",),
         )
 
+    # ------------------------------------------- fused single-reduction CG
+    @property
+    def supports_fused_cs(self) -> bool:
+        return self.impl == "pallas"
+
+    def spmv_permuted_dots(self, xp: jnp.ndarray):
+        """(w, [gamma, delta]) = (A xp, [xp.xp, w.xp]) in one kernel —
+        cg_cs_loop's whole reduction rides the apply for free."""
+        import jax
+
+        from sparsebench_tpu.ops.stencil_pallas import (
+            stencil_apply_dots_pallas,
+        )
+
+        return stencil_apply_dots_pallas(
+            xp, self.nx, self.ny, self.nz, use_7pt=self.use_7pt,
+            interpret=jax.default_backend() in ("cpu",),
+        )
+
     # ------------------------------------------------------------ logical
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.impl == "pallas":

@@ -71,9 +71,15 @@ def choose_tz(nz: int, plane_bytes: int,
 
 
 def _stencil_kernel(
-    x_hbm, y_hbm, xwin, ywin, zplane, sem_in, sem_out, sem_z, *,
+    x_hbm, *rest,
     nx: int, ny: int, nz: int, nxp: int, nyp: int, tz: int, use_7pt: bool,
+    with_dots: bool = False,
 ):
+    if with_dots:
+        (y_hbm, dots_ref, xwin, ywin, zplane, sem_in, sem_out,
+         sem_z) = rest
+    else:
+        y_hbm, xwin, ywin, zplane, sem_in, sem_out, sem_z = rest
     a = pl.program_id(0)
     n_tiles = nz // tz
     w_rows = (tz + 2) * nyp
@@ -119,9 +125,18 @@ def _stencil_kernel(
     row_c = jax.lax.broadcasted_iota(jnp.int32, (tz * nyp, nxp), 0)
     pos_c = row_c - (row_c // nyp) * nyp
     lane = jax.lax.broadcasted_iota(jnp.int32, (tz * nyp, nxp), 1)
-    ywin[:, :] = jnp.where(
+    y_masked = jnp.where(
         (pos_c < ny) & (lane < nx), y, jnp.asarray(0, dt)
     )
+    ywin[:, :] = y_masked
+    if with_dots:
+        # free CG dot products: the kernel already holds u (the spmv
+        # input, interior slice vc) and w = A u (y_masked); the padded
+        # space's zero-pad invariant makes the full-tile sums exact.
+        # gamma = u.u, delta = w.u (solvers/cg.py cg_cs_loop).
+        acc = jnp.float32
+        dots_ref[a, 0] = jnp.sum(vc.astype(acc) * vc.astype(acc))
+        dots_ref[a, 1] = jnp.sum(y_masked.astype(acc) * vc.astype(acc))
 
     cp_out = pltpu.make_async_copy(
         ywin, y_hbm.at[pl.ds((1 + a * tz) * nyp, tz * nyp), :], sem_out
@@ -149,6 +164,50 @@ def _stencil_kernel(
         cp.wait()
 
 
+def _apply_call(xpad, nx, ny, nz, use_7pt, tz, interpret, with_dots):
+    nxp, nyp = pad_dims(nx, ny, nz)
+    plane = nyp * nxp
+    assert xpad.shape[0] == (nz + 2) * plane, (xpad.shape, nz, plane)
+    tz = tz or choose_tz(nz, plane * xpad.dtype.itemsize)
+    grid = nz // tz
+    kernel = functools.partial(
+        _stencil_kernel, nx=nx, ny=ny, nz=nz, nxp=nxp, nyp=nyp, tz=tz,
+        use_7pt=use_7pt, with_dots=with_dots,
+    )
+    # the 2-D (rows, nxp) view is reshaped OUTSIDE the kernel; the kernel
+    # only ever row-slices it (no raw element math on a 2-D operand —
+    # the bslab layout lesson, NOTES.md)
+    x2d = xpad.reshape(-1, nxp)
+    out_specs = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_shape = jax.ShapeDtypeStruct(x2d.shape, x2d.dtype)
+    if with_dots:
+        # whole-array SMEM output (Mosaic rejects partial SMEM blocks:
+        # "last two dimensions ... divisible by 8 and 128 or equal");
+        # each tile scalar-stores its own row
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((grid, 2), jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(((tz + 2) * nyp, nxp), xpad.dtype),
+            pltpu.VMEM((tz * nyp, nxp), xpad.dtype),
+            pltpu.VMEM((nyp, nxp), xpad.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2d)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nx", "ny", "nz", "use_7pt", "tz", "interpret"),
@@ -160,32 +219,25 @@ def stencil_apply_pallas(
     tz: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    nxp, nyp = pad_dims(nx, ny, nz)
-    plane = nyp * nxp
-    assert xpad.shape[0] == (nz + 2) * plane, (xpad.shape, nz, plane)
-    tz = tz or choose_tz(nz, plane * xpad.dtype.itemsize)
-    kernel = functools.partial(
-        _stencil_kernel, nx=nx, ny=ny, nz=nz, nxp=nxp, nyp=nyp, tz=tz,
-        use_7pt=use_7pt,
-    )
-    # the 2-D (rows, nxp) view is reshaped OUTSIDE the kernel; the kernel
-    # only ever row-slices it (no raw element math on a 2-D operand —
-    # the bslab layout lesson, NOTES.md)
-    x2d = xpad.reshape(-1, nxp)
-    y2d = pl.pallas_call(
-        kernel,
-        grid=(nz // tz,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
-        scratch_shapes=[
-            pltpu.VMEM(((tz + 2) * nyp, nxp), xpad.dtype),
-            pltpu.VMEM((tz * nyp, nxp), xpad.dtype),
-            pltpu.VMEM((nyp, nxp), xpad.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(x2d)
+    y2d = _apply_call(xpad, nx, ny, nz, use_7pt, tz, interpret, False)
     return y2d.reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "nz", "use_7pt", "tz", "interpret"),
+)
+def stencil_apply_dots_pallas(
+    xpad: jnp.ndarray,
+    nx: int, ny: int, nz: int,
+    use_7pt: bool = False,
+    tz: int = 0,
+    interpret: bool = False,
+):
+    """(w, [gamma, delta]) where w = A @ xpad, gamma = xpad.xpad and
+    delta = w.xpad over the interior (pads are zero by the vector-space
+    contract) — the two dot products of single-reduction CG for free
+    inside the apply (solvers/cg.py cg_cs_loop)."""
+    y2d, parts = _apply_call(xpad, nx, ny, nz, use_7pt, tz, interpret,
+                             True)
+    return y2d.reshape(-1), jnp.sum(parts, axis=0)

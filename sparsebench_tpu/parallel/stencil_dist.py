@@ -87,6 +87,25 @@ class HaloStencilOperator:
             y = jnp.asarray(28.0, v3.dtype) * v3 - s
         return y.reshape(-1)
 
+    @property
+    def supports_fused_cs(self) -> bool:
+        return self.impl == "pallas"
+
+    def spmv_permuted_dots(self, xp: jnp.ndarray):
+        """See StencilOperator.spmv_permuted_dots — the partial dots sum
+        only this shard's interior rows (halo planes are separate
+        planes), so allsum-ing them across the mesh is the global dot."""
+        import jax as _jax
+
+        from sparsebench_tpu.ops.stencil_pallas import (
+            stencil_apply_dots_pallas,
+        )
+
+        return stencil_apply_dots_pallas(
+            xp, self.nx, self.ny, self.nz, use_7pt=self.use_7pt,
+            interpret=_jax.default_backend() in ("cpu",),
+        )
+
     # ---------------------------------------------------- padded space
     # (pallas impl only) flat (nz+2, nyp, nxp) per shard; the halo
     # planes 0 / nz+1 are written by the exchange, everything else is

@@ -235,6 +235,40 @@ def cg_cs_loop(
     if precond:
         inv_diag = inv_diag.astype(vdt)
 
+    # Fully-fused path (stencil Pallas operator): the apply emits
+    # [u.u, w.u] as per-tile partials (spmv_permuted_dots) and the four
+    # body axpys collapse into one kernel (ops/cg_fused.py) — per
+    # iteration: 2 kernel launches + 1 allsum instead of ~7 XLA ops.
+    # MEASURED NEGATIVE on the dev chip (NOTES r3): 200^3 CG cs
+    # regressed 0.15 -> 0.24 s (the 10-operand blocked update kernel
+    # pipelines worse than XLA's fused axpys) and 100^3 was neutral —
+    # XLA's in-loop op overhead was not the bottleneck. Kept behind
+    # SB_FUSED_CS=1 for multi-chip latency experiments (fewer launches
+    # between collectives), off by default.
+    import os as _os
+
+    fused = (
+        not precond
+        and bool(_os.environ.get("SB_FUSED_CS"))
+        and getattr(A, "supports_fused_cs", False)
+        and jnp.dtype(sdt) == jnp.float32
+    )
+    if fused:
+        import jax as _jax
+
+        from sparsebench_tpu.ops.cg_fused import (
+            cs_update_pallas,
+            supports_fused_rows,
+        )
+
+        fused = supports_fused_rows(nr)
+    if fused:
+        _interp = _jax.default_backend() in ("cpu",)
+
+        def spmv_dots(u):
+            w, gd_local = A.spmv_permuted_dots(exchange(widen(u)))
+            return w, allsum(gd_local)
+
     def apply_m(r):
         return (inv_diag * r).astype(vdt) if precond else r
 
@@ -251,8 +285,11 @@ def cg_cs_loop(
 
     r = b - spmv(exchange(widen(x0)))
     u = apply_m(r)
-    w = spmv(exchange(widen(u)))
-    gd = fused_dots(r, u, w)
+    if fused:
+        w, gd = spmv_dots(u)
+    else:
+        w = spmv(exchange(widen(u)))
+        gd = fused_dots(r, u, w)
     gamma, delta = gd[0], gd[1]
     rr = gd[2] if precond else gamma
     alpha = safe_div(gamma, delta)
@@ -277,15 +314,21 @@ def cg_cs_loop(
         k, x, r, u, w, p, s, gamma, rr, alpha, beta, _normr, hist, done = state
         normr = jnp.sqrt(rr)
         hist = hist.at[k].set(normr)
-        b_v = beta.astype(vdt)
-        p = u + b_v * p
-        s = w + b_v * s
-        a_v = alpha.astype(vdt)
-        x = x + a_v * p
-        r = r - a_v * s
-        u = apply_m(r)
-        w = spmv(exchange(widen(u)))
-        gd = fused_dots(r, u, w)
+        if fused:
+            p, s, x, r = cs_update_pallas(u, p, w, s, x, r, alpha, beta,
+                                          interpret=_interp)
+            u = r
+            w, gd = spmv_dots(u)
+        else:
+            b_v = beta.astype(vdt)
+            p = u + b_v * p
+            s = w + b_v * s
+            a_v = alpha.astype(vdt)
+            x = x + a_v * p
+            r = r - a_v * s
+            u = apply_m(r)
+            w = spmv(exchange(widen(u)))
+            gd = fused_dots(r, u, w)
         g_new, d_new = gd[0], gd[1]
         rr_new = gd[2] if precond else g_new
         beta_new = safe_div(g_new, gamma)

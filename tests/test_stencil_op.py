@@ -120,6 +120,70 @@ def test_pallas_cg_end_to_end():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_cs_update_kernel():
+    """One-pass fused axpy quad (ops/cg_fused.py) vs the plain ops."""
+    from sparsebench_tpu.ops.cg_fused import cs_update_pallas
+
+    rng = np.random.default_rng(2)
+    n = 8 * 128 * 3
+    u, p, w, s, x, r = (rng.standard_normal(n).astype(np.float32)
+                        for _ in range(6))
+    import jax.numpy as jnp
+
+    al, be = jnp.float32(0.37), jnp.float32(-1.25)
+    p2, s2, x2, r2 = cs_update_pallas(u, p, w, s, x, r, al, be,
+                                      interpret=True)
+    pe = u + float(be) * p
+    se = w + float(be) * s
+    kw = dict(rtol=1e-5, atol=1e-6)  # fma vs separate mul+add rounding
+    np.testing.assert_allclose(np.asarray(p2), pe, **kw)
+    np.testing.assert_allclose(np.asarray(s2), se, **kw)
+    np.testing.assert_allclose(np.asarray(x2), x + float(al) * pe, **kw)
+    np.testing.assert_allclose(np.asarray(r2), r - float(al) * se, **kw)
+
+
+def test_pallas_cs_fused_matches_standard(monkeypatch):
+    """The fully-fused cs loop (spmv_permuted_dots + cs_update_pallas,
+    opt-in via SB_FUSED_CS — measured slower on the dev chip, kept for
+    multi-chip latency experiments) produces the same Krylov iterates as
+    the standard loop."""
+    monkeypatch.setenv("SB_FUSED_CS", "1")
+    from sparsebench_tpu.solvers.cg import (
+        check_residual,
+        init_vectors,
+        solve_cg,
+    )
+
+    A, counts = StencilOperator.from_stencil(10, 9, 8, policy=F32,
+                                             impl="pallas")
+    assert A.supports_fused_cs
+    _, b, xexact = init_vectors(row_lengths=counts, dtype=np.float32)
+    res = solve_cg(A, b, itermax=80, eps=0.0, verbose=False, variant="cs")
+    assert check_residual(res.x, xexact) < 1e-4
+    res_std = solve_cg(A, b, itermax=80, eps=0.0, verbose=False)
+    n = min(res.iterations, res_std.iterations)
+    np.testing.assert_allclose(res.residual_history[:n],
+                               res_std.residual_history[:n],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_spmv_permuted_dots_values():
+    A, _ = StencilOperator.from_stencil(8, 7, 6, policy=F32,
+                                        impl="pallas")
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(A.nr).astype(np.float32)
+    xp = A.permute_vector(x)
+    w, gd = A.spmv_permuted_dots(xp)
+    np.testing.assert_allclose(np.asarray(w),
+                               np.asarray(A.spmv_permuted(xp)), rtol=1e-6)
+    np.testing.assert_allclose(float(gd[0]), float(np.dot(x, x)),
+                               rtol=1e-5)
+    wx = np.asarray(A.unpermute_vector(w))
+    np.testing.assert_allclose(float(gd[1]),
+                               float(np.dot(wx.astype(np.float64), x)),
+                               rtol=1e-4)
+
+
 def test_pallas_other_solvers():
     """GMRES and Chebyshev handle the padded ('permuted') stencil space
     through the same generic hooks as SELL (solvers/*.py)."""
