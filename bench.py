@@ -400,7 +400,11 @@ def run_suite() -> int:
         for n in (100, 200):
             As, cs = StencilOperator.from_stencil(n, n, n, policy=policy)
             _, bs, xes = init_vectors(row_lengths=cs, dtype=np.float32)
-            dts = spmv_chain_time(As, reps=20, trials=3)
+            # the 100^3 apply is ~15 us — use many reps so the
+            # differential rises above relay jitter (readings of 0.5 ms
+            # vs the true 0.014 ms were observed at reps=20)
+            dts = spmv_chain_time(As, reps=200 if n == 100 else 20,
+                                  trials=3)
             extra[f"stencilfree{n}_spmv_ms"] = round(dts * 1e3, 4)
             vec_bytes = (2 * As.nc if As.permuted_output
                          else As.nr + As.nc) * 4
