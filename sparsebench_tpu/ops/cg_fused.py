@@ -25,7 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_MAX_BLK = 2048  # rows per block: 10 operands x blk x 128 x 4 B <= ~10 MB
+# rows per block: 10 blocked operands x blk x 128 x 4 B, DOUBLED by the
+# Pallas pipeline's multi-buffering, must stay under the ~16 MB default
+# scoped-VMEM allowance -> blk <= 12 MB / (10 * 512 * 2) ~= 1228
+_MAX_BLK = 1024
 
 
 def supports_fused_rows(n: int) -> bool:

@@ -228,6 +228,20 @@ def _dia_kernel_xres(
 DEFAULT_TILES_PER_CHUNK = 16
 
 
+def _conservative_vmem() -> bool:
+    """True on backends whose VMEM capacity we have not measured: only
+    the v5/v6 generations are known to carry the 128 MB VMEM that the
+    raised xres budget and vmem_limit_bytes assume (measured on the dev
+    v5e — see VMEM_BUDGET_BYTES); v2-v4 parts have ~16 MB."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # noqa: BLE001 — no backend: stay safe
+        return True
+    return not ("v5" in kind or "v6" in kind)
+
+
 def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
                 variant="roll1", x_len=0):
     # ``dtype`` is the x/output dtype; the data operand keeps its own
@@ -251,10 +265,12 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
             roll=roll,
         )
         # the whole-x VMEM operand exceeds Mosaic's default 16 MB scoped
-        # vmem allowance beyond ~100^3; the chip has 128 MB VMEM and the
-        # raised limit measured at full HBM rate up to 67 MB of x (r3)
+        # vmem allowance beyond ~100^3; the v5e has 128 MB VMEM and the
+        # raised limit measured at full HBM rate up to 67 MB of x (r3).
+        # Unmeasured generations keep the default allowance (their auto
+        # budget never selects an oversized xres — _conservative_vmem).
         params = {}
-        if not interpret:
+        if not interpret and not _conservative_vmem():
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024,
             )
@@ -273,6 +289,12 @@ def _build_call(ndiag, n_rows, shifts, tile_rows, span, dtype, interpret,
             **params,
         )
     if variant.startswith("win"):
+        if variant not in ("win", "win_carry", "win_gcarry"):
+            raise ValueError(
+                f"unknown win variant {variant!r}; available: win, "
+                "win_carry, win_gcarry (the win kernel has no roll2 "
+                "scheme — an unknown suffix must not silently run roll1)"
+            )
         tpc = DEFAULT_TILES_PER_CHUNK
         # +8 rows: the carry/gcarry schemes slice (rows + 8)-row windows
         win_rows = tpc * tile_rows + span + 8
@@ -420,6 +442,15 @@ def choose_schedule(offsets, nr_pad: int, x_bytes: int, data_bytes: int,
     x_len = (grid_rows + span) * LANES
     data_block = len(offsets) * tile * LANES * data_bytes
     y_block = tile * LANES * x_bytes
+    if _conservative_vmem():
+        # unmeasured TPU generation (or CPU): the old safe budget — x
+        # counted twice against ~15 MB, so xres can never overflow a
+        # 16 MB-VMEM part (the 24 MB cutoff + raised vmem limit below
+        # are v5e-measured; code-review r3 finding)
+        budget = 2 * x_len * x_bytes + 2 * (data_block + y_block)
+        if budget <= 15 * 1024 * 1024:
+            return "xres", tile
+        return "dbuf", tile
     # x counted once: constant-index-map operands are single-buffered
     # (proved by the 67 MB grid=512 run — see VMEM_BUDGET_BYTES note)
     budget = x_len * x_bytes + 2 * (data_block + y_block)

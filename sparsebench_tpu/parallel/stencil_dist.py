@@ -40,7 +40,16 @@ from sparsebench_tpu.solvers.cg import CGResult, cg_cs_loop, cg_loop
 class HaloStencilOperator:
     """Per-shard matrix-free apply over the halo-extended z-slab. All
     fields are static (zero array leaves) — inside shard_map it is a
-    closure, never an operand."""
+    closure, never an operand.
+
+    Deliberately mirrors formats/stencil.py StencilOperator (same fields,
+    same 28/30 factorization constants, pad/unpad logic) rather than
+    subclassing it: flax.struct dataclasses compose poorly under
+    inheritance, and the two differ in their whole vector-space contract
+    (z-halo planes here are LIVE neighbor data, there they are zeros).
+    The serial-vs-distributed residual-parity tests
+    (tests/test_stencil_dist.py) pin the two implementations together —
+    any divergence in the shared math fails them."""
 
     nx: int = struct.field(pytree_node=False)
     ny: int = struct.field(pytree_node=False)
