@@ -102,7 +102,7 @@ def _stencil_kernel(
         # pad row between planes, so every real row's cross-plane
         # neighbor read lands on a zero row. Pad rows read real data —
         # garbage confined to pad rows, killed by the output mask.
-        return (t + pltpu.roll(t, shift=w_rows - 1, axis=0)
+        return (t + pltpu.roll(t, shift=t.shape[0] - 1, axis=0)
                 + pltpu.roll(t, shift=1, axis=0))
 
     def sum_z(t):  # three static row slices at plane stride
@@ -115,7 +115,12 @@ def _stencil_kernel(
              + sum_y(v)[nyp : (tz + 1) * nyp] + sum_z(v))
         y = jnp.asarray(30.0, dt) * vc - s
     else:
-        y = jnp.asarray(28.0, dt) * vc - sum_z(sum_y(sum_x(v)))
+        # Sz FIRST: the three S operators commute exactly (tensor
+        # product; truncation factorizes per axis) and every stage
+        # preserves the zero pad rows/lanes the later rolls rely on —
+        # so Sy and Sx run on the tz-plane interior instead of the
+        # (tz+2)-plane window, ~17% less VPU work on the roll stages
+        y = jnp.asarray(28.0, dt) * vc - sum_x(sum_y(sum_z(v)))
 
     # zero the pad rows/lanes (their Sy/Sx sums see real data, but the
     # padded vector space contract is pad == 0 everywhere). pos_c is a
