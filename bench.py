@@ -456,6 +456,21 @@ def run_suite() -> int:
     except Exception as e:  # noqa: BLE001
         log(f"matrix-free stencil failed: {e!r}")
 
+    # -- 6c. 7-pt stencil variant (reference generate7P, src/matrix.c:86) ----
+    try:
+        check_deadline("stencil7p", 180.0)
+        from sparsebench_tpu.formats.stencil import StencilOperator
+        from sparsebench_tpu.solvers.cg import init_vectors
+
+        A7, c7 = StencilOperator.from_stencil(100, 100, 100, use_7pt=True,
+                                              policy=policy)
+        _, b7, xe7 = init_vectors(row_lengths=c7, dtype=np.float32)
+        t7 = timed_cg(A7, b7, xe7, 100, attempts=2)
+        if t7 is not None:
+            extra["cg100_7pt_seconds"] = round(t7, 4)
+    except Exception as e:  # noqa: BLE001
+        log(f"7-pt stencil failed: {e!r}")
+
     # -- 7. RGL: large IRREGULAR matrix end-to-end (VERDICT r2 #2) -----------
     # Seeded random-graph Laplacian (host/rgl.py), n=2M rows, ~2.2e7 nnz,
     # generated and laid out entirely on device; exact solution x == 1.
