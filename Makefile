@@ -1,7 +1,7 @@
 # Developer entry points (reference Makefile:61-68 `make format` analog;
 # lint configuration lives in pyproject.toml [tool.ruff]).
 
-.PHONY: all native test lint format clean
+.PHONY: all native test lint format asm clean
 
 all: native
 
@@ -19,6 +19,11 @@ format:
 	@command -v ruff >/dev/null 2>&1 || { echo "ruff not installed"; exit 1; }
 	ruff check --fix sparsebench_tpu tests bench.py
 	ruff format sparsebench_tpu tests bench.py
+
+# reference `make asm` analog (Makefile:26-30): dump lowered + optimized
+# HLO for the hot solves into build/asm/
+asm:
+	python tools/dump_hlo.py
 
 clean:
 	$(MAKE) -C sparsebench_tpu/native clean
