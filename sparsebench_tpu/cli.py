@@ -122,10 +122,15 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="CG preconditioner (beyond the reference, which is "
                     "unpreconditioned)")
     ap.add_argument("--cg-variant", default="standard",
-                    choices=["standard", "cs"], dest="cg_variant",
+                    choices=["standard", "cs", "sstep"], dest="cg_variant",
                     help="CG formulation: the reference's (2 allreduces/"
-                    "iter) or single-reduction Chronopoulos-Gear 'cs' "
-                    "(1 fused allreduce/iter; latency win on meshes)")
+                    "iter), single-reduction Chronopoulos-Gear 'cs' "
+                    "(1 fused allreduce/iter; latency win on meshes), or "
+                    "'sstep' communication-avoiding CG (1 fused allreduce "
+                    "per --sstep iterations)")
+    ap.add_argument("--sstep", type=int, default=4,
+                    help="Basis size s for --cg-variant sstep (default 4; "
+                    "monomial-basis conditioning recommends s <= 8)")
     ap.add_argument("--orth", default="cgs", choices=["cgs", "cgs2"],
                     help="GMRES orthogonalization: classical Gram-Schmidt "
                     "or reorthogonalized CGS2 (robust for ill-conditioned "
@@ -397,6 +402,8 @@ def main(argv: Optional[list] = None) -> int:
                 raise SystemExit(
                     "--cg-variant combines with the plain CG path only"
                 )
+            if args.cg_variant == "sstep" and args.sstep < 1:
+                raise SystemExit("--sstep must be >= 1")
             if args.checkpoint:
                 from sparsebench_tpu.solvers.checkpoint import (
                     solve_cg_checkpointed,
@@ -413,7 +420,8 @@ def main(argv: Optional[list] = None) -> int:
                 )
             else:
                 res = solve_cg(A, b, itermax=param.itermax, eps=param.eps,
-                               inv_diag=inv_diag, variant=args.cg_variant)
+                               inv_diag=inv_diag, variant=args.cg_variant,
+                               sstep=args.sstep)
                 print(prof.report_aggregate(res.iterations,
                                             res.solve_seconds))
             iterations = res.iterations

@@ -257,6 +257,7 @@ def dist_solve_cg(
     acc_dtype=None,
     inv_diag: "np.ndarray" = None,
     variant: str = "standard",
+    sstep: int = 4,
     verbose: bool = True,
 ) -> CGResult:
     """Distributed CG: one jitted shard_map program over the mesh.
@@ -266,7 +267,10 @@ def dist_solve_cg(
     one fused psum per iteration instead of two sequential ones — the
     latency win this formulation exists for shows up exactly here, on a
     multi-chip mesh. cs + inv_diag = Chronopoulos-Gear Jacobi PCG (one
-    fused 3-scalar psum per iteration)."""
+    fused 3-scalar psum per iteration). ``variant="sstep"`` runs s-step
+    communication-avoiding CG (solvers/cg_sstep.py): ONE fused gram psum
+    per ``sstep`` iterations — the deepest latency cut, for meshes where
+    allreduce latency dominates."""
     plan = dm.part.plan
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x0_stacked = jnp.zeros_like(b_stacked)
@@ -277,8 +281,14 @@ def dist_solve_cg(
 
     from sparsebench_tpu.solvers.cg import cg_cs_loop
 
+    if variant == "sstep":
+        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
+
+        loop_fn = partial(cg_sstep_loop, s=sstep)
+    else:
+        loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     loop = partial(
-        cg_cs_loop if variant == "cs" else cg_loop,
+        loop_fn,
         itermax=itermax,
         exchange=dm.exchange,
         allsum=dm.allsum,
@@ -320,7 +330,10 @@ def dist_solve_cg(
         print(f"Initial Residual = {hist[0]:E}")
         print_freq = min(max(itermax // 10, 1), 50)
         for j in range(1, k):
-            if j % print_freq == 0 or j + 1 == itermax:
+            # sstep records history at outer-step boundaries only
+            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
+                hist[j]
+            ):
                 print(f"Iteration = {j} Residual = {hist[j]:E}")
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 

@@ -229,7 +229,8 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
                 res = dist_solve_cg(dm, b, itermax=param.itermax,
                                     eps=param.eps, inv_diag=inv_diag,
                                     variant=getattr(args, "cg_variant",
-                                                    "standard"))
+                                                    "standard"),
+                                    sstep=getattr(args, "sstep", 4))
                 print(prof.report_aggregate(res.iterations,
                                             res.solve_seconds))
             iterations = res.iterations

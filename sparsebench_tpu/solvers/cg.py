@@ -379,16 +379,22 @@ def solve_cg(
     acc_dtype=None,
     inv_diag: Optional[np.ndarray] = None,
     variant: str = "standard",
+    sstep: int = 4,
     verbose: bool = True,
 ) -> CGResult:
     """Host driver: permutation handling, jit, timing, residual printing.
 
     ``b`` is in original row order; the result ``x`` likewise. Pass
     ``inv_diag`` (1/diag(A), original row order) for Jacobi PCG.
-    ``variant="cs"`` selects single-reduction CG (see cg_cs_loop).
+    ``variant="cs"`` selects single-reduction CG (see cg_cs_loop);
+    ``variant="sstep"`` selects s-step communication-avoiding CG with
+    basis size ``sstep`` (solvers/cg_sstep.py — one fused allreduce per
+    ``sstep`` iterations).
     """
-    if variant not in ("standard", "cs"):
-        raise ValueError(f"variant must be 'standard' or 'cs', got {variant!r}")
+    if variant not in ("standard", "cs", "sstep"):
+        raise ValueError(
+            f"variant must be 'standard', 'cs' or 'sstep', got {variant!r}"
+        )
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
@@ -406,7 +412,12 @@ def solve_cg(
     else:
         b_in, x0_in = b, x0
 
-    loop_fn = cg_cs_loop if variant == "cs" else cg_loop
+    if variant == "sstep":
+        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
+
+        loop_fn = partial(cg_sstep_loop, s=sstep)
+    else:
+        loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     kw = {"inv_diag": inv_diag}
     loop = jax.jit(
         partial(loop_fn, itermax=itermax, exchange=exchange, allsum=allsum,
@@ -434,7 +445,11 @@ def solve_cg(
         print(f"Initial Residual = {hist[0]:E}")
         print_freq = min(max(itermax // 10, 1), 50)  # CGSolver.c:85-91
         for j in range(1, k):
-            if j % print_freq == 0 or j + 1 == itermax:
+            # sstep records history at outer-step boundaries only; skip
+            # the never-computed NaN slots between them
+            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
+                hist[j]
+            ):
                 print(f"Iteration = {j} Residual = {hist[j]:E}")
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 

@@ -1,0 +1,228 @@
+"""s-step (communication-avoiding) CG.
+
+The reference's CG pays 2 sequential scalar allreduces + 1 halo exchange
+per iteration (src/CGSolver.c:107-129, SURVEY §3.1); the cs variant
+(solvers/cg.py cg_cs_loop) fuses the two allreduces into one. This
+variant goes further: it restructures CG so a mesh pays **one fused
+allreduce per s iterations** (plus one scalar allreduce for the exit
+check) — the classical s-step CG of Chronopoulos & Gear (1989,
+"s-step iterative methods for symmetric linear systems"), built on a
+monomial Krylov basis. Same Krylov iterates as standard CG in exact
+arithmetic; same matvec count (s halo exchanges per outer step).
+
+Per outer step (= s CG iterations):
+
+    v_0 = u;  v_{j+1} = (A_hat v_j) / theta        s matvecs + exchanges
+    G = [V, W_prev]^T M [V, W_prev]                ONE psum: (2s+1)^2 gram
+    C = W_prev^T M R           (from G)            R = V[:, 0:s]
+    B = -D_prev^{-1} C                             s x s on-device algebra
+    P = R + P_prev B
+    W = A_hat R + W_prev B     (A_hat R = theta * V[:, 1:s+1])
+    D = theta G[0:s,1:s+1] + C^T B + B^T C + B^T D_prev B
+    a = D^{-1} g,  g = G[0:s, 0]                   (P_prev^T M u == 0)
+    x += P a;  u -= W a
+    rr = ||r_new||^2                               one scalar psum (exit)
+
+Jacobi preconditioning folds in as the M-inner product: M = diag(A),
+A_hat = M^{-1} A is self-adjoint w.r.t. <a,b>_M = a^T M b, and the same
+recurrences run on u = M^{-1} r with M-weighted grams — still one fused
+reduction per s iterations (the cs variant's Jacobi fold, one level up).
+
+The monomial basis is scaled per column by a power-method estimate
+theta of ||A_hat||: v_{j+1} = A_hat v_j / theta. That is a fixed
+diagonal column scaling of the basis, and every recurrence above is
+computed from literal grams of the scaled columns, so the algorithm is
+exactly invariant to it — it only keeps the gram entries O(||u||^2)
+instead of O(||A||^{2s} ||u||^2), which is what makes s up to ~8 usable
+in f32. Conditioning of the s x s Hankel block D still grows with s
+(known property of monomial-basis s-step methods); s in {2,4} is the
+recommended envelope, matching the latency savings that matter.
+
+Communication per s iterations: s halo exchanges (unavoidable — one per
+matvec), 1 gram allreduce of (2s+1)^2 scalars, 1 scalar allreduce.
+Standard CG: s exchanges + 2s sequential scalar allreduces. On an ICI
+mesh where each psum costs fixed latency, the allreduce count drops 2s x.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+_identity = lambda v: v  # noqa: E731
+
+
+def _gram(U, wvec, sdt):
+    """Weighted gram G[i,j] = sum_n U[i,n] * w[n] * U[j,n] in sdt.
+
+    dot_general with HIGHEST precision: on TPU this forces the full-f32
+    (or f64) MXU path instead of bf16 passes; on CPU it is a plain
+    accurate matmul. The gram is the one fused allreduce payload.
+    """
+    Us = U.astype(sdt)
+    Uw = Us if wvec is None else Us * wvec.astype(sdt)[None, :]
+    return jax.lax.dot_general(
+        Uw, Us, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def cg_sstep_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    inv_diag=None,
+    s: int = 4,
+    power_iters: int = 6,
+):
+    """Jittable s-step CG; same contract as solvers.cg.cg_loop
+    (returns (x, k, history)). ``s`` is static (basis size). ``inv_diag``
+    switches to the M-inner-product (Jacobi) formulation. History is
+    recorded at outer-step boundaries (k = 1, 1+s, 1+2s, ...) and at the
+    final iterate; other slots stay NaN (printers skip them)."""
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    nr = b.shape[0]
+    nc = A.nc
+    vdt = b.dtype
+    sdt = acc_dtype or vdt
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+    precond = inv_diag is not None
+    if precond:
+        inv_diag_v = inv_diag.astype(vdt)
+        # M = diag(A): the gram weight. Guard zeros (a zero diagonal would
+        # be a broken Jacobi preconditioner anyway; keep the math finite).
+        wvec = jnp.where(inv_diag_v != 0, 1.0 / jnp.where(inv_diag_v != 0,
+                                                          inv_diag_v, 1), 0)
+    else:
+        inv_diag_v = None
+        wvec = None
+
+    def widen(v):
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
+
+    def matvec(v):
+        # A_hat v = M^{-1} A v (A v when unpreconditioned)
+        Av = spmv(exchange(widen(v)))
+        return (inv_diag_v * Av).astype(vdt) if precond else Av
+
+    def wdot(u, v):
+        uu = u.astype(sdt)
+        vv = v.astype(sdt)
+        if wvec is not None:
+            vv = vv * wvec.astype(sdt)
+        return allsum(jnp.sum(uu * vv))
+
+    def true_rr(u):
+        # ||r||^2 with r = M u: sum((w*u)^2) weighted, sum(u^2) plain
+        us = u.astype(sdt)
+        if wvec is not None:
+            us = us * wvec.astype(sdt)
+        return allsum(jnp.sum(us * us))
+
+    # --- init: u0 = M^{-1}(b - A x0) --------------------------------------
+    r0 = b - spmv(exchange(widen(x0)))
+    u0 = ((inv_diag_v * r0) if precond else r0).astype(vdt)
+    rr0 = true_rr(u0)
+    normr0 = jnp.sqrt(rr0)
+
+    # Basis scale theta ~ ||A_hat||_M via a few power iterations (setup
+    # cost: power_iters matvecs + allsums, outside the solve loop).
+    def power_body(_i, carry):
+        q, _th = carry
+        z = matvec(q)
+        th = jnp.sqrt(wdot(z, z))
+        q = (z / jnp.where(th > 0, th, 1).astype(vdt)).astype(vdt)
+        return q, th
+
+    q0 = u0 / jnp.where(normr0 > 0, normr0, 1).astype(vdt)
+    _q, theta = jax.lax.fori_loop(
+        0, power_iters, power_body, (q0, jnp.ones((), sdt))
+    )
+    theta = jnp.where(jnp.logical_and(theta > 0, jnp.isfinite(theta)),
+                      theta, 1)
+    inv_theta = (1 / theta).astype(vdt)
+
+    hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+    eye = jnp.eye(s, dtype=sdt)
+    state = (
+        jnp.asarray(1),                 # k
+        x0,                             # x
+        u0,                             # u = M^{-1} r
+        jnp.zeros((s, nr), vdt),        # P_prev (row-stacked directions)
+        jnp.zeros((s, nr), vdt),        # W_prev = A_hat P_prev
+        eye,                            # D_prev (identity: B = 0 first step)
+        rr0,                            # ||r||^2 entering this outer step
+        normr0,                         # exit-check residual norm
+        hist0,
+        jnp.asarray(False),             # done (breakdown)
+    )
+
+    def cond(st):
+        k, _x, _u, _P, _W, _D, _rr, normr, _h, done = st
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
+        )
+
+    def body(st):
+        k, x, u, Pprev, Wprev, Dprev, rr, _normr, hist, done = st
+        hist = hist.at[k].set(jnp.sqrt(rr))
+
+        # monomial basis, scaled: V[0] = u, V[j+1] = A_hat V[j] / theta
+        vs = [u]
+        for _ in range(s):
+            vs.append((matvec(vs[-1]) * inv_theta).astype(vdt))
+        V = jnp.stack(vs)                       # (s+1, nr)
+
+        U = jnp.concatenate([V, Wprev], axis=0)  # (2s+1, nr)
+        G = allsum(_gram(U, wvec, sdt))          # ONE fused allreduce
+
+        C = G[s + 1:, 0:s]                       # W_prev^T M R
+        B = -jnp.linalg.solve(Dprev, C)          # s x s
+        Bv = B.astype(vdt)
+        R = V[0:s]
+        P = R + Bv.T @ Pprev
+        W = (theta.astype(vdt) * V[1:s + 1]) + Bv.T @ Wprev
+
+        Gh = theta * G[0:s, 1:s + 1]             # R^T M A_hat R (Hankel blk)
+        D = Gh + C.T @ B + B.T @ C + B.T @ Dprev @ B
+        D = 0.5 * (D + D.T)                      # symmetrize float residue
+        g = G[0:s, 0]                            # P^T M r  (P_prev^T r = 0)
+        a = jnp.linalg.solve(D, g)
+
+        # breakdown guard (cg_run's alpha freeze, one level up): at
+        # machine-zero residual D collapses and the solve returns
+        # inf/nan — freeze the converged state and exit.
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(a)))
+        a = jnp.where(bad, 0, a)
+        av = a.astype(vdt)
+
+        x = x + av @ P
+        u = u - av @ W
+        rr_new = true_rr(u)                      # one scalar allreduce
+        bad = jnp.logical_or(bad, jnp.logical_not(jnp.isfinite(rr_new)))
+        normr_new = jnp.sqrt(jnp.maximum(rr_new, 0))
+
+        return (k + s, x, u, P, W, D, rr_new, normr_new, hist,
+                jnp.logical_or(done, bad))
+
+    k, _x, _u, _P, _W, _D, _rr, normr, hist, _done = jax.lax.while_loop(
+        cond, body, state
+    )
+    x = _x
+    k = jnp.minimum(k, itermax)
+    # The body records the residual entering each outer step (hist[k] at
+    # k = 1, 1+s, ...); the exit-triggering post-block residual lands in
+    # slot k-1 here so the driver's final_normr is the fresh value for
+    # every s (for s == 1 this overwrites the last entry slot with the
+    # value one update fresher — the one the exit check actually used).
+    hist = hist.at[k - 1].set(normr)
+    return x, k, hist

@@ -88,6 +88,23 @@ def test_cg_variant_cs_sharded_cli(capsys):
     assert "Solve aggregate (fused)" in out
 
 
+def test_cg_variant_sstep_cli(capsys):
+    rc = run_cli(["-t", "cg", "-x", "6", "-y", "6", "-z", "6", "-i", "30",
+                  "-e", "1e-8", "--cg-variant", "sstep", "--sstep", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Difference between computed and exact  = 0.000" in out
+
+
+def test_cg_variant_sstep_sharded_cli(capsys):
+    rc = run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "13",
+                  "--shards", "4", "--fmt", "crs", "--cg-variant", "sstep",
+                  "--sstep", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Solve aggregate (fused)" in out
+
+
 def test_cg_variant_rejects_profile():
     with pytest.raises(SystemExit, match="plain CG path"):
         run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "4", "-i", "5",

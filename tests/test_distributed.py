@@ -202,6 +202,36 @@ def test_dist_cg_cs_jacobi_matches_serial_cs_pcg():
     assert np.abs(res.x - 1.0).max() < 1e-6
 
 
+def test_dist_cg_sstep_matches_serial_sstep():
+    """Distributed s-step CG (one fused gram psum per s iterations)
+    matches the serial s-step history to f64 rounding — the collectives
+    (psum of the (2s+1)^2 gram + the exit scalar) are the only
+    difference between the two programs."""
+    size = 4
+    shards = _gen_shards(3, 3, 2, size)
+    gcsr = _global_csr(3, 3, 2, size)
+    _, b, xexact = init_vectors(gcsr)
+    res_serial = solve_cg(from_csr("crs", gcsr), b, itermax=41, eps=0.0,
+                          variant="sstep", sstep=4, verbose=False)
+    dm = build_distributed(shards, fmt="crs")
+    res = dist_solve_cg(dm, b, itermax=41, eps=0.0, variant="sstep",
+                        sstep=4, verbose=False)
+    n = min(len(res_serial.residual_history), len(res.residual_history))
+    sh, dh = res_serial.residual_history[:n], res.residual_history[:n]
+    mask = ~np.isnan(sh)
+    assert np.array_equal(mask, ~np.isnan(dh))
+    # psum tree order != serial sum order; near the s-step attainable-
+    # accuracy floor that rounding difference is amplified through the
+    # gram solves — compare down to 1e-7 relative (the convergence
+    # assertion below covers the tail)
+    floor = 1e-7 * sh[0]
+    cmp = mask & (sh > floor)
+    np.testing.assert_allclose(
+        dh[cmp], sh[cmp], rtol=1e-7, atol=floor,
+    )
+    assert np.abs(res.x - 1.0).max() < 1e-6
+
+
 def test_dist_cg_uneven_rows():
     """Row count not divisible by shards (reference sizeOfRank remainder
     handling, comm.c:35-38): pad rows must not disturb the solve."""
