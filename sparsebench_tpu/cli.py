@@ -119,8 +119,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint-every", type=int, default=50,
                     help="Iterations between checkpoints (default 50)")
     ap.add_argument("--precond", default="none", choices=["none", "jacobi"],
-                    help="CG preconditioner (beyond the reference, which is "
-                    "unpreconditioned)")
+                    help="Jacobi preconditioning (beyond the reference, "
+                    "which is unpreconditioned): PCG for -t cg, right-"
+                    "preconditioned GMRES for -t gmres, M^-1 A Chebyshev "
+                    "with weighted-Lanczos bounds for -t cheb")
     ap.add_argument("--cg-variant", default="standard",
                     choices=["standard", "cs", "sstep"], dest="cg_variant",
                     help="CG formulation: the reference's (2 allreduces/"
@@ -380,6 +382,15 @@ def main(argv: Optional[list] = None) -> int:
         return init_vectors(csr, dtype=policy.value, generated=generated,
                             row_lengths=row_counts)
 
+    def make_inv_diag():
+        """1/diag(A) for --precond jacobi (any solver), original row order."""
+        if csr is not None:
+            d = csr.diagonal()
+        else:  # analytic stencil: diagonal is the constant 27
+            d = np.full(A.nr, 27.0)
+        print("Preconditioner: Jacobi")
+        return np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+
     iterations = 0
     with trace(args.trace):
         if param.bench == "cg":
@@ -387,12 +398,7 @@ def main(argv: Optional[list] = None) -> int:
             x0, b, xexact = make_vectors()
             inv_diag = None
             if args.precond == "jacobi":
-                if csr is not None:
-                    d = csr.diagonal()
-                else:  # analytic stencil: diagonal is the constant 27
-                    d = np.full(A.nr, 27.0)
-                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
-                print("Preconditioner: Jacobi")
+                inv_diag = make_inv_diag()
                 if args.checkpoint or args.profile:
                     raise SystemExit(
                         "--precond combines with the plain CG path only"
@@ -437,15 +443,20 @@ def main(argv: Optional[list] = None) -> int:
             from sparsebench_tpu.solvers.gmres import solve_gmres
 
             b = np.ones(A.nr, dtype=policy.value)
+            inv_diag = (make_inv_diag() if args.precond == "jacobi"
+                        else None)
             res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps,
-                              orth=args.orth)
+                              orth=args.orth, inv_diag=inv_diag)
             iterations = res.iterations
         elif param.bench == "cheb":
             print("Test type: CHEBFD")
             from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
 
             x0, b, xexact = make_vectors()
-            res = solve_chebyshev(A, b, itermax=param.itermax, eps=param.eps)
+            inv_diag = (make_inv_diag() if args.precond == "jacobi"
+                        else None)
+            res = solve_chebyshev(A, b, itermax=param.itermax, eps=param.eps,
+                                  inv_diag=inv_diag)
             iterations = res.iterations
             if xexact is not None:
                 diff = check_residual(res.x, xexact)

@@ -378,44 +378,57 @@ def dist_solve_chebyshev(
     itermax: int = 150,
     eps: float = 0.0,
     bounds=None,
+    inv_diag: "np.ndarray" = None,
     verbose: bool = True,
 ):
     """Distributed Chebyshev iteration: zero per-iteration allreduces except
-    the residual-norm tracking psum — the communication-optimal solve."""
+    the residual-norm tracking psum — the communication-optimal solve.
+    ``inv_diag`` (global row order) enables Jacobi preconditioning; the
+    bounds are then estimated for M^-1 A (weighted distributed Lanczos)."""
     from sparsebench_tpu.solvers.chebyshev import ChebyshevResult, cheby_loop
 
     if bounds is None:
-        bounds = _dist_estimate_bounds(dm, b_global.shape[0], b_global.dtype)
+        bounds = _dist_estimate_bounds(dm, b_global.shape[0], b_global.dtype,
+                                       inv_diag=inv_diag)
     lmin, lmax = bounds
     if verbose:
         print(f"Chebyshev bounds: lmin = {lmin:.4e} lmax = {lmax:.4e}")
 
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x0_stacked = jnp.zeros_like(b_stacked)
+    md_stacked = (
+        jnp.asarray(dm.shard_vector(np.asarray(inv_diag,
+                                               dtype=b_stacked.dtype)))
+        if inv_diag is not None else None
+    )
     loop = partial(
         cheby_loop, itermax=itermax, lmin=lmin, lmax=lmax,
         exchange=dm.exchange, allsum=dm.allsum,
     )
 
-    def local_fn(A_stacked, b, x0, eps_s):
+    def local_fn(A_stacked, b, x0, eps_s, md):
         A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
-        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s)
+        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s,
+                          inv_diag=None if md is None else md[0])
         return x[None], k, hist
 
     shard_fn = jax.jit(
         jax.shard_map(
             local_fn,
             mesh=dm.mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(),
+                      P() if md_stacked is None else P(AXIS)),
             out_specs=(P(AXIS), P(), P()),
             check_vma=False,
         )
     )
     eps_arr = jnp.asarray(eps, b_stacked.dtype)
-    x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
+                                   md_stacked)
     int(k_dev)
     t0 = time.perf_counter()
-    x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr)
+    x_dev, k_dev, h_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
+                                   md_stacked)
     k = int(k_dev)  # scalar readback = reliable sync (see cg.py)
     t1 = time.perf_counter()
     hist = np.asarray(h_dev)[:k]
@@ -440,10 +453,14 @@ def dist_solve_gmres(
     eps: float = 0.0,
     restart: int = 30,
     orth: str = "cgs",
+    inv_diag: "np.ndarray" = None,
     verbose: bool = True,
 ):
     """Distributed restarted GMRES(m): the Arnoldi cycle runs inside
-    shard_map (basis sharded by rows, orthogonalization dots psummed)."""
+    shard_map (basis sharded by rows, orthogonalization dots psummed).
+    ``inv_diag`` (global row order) enables right Jacobi preconditioning
+    (see solvers/gmres.py _gmres_cycle) — the M^-1 apply is shard-local
+    elementwise."""
     from sparsebench_tpu.solvers.gmres import GMRESResult, _gmres_cycle
 
     if orth not in ("cgs", "cgs2"):
@@ -453,11 +470,16 @@ def dist_solve_gmres(
 
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x_stacked = jnp.zeros_like(b_stacked)
+    md_stacked = (
+        jnp.asarray(dm.shard_vector(np.asarray(inv_diag,
+                                               dtype=b_stacked.dtype)))
+        if inv_diag is not None else None
+    )
     m = min(restart, itermax)
     nr_local = dm.nr_max
     nc_local = dm.nr_max + dm.part.plan.halo_max
 
-    def local_fn(A_stacked, b, x0):
+    def local_fn(A_stacked, b, x0, md):
         A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
         spmv = (
             A_local.spmv_permuted
@@ -465,7 +487,8 @@ def dist_solve_gmres(
             else A_local.spmv
         )
         x_new, normr, k, brk = _gmres_cycle(
-            A_local, b[0], x0[0], m=m, exchange=dm.exchange,
+            A_local, b[0], x0[0], None if md is None else md[0],
+            m=m, exchange=dm.exchange,
             allsum=dm.allsum, spmv=spmv, nr=nr_local, nc=nc_local, eps=eps,
             orth=orth,
         )
@@ -475,7 +498,8 @@ def dist_solve_gmres(
         jax.shard_map(
             local_fn,
             mesh=dm.mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            in_specs=(P(AXIS), P(AXIS), P(AXIS),
+                      P() if md_stacked is None else P(AXIS)),
             out_specs=(P(AXIS), P(), P(), P()),
             check_vma=False,
         )
@@ -487,7 +511,8 @@ def dist_solve_gmres(
     broke_down = False
     t0 = time.perf_counter()
     while iters < itermax:
-        x_new, normr_dev, k_dev, brk_dev = cycle(dm.A, b_stacked, x_stacked)
+        x_new, normr_dev, k_dev, brk_dev = cycle(dm.A, b_stacked, x_stacked,
+                                                 md_stacked)
         if bool(brk_dev):
             broke_down = True  # keep the last good iterate
             break
@@ -511,7 +536,8 @@ def dist_solve_gmres(
     )
 
 
-def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25):
+def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25,
+                          inv_diag: "np.ndarray" = None):
     """Distributed Lanczos bound estimate: the whole recurrence runs as ONE
     shard_map'd jit over the mesh (round 2 drove one mesh dispatch per
     Lanczos step from the host — 25 x the relay RTT of setup cost)."""
@@ -523,22 +549,28 @@ def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25):
     steps = min(steps, n)
     rng = np.random.default_rng(0)
     v0 = dm.shard_vector(rng.standard_normal(n).astype(dtype))
+    md_stacked = (
+        jnp.asarray(dm.shard_vector(np.asarray(inv_diag, dtype=dtype)))
+        if inv_diag is not None else None
+    )
 
-    def local_fn(A_stacked, v):
+    def local_fn(A_stacked, v, md):
         A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
         return lanczos_tridiag(A_local, v[0], steps=steps,
-                               exchange=dm.exchange, allsum=dm.allsum)
+                               exchange=dm.exchange, allsum=dm.allsum,
+                               inv_diag=None if md is None else md[0])
 
     fn = jax.jit(
         jax.shard_map(
             local_fn,
             mesh=dm.mesh,
-            in_specs=(P(AXIS), P(AXIS)),
+            in_specs=(P(AXIS), P(AXIS),
+                      P() if md_stacked is None else P(AXIS)),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
     )
-    alphas, betas, count = fn(dm.A, jnp.asarray(v0))
+    alphas, betas, count = fn(dm.A, jnp.asarray(v0), md_stacked)
     return bounds_from_tridiag(alphas, betas, int(count))
 
 

@@ -238,15 +238,26 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             from sparsebench_tpu.parallel.dist import dist_solve_chebyshev
 
             print("Test type: CHEBFD")
+            inv_diag = None
+            if getattr(args, "precond", "none") == "jacobi":
+                d = np.concatenate([s.diagonal() for s in shards])
+                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+                print("Preconditioner: Jacobi")
             res = dist_solve_chebyshev(dm, b, itermax=param.itermax,
-                                       eps=param.eps)
+                                       eps=param.eps, inv_diag=inv_diag)
         elif param.bench == "gmres":
             from sparsebench_tpu.parallel.dist import dist_solve_gmres
 
             print("Test type: GMRES")
+            inv_diag = None
+            if getattr(args, "precond", "none") == "jacobi":
+                d = np.concatenate([s.diagonal() for s in shards])
+                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+                print("Preconditioner: Jacobi")
             res = dist_solve_gmres(dm, b, itermax=param.itermax,
                                    eps=param.eps,
-                                   orth=getattr(args, "orth", "cgs"))
+                                   orth=getattr(args, "orth", "cgs"),
+                                   inv_diag=inv_diag)
         elif param.bench == "spmv":
             from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 

@@ -36,17 +36,30 @@ class ChebyshevResult:
     bounds: Tuple[float, float]
 
 
-def lanczos_tridiag(A, v0, steps: int, exchange=_identity, allsum=_identity):
+def lanczos_tridiag(A, v0, steps: int, exchange=_identity, allsum=_identity,
+                    inv_diag=None):
     """Jittable Lanczos recurrence: the WHOLE ``steps``-step process is one
     ``lax.fori_loop`` (one dispatch — the round-2 version drove one mesh
     dispatch per step from the host, ~25 x the relay RTT of setup cost).
     Returns (alphas[steps], betas[steps], count): entries past the
     breakdown step (beta < 1e-12) are masked out and ``count`` tells the
-    host how many are valid."""
+    host how many are valid.
+
+    With ``inv_diag`` the recurrence runs on the Jacobi-preconditioned
+    operator M^-1 A (M = diag(A)), which is self-adjoint in the M-inner
+    product — so the dots are M-weighted and the tridiagonal's
+    eigenvalues estimate spec(M^-1 A)."""
     nr = v0.shape[0]
     nc = A.nc
     dtype = v0.dtype
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+    precond = inv_diag is not None
+    if precond:
+        inv_diag = inv_diag.astype(dtype)
+        wvec = jnp.where(inv_diag != 0,
+                         1.0 / jnp.where(inv_diag != 0, inv_diag, 1), 0)
+    else:
+        wvec = None
 
     def widen(v):
         if nc == nr:
@@ -54,16 +67,20 @@ def lanczos_tridiag(A, v0, steps: int, exchange=_identity, allsum=_identity):
         return jnp.concatenate([v, jnp.zeros(nc - nr, dtype)])
 
     def matvec(v):
-        return spmv(exchange(widen(v)))
+        Av = spmv(exchange(widen(v)))
+        return (inv_diag * Av).astype(dtype) if precond else Av
 
-    v = v0 / jnp.sqrt(allsum(jnp.sum(v0 * v0)))
+    def wdot(u, v):
+        return allsum(jnp.sum(u * (v if wvec is None else wvec * v)))
+
+    v = v0 / jnp.sqrt(wdot(v0, v0))
 
     def body(i, carry):
         v_prev, v, beta, alphas, betas, count, active = carry
         w = matvec(v)
-        alpha = allsum(jnp.sum(v * w))
+        alpha = wdot(v, w)
         w = w - alpha * v - beta * v_prev
-        beta_new = jnp.sqrt(allsum(jnp.sum(w * w)))
+        beta_new = jnp.sqrt(wdot(w, w))
         alphas = jnp.where(active, alphas.at[i].set(alpha), alphas)
         betas = jnp.where(active, betas.at[i].set(beta_new), betas)
         count = count + active.astype(jnp.int32)
@@ -99,7 +116,7 @@ def bounds_from_tridiag(alphas, betas, count: int) -> Tuple[float, float]:
 
 def estimate_bounds(
     A, nr: int, dtype, exchange=_identity, allsum=_identity, steps: int = 25,
-    seed: int = 0, permute=None,
+    seed: int = 0, permute=None, inv_diag=None,
 ) -> Tuple[float, float]:
     """Lanczos extreme-eigenvalue estimate with safety margins (one fused
     device dispatch + a tiny host eigensolve). For permuted-space
@@ -111,21 +128,30 @@ def estimate_bounds(
     v0 = jnp.asarray(rng.standard_normal(nr).astype(dtype))
     if permute is not None:
         v0 = permute(v0)
+        if inv_diag is not None:
+            inv_diag = permute(inv_diag)
     fn = jax.jit(
         partial(lanczos_tridiag, steps=min(steps, nr), exchange=exchange,
                 allsum=allsum)
     )
-    alphas, betas, count = fn(A, v0)
+    alphas, betas, count = fn(A, v0, inv_diag=inv_diag)
     return bounds_from_tridiag(alphas, betas, int(count))
 
 
 def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
-               allsum=_identity):
-    """Jittable Chebyshev iteration (standard 3-term recurrence)."""
+               allsum=_identity, inv_diag=None):
+    """Jittable Chebyshev iteration (standard 3-term recurrence). With
+    ``inv_diag`` the recurrence runs on the Jacobi-preconditioned
+    operator (z = M^-1 r feeds the direction update; ``lmin``/``lmax``
+    must then bound spec(M^-1 A) — estimate_bounds(inv_diag=...)). The
+    tracked/reported residual stays the TRUE ||b - A x||."""
     nr = b.shape[0]
     nc = A.nc
     vdt = b.dtype
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+    precond = inv_diag is not None
+    if precond:
+        inv_diag = inv_diag.astype(vdt)
 
     def widen(v):
         if nc == nr:
@@ -135,6 +161,9 @@ def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
     def matvec(v):
         return spmv(exchange(widen(v)))
 
+    def apply_m(r):
+        return (inv_diag * r).astype(vdt) if precond else r
+
     theta = (lmax + lmin) / 2.0
     delta = (lmax - lmin) / 2.0
     sigma1 = theta / delta
@@ -143,7 +172,7 @@ def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
     normr0 = jnp.sqrt(allsum(jnp.sum(r0 * r0)))
     hist0 = jnp.full(itermax, jnp.nan, vdt).at[0].set(normr0)
 
-    p0 = r0 / theta
+    p0 = apply_m(r0) / theta
     x1 = x0 + p0
     r1 = r0 - matvec(p0)
     rho0 = jnp.asarray(1.0 / sigma1, vdt)
@@ -159,7 +188,7 @@ def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
         normr = jnp.sqrt(allsum(jnp.sum(r * r)))
         h = h.at[k].set(normr)
         rho_new = 1.0 / (2.0 * sigma1 - rho)
-        p = rho_new * rho * p + (2.0 * rho_new / delta) * r
+        p = rho_new * rho * p + (2.0 * rho_new / delta) * apply_m(r)
         x = x + p
         r = r - matvec(p)
         return k + 1, x, r, p, rho_new, normr, h
@@ -177,23 +206,36 @@ def solve_chebyshev(
     itermax: int = 150,
     eps: float = 0.0,
     bounds: Optional[Tuple[float, float]] = None,
+    inv_diag: Optional[np.ndarray] = None,
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     verbose: bool = True,
 ) -> ChebyshevResult:
+    """``inv_diag`` (1/diag(A), original row order) enables Jacobi
+    preconditioning: the recurrence runs on M^-1 A and the bounds are
+    estimated for it (weighted Lanczos) — for the generated stencil
+    problem this shrinks [lmin, lmax] spread ~diag-fold."""
     b = jnp.asarray(b)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    # original-row-order copy for estimate_bounds (which permutes itself)
+    inv_diag_orig = (
+        jnp.asarray(inv_diag, dtype=b.dtype) if inv_diag is not None else None
+    )
 
     permuted = getattr(A, "permuted_output", False)
     if permuted:
         b_in, x0_in = A.permute_vector(b), A.permute_vector(x0)
+        inv_diag = (A.permute_vector(inv_diag_orig)
+                    if inv_diag_orig is not None else None)
     else:
         b_in, x0_in = b, x0
+        inv_diag = inv_diag_orig
 
     if bounds is None:
         bounds = estimate_bounds(
             A, b.shape[0], b.dtype, exchange=exchange, allsum=allsum,
             permute=A.permute_vector if permuted else None,
+            inv_diag=inv_diag_orig,
         )
     lmin, lmax = bounds
     if verbose:
@@ -204,10 +246,12 @@ def solve_chebyshev(
                 exchange=exchange, allsum=allsum)
     )
     eps_arr = jnp.asarray(eps, b.dtype)
-    x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr,
+                               inv_diag=inv_diag)
     int(k_dev)
     t0 = time.perf_counter()
-    x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr)
+    x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr,
+                               inv_diag=inv_diag)
     k = int(k_dev)  # scalar readback = reliable sync (see cg.py)
     t1 = time.perf_counter()
 

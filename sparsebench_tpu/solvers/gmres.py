@@ -47,8 +47,8 @@ class GMRESBreakdownError(RuntimeError):
     """Arnoldi produced a singular Hessenberg before convergence."""
 
 
-def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc, eps=0.0,
-                 orth="cgs", _return_basis=False):
+def _gmres_cycle(A, b, x0, inv_diag=None, *, m, exchange, allsum, spmv, nr,
+                 nc, eps=0.0, orth="cgs", _return_basis=False):
     """One GMRES(m) cycle.
 
     Returns ``(x_new, normr_new, k_inner, breakdown)`` where ``k_inner`` is
@@ -57,21 +57,37 @@ def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc, eps=0.0,
     ``breakdown`` flags a singular H column before convergence (the
     preconditionless analog of a hard Arnoldi breakdown). All shapes are
     static: convergence mid-cycle masks the trailing columns out of the
-    least-squares solve instead of shortening the loop."""
+    least-squares solve instead of shortening the loop.
+
+    ``inv_diag`` switches to RIGHT-preconditioned GMRES (Jacobi): the
+    Arnoldi process runs on A M^-1 and the update maps back through
+    M^-1, so the minimized/reported residual stays the TRUE residual
+    ||b - A x|| (the reason right > left preconditioning here)."""
     vdt = b.dtype
+    precond = inv_diag is not None
 
     def widen(v):
         if nc == nr:
             return v
         return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
 
-    def matvec(v):
+    def apply_a(v):
         return spmv(exchange(widen(v)))
+
+    def apply_minv(v):
+        return (inv_diag * v).astype(vdt) if precond else v
+
+    def matvec(v):
+        # the Arnoldi operator: A M^-1 (plain A when unpreconditioned)
+        return apply_a(apply_minv(v))
 
     def dot(u, v):
         return allsum(jnp.sum(u * v))  # sum, not dot: see cg.py
 
-    r = b - matvec(x0)
+    # initial residual is ALWAYS the true one: r = b - A x0 (not the
+    # Arnoldi operator applied to x0 — x0 lives in x-space, the Arnoldi
+    # basis in the right-preconditioned u-space)
+    r = b - apply_a(x0)
     beta = jnp.sqrt(dot(r, r))
     inv_beta = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
 
@@ -150,7 +166,9 @@ def _gmres_cycle(A, b, x0, m, exchange, allsum, spmv, nr, nc, eps=0.0,
         jnp.eye(m, dtype=vdt),
     )
     y = jax.scipy.linalg.solve_triangular(Hm, g[:m] * active, lower=False)
-    x_new = x0 + jnp.einsum("i,in->n", y, V[:m], preferred_element_type=vdt)
+    x_new = x0 + apply_minv(
+        jnp.einsum("i,in->n", y, V[:m], preferred_element_type=vdt)
+    )
     normr = jnp.where(k > 0, res[jnp.maximum(k - 1, 0)], beta)
     if _return_basis:  # test hook: expose the Arnoldi basis
         return x_new, normr, k, breakdown, V
@@ -166,20 +184,27 @@ def solve_gmres(
     eps: float = 0.0,
     restart: int = 30,
     orth: str = "cgs",
+    inv_diag: Optional[np.ndarray] = None,
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     verbose: bool = True,
 ) -> GMRESResult:
+    """``inv_diag`` (1/diag(A), original row order) enables right Jacobi
+    preconditioning — see _gmres_cycle."""
     if orth not in ("cgs", "cgs2"):
         raise ValueError(f"orth must be 'cgs' or 'cgs2', got {orth!r}")
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if inv_diag is not None:
+        inv_diag = jnp.asarray(inv_diag, dtype=b.dtype)
 
     permuted = getattr(A, "permuted_output", False)
     spmv = A.spmv_permuted if permuted else A.spmv
     if permuted:
         b = A.permute_vector(b)
         x = A.permute_vector(x)
+        if inv_diag is not None:
+            inv_diag = A.permute_vector(inv_diag)
 
     nr = b.shape[0]
     m = min(restart, itermax)
@@ -196,7 +221,7 @@ def solve_gmres(
     normr = np.inf
     broke_down = False
     while iters < itermax:
-        x_new, normr_dev, k_dev, brk_dev = cycle(A, b, x)
+        x_new, normr_dev, k_dev, brk_dev = cycle(A, b, x, inv_diag)
         if bool(brk_dev):
             # singular H before convergence: keep the last good iterate
             broke_down = True

@@ -105,6 +105,27 @@ def test_cg_variant_sstep_sharded_cli(capsys):
     assert "Solve aggregate (fused)" in out
 
 
+@pytest.mark.parametrize("bench", ["gmres", "cheb"])
+def test_precond_jacobi_other_solvers_cli(capsys, bench):
+    """--precond jacobi must reach GMRES and Chebyshev, not be silently
+    dropped (the reference has no such flag asymmetry)."""
+    rc = run_cli(["-t", bench, "-x", "5", "-y", "5", "-z", "4", "-i", "40",
+                  "-e", "1e-8", "--precond", "jacobi"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Preconditioner: Jacobi" in out
+
+
+@pytest.mark.parametrize("bench", ["gmres", "cheb"])
+def test_precond_jacobi_other_solvers_sharded_cli(capsys, bench):
+    rc = run_cli(["-t", bench, "-x", "4", "-y", "4", "-z", "2", "-i", "30",
+                  "-e", "1e-8", "--shards", "4", "--fmt", "crs",
+                  "--precond", "jacobi"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Preconditioner: Jacobi" in out
+
+
 def test_cg_variant_rejects_profile():
     with pytest.raises(SystemExit, match="plain CG path"):
         run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "4", "-i", "5",
