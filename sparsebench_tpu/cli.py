@@ -464,6 +464,9 @@ def main(argv: Optional[list] = None) -> int:
 
     if args.profile or param.bench == "spmv":
         print(prof.report(iterations))
+    from sparsebench_tpu.utils import hard_exit_if_dev_relay
+
+    hard_exit_if_dev_relay(0)  # dev-relay teardown wedge (NOTES.md)
     return 0
 
 

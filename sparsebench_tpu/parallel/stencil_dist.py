@@ -399,4 +399,7 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
         total += kb
     print(f"Total data volume {total:.2f} kB")
     print(HLINE)
+    from sparsebench_tpu.utils import hard_exit_if_dev_relay
+
+    hard_exit_if_dev_relay(0)  # dev-relay teardown wedge (NOTES.md)
     return 0

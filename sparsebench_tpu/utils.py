@@ -88,3 +88,32 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # pragma: no cover - older jax knob names
         pass
+
+
+def hard_exit_if_dev_relay(rc: int = 0) -> None:
+    """Hard-exit the process on the tunneled dev TPU backend (axon).
+
+    The relay client has two observed wedge modes (NOTES.md): a client
+    thread spinning at ~100% CPU after main returns, and — observed this
+    round — the MAIN thread blocking inside interpreter teardown work
+    (device-buffer GC through the relay) *before* returning from main,
+    which a post-main guard in __main__ can never reach (a 100^3 CLI run
+    printed all results, then burned 25 CPU-minutes without exiting).
+    Call this at the end of every driver path, after ALL user-visible
+    output is flushed. No-op off the axon backend, so tests (cpu) and
+    normal installs keep ordinary interpreter shutdown. The same output
+    contract as __main__'s guard applies: writers must flush/close
+    synchronously before this point — atexit handlers are skipped.
+    """
+    import sys
+
+    backend = ""
+    if "jax" in sys.modules:
+        try:
+            backend = sys.modules["jax"].default_backend()
+        except Exception:  # pragma: no cover — backend init failed
+            backend = ""
+    if backend == "axon":
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)

@@ -66,3 +66,15 @@ def test_dump_disabled_without_env(tmp_path, monkeypatch):
     shards = [generate_stencil(2, 2, 2, rank=r, size=2) for r in range(2)]
     debug.maybe_dump_partition(partition(shards), directory=str(tmp_path))
     assert not list(tmp_path.glob("out-*.txt"))
+
+
+def test_hard_exit_if_dev_relay_noop_off_axon():
+    """Off the axon dev backend the helper must be a NO-OP (pytest would
+    die here otherwise) — it only hard-exits on the tunneled dev TPU
+    where teardown wedges are a thing (NOTES.md)."""
+    import jax
+
+    from sparsebench_tpu.utils import hard_exit_if_dev_relay
+
+    assert jax.default_backend() != "axon"
+    hard_exit_if_dev_relay(0)  # reaching the next line IS the assertion
