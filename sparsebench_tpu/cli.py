@@ -133,6 +133,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--sstep", type=int, default=4,
                     help="Basis size s for --cg-variant sstep (default 4; "
                     "monomial-basis conditioning recommends s <= 8)")
+    ap.add_argument("--restart", type=int, default=30,
+                    help="GMRES(m) restart length (default 30; the Arnoldi "
+                    "basis is a dense (m+1, n) block on device)")
     ap.add_argument("--orth", default="cgs", choices=["cgs", "cgs2"],
                     help="GMRES orthogonalization: classical Gram-Schmidt "
                     "or reorthogonalized CGS2 (robust for ill-conditioned "
@@ -445,8 +448,11 @@ def main(argv: Optional[list] = None) -> int:
             b = np.ones(A.nr, dtype=policy.value)
             inv_diag = (make_inv_diag() if args.precond == "jacobi"
                         else None)
+            if args.restart < 1:
+                raise SystemExit("--restart must be >= 1")
             res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps,
-                              orth=args.orth, inv_diag=inv_diag)
+                              orth=args.orth, inv_diag=inv_diag,
+                              restart=args.restart)
             iterations = res.iterations
         elif param.bench == "cheb":
             print("Test type: CHEBFD")

@@ -257,7 +257,8 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             res = dist_solve_gmres(dm, b, itermax=param.itermax,
                                    eps=param.eps,
                                    orth=getattr(args, "orth", "cgs"),
-                                   inv_diag=inv_diag)
+                                   inv_diag=inv_diag,
+                                   restart=getattr(args, "restart", 30))
         elif param.bench == "spmv":
             from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 

@@ -116,6 +116,21 @@ def test_precond_jacobi_other_solvers_cli(capsys, bench):
     assert "Preconditioner: Jacobi" in out
 
 
+def test_gmres_restart_cli(capsys):
+    rc = run_cli(["-t", "gmres", "-x", "5", "-y", "5", "-z", "4", "-i", "40",
+                  "-e", "1e-8", "--restart", "10"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # with m=10 a 40-iteration budget takes > 1 restart cycle
+    assert "GMRES cycle 2" in out
+
+
+def test_gmres_restart_rejects_bad():
+    with pytest.raises(SystemExit, match="restart"):
+        run_cli(["-t", "gmres", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+                 "--restart", "0"])
+
+
 @pytest.mark.parametrize("bench", ["gmres", "cheb"])
 def test_precond_jacobi_other_solvers_sharded_cli(capsys, bench):
     rc = run_cli(["-t", bench, "-x", "4", "-y", "4", "-z", "2", "-i", "30",
