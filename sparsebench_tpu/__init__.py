@@ -1,34 +1,61 @@
-"""sparsebench_tpu — a TPU-native sparse solver benchmark framework.
+"""sparsebench_tpu — TPU-native sparse solver benchmark framework.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of
-RRZE-HPC/SparseBench (an MPI+OpenMP C benchmark of distributed CG and SpMV
-over CRS / SELL-C-sigma / CCRS sparse formats; see SURVEY.md).
+Public API (lazy re-exports). Resolution is deferred via PEP 562 so that
+``import sparsebench_tpu`` stays jax-free: the CLI's host-only paths
+(``-c file.mtx`` conversion, ``--help``) must not initialize a backend —
+on the tunneled dev TPU, importing jax dials (and claims) the chip
+(see __main__.py / NOTES.md).
 
-Design stance (TPU-first, not a port):
-  * compile-time C polymorphism (one matrix format per binary,
-    reference Makefile:20,32) becomes runtime format objects registered in
-    :mod:`sparsebench_tpu.formats`;
-  * MPI rank SPMD (reference src/comm.c) becomes ``shard_map`` over a
-    ``jax.sharding.Mesh`` with XLA collectives (psum / ppermute / all_gather);
-  * OpenMP/SIMD loops (reference src/matrix-*.c, src/solver.c) become XLA
-    fused element-wise ops and Pallas kernels tiled to VPU lanes;
-  * the two-stage matrix representation is kept: host ingest produces a
-    :class:`~sparsebench_tpu.host.csr.HostCSR` intermediate (the reference's
-    ``GMatrix``, src/matrix.h:29-35) which is lowered to a device-resident
-    format before the solve.
+    from sparsebench_tpu import (
+        Parameter, DTypePolicy,          # config + .par files
+        HostCSR, read_mm, generate_stencil,   # host ingest
+        from_csr,                        # device format registry
+        solve_cg, solve_gmres, solve_chebyshev,  # serial solvers
+        build_distributed, dist_solve_cg,        # mesh-sharded solve
+        Profiler,                        # region roofline report
+    )
 """
 
-from sparsebench_tpu import _malloc_tuning
+from sparsebench_tpu.version import __version__  # noqa: F401
 
-_malloc_tuning.apply()
+_EXPORTS = {
+    # config (host-only, safe to import eagerly but kept uniform)
+    "Parameter": "sparsebench_tpu.config",
+    "DTypePolicy": "sparsebench_tpu.config",
+    "read_parameter": "sparsebench_tpu.config",
+    # host ingest (numpy-only)
+    "HostCSR": "sparsebench_tpu.host",
+    "read_mm": "sparsebench_tpu.host",
+    "generate_stencil": "sparsebench_tpu.host",
+    # device formats (imports jax)
+    "from_csr": "sparsebench_tpu.formats",
+    # solvers (import jax)
+    "solve_cg": "sparsebench_tpu.solvers.cg",
+    "check_residual": "sparsebench_tpu.solvers.cg",
+    "init_vectors": "sparsebench_tpu.solvers.cg",
+    "solve_gmres": "sparsebench_tpu.solvers.gmres",
+    "solve_chebyshev": "sparsebench_tpu.solvers.chebyshev",
+    # distributed (imports jax)
+    "build_distributed": "sparsebench_tpu.parallel.dist",
+    "dist_solve_cg": "sparsebench_tpu.parallel.dist",
+    "dist_spmv": "sparsebench_tpu.parallel.dist",
+    # profiler (host-side timers)
+    "Profiler": "sparsebench_tpu.profiler",
+}
 
-from sparsebench_tpu.version import __version__
+__all__ = ["__version__", *_EXPORTS]
 
-from sparsebench_tpu.config import Parameter, read_parameter, DTypePolicy
 
-__all__ = [
-    "__version__",
-    "Parameter",
-    "read_parameter",
-    "DTypePolicy",
-]
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        )
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(__all__)

@@ -262,18 +262,26 @@ def dist_solve_cg_stencil(
     itermax: int = 150,
     eps: float = 0.0,
     variant: str = "standard",
+    sstep: int = 4,
     inv_diag: np.ndarray = None,
     mesh=None,
     verbose: bool = True,
 ) -> CGResult:
     """Distributed matrix-free CG: ONE jitted shard_map program (same
     collective structure as dist_solve_cg — 2 psums + 1 plane exchange
-    per iteration; 1 fused psum with variant="cs")."""
+    per iteration; 1 fused psum with variant="cs"; 1 fused gram psum per
+    ``sstep`` iterations with variant="sstep")."""
     mesh = mesh if mesh is not None else make_mesh(size)
     exchange = _make_exchange(A, size)
     allsum = make_allsum(AXIS)
+    if variant == "sstep":
+        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
+
+        loop_fn = partial(cg_sstep_loop, s=sstep)
+    else:
+        loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     loop = partial(
-        cg_cs_loop if variant == "cs" else cg_loop,
+        loop_fn,
         itermax=itermax, exchange=exchange, allsum=allsum,
     )
 
@@ -314,7 +322,10 @@ def dist_solve_cg_stencil(
         print(f"Initial Residual = {hist[0]:E}")
         print_freq = min(max(itermax // 10, 1), 50)
         for j in range(1, k):
-            if j % print_freq == 0 or j + 1 == itermax:
+            # sstep records history at outer-step boundaries only
+            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
+                hist[j]
+            ):
                 print(f"Iteration = {j} Residual = {hist[j]:E}")
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 
@@ -383,6 +394,7 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
         res = dist_solve_cg_stencil(
             A, size, b, itermax=param.itermax, eps=param.eps,
             variant=getattr(args, "cg_variant", "standard"),
+            sstep=getattr(args, "sstep", 4),
             inv_diag=inv_diag,
         )
         print(prof.report_aggregate(res.iterations, res.solve_seconds))

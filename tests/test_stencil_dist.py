@@ -61,6 +61,29 @@ def test_dist_cg_matches_serial(variant, impl):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_dist_cg_sstep():
+    """--cg-variant sstep must reach the matrix-free z-slab path (it
+    previously fell through to standard CG silently)."""
+    A, counts = build_halo_stencil(6, 6, 3, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    res = dist_solve_cg_stencil(A, SIZE, b, itermax=61, eps=0.0,
+                                variant="sstep", sstep=4, verbose=False)
+    assert check_residual(res.x, np.ones(A.total_nr)) < 1e-4
+    # sstep signature: NaN history slots between outer-step boundaries
+    assert np.isnan(res.residual_history[2])
+
+
+def test_cli_sharded_stencil_sstep(capsys):
+    from sparsebench_tpu.cli import main
+
+    rc = main(["-t", "cg", "-x", "5", "-y", "5", "-z", "2", "-i", "41",
+               "--fmt", "stencil", "--shards", str(SIZE),
+               "--cg-variant", "sstep", "--sstep", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Difference between computed and exact  = 0.000" in out
+
+
 def test_dist_cg_jacobi():
     A, counts = build_halo_stencil(5, 5, 2, SIZE)
     b = (27.0 - (counts - 1)).astype(np.float32)

@@ -78,3 +78,27 @@ def test_hard_exit_if_dev_relay_noop_off_axon():
 
     assert jax.default_backend() != "axon"
     hard_exit_if_dev_relay(0)  # reaching the next line IS the assertion
+
+
+def test_package_public_api_lazy():
+    """Package-level re-exports resolve lazily (PEP 562): the host-only
+    names must not pull jax in (the CLI's -c conversion path depends on
+    import sparsebench_tpu staying backend-free on the dev TPU)."""
+    import importlib
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import sparsebench_tpu as sb\n"
+        "sb.Parameter(); sb.generate_stencil(3, 3, 3)\n"
+        "assert 'jax' not in sys.modules, 'jax leaked into host-only API'\n"
+        "assert callable(sb.solve_cg)\n"
+    )
+    env = dict(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    import os
+
+    env = {**os.environ, **env}
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
