@@ -124,12 +124,14 @@ def build_argparser() -> argparse.ArgumentParser:
                     "preconditioned GMRES for -t gmres, M^-1 A Chebyshev "
                     "with weighted-Lanczos bounds for -t cheb")
     ap.add_argument("--cg-variant", default="standard",
-                    choices=["standard", "cs", "sstep"], dest="cg_variant",
+                    choices=["standard", "cs", "sstep", "pipe"],
+                    dest="cg_variant",
                     help="CG formulation: the reference's (2 allreduces/"
                     "iter), single-reduction Chronopoulos-Gear 'cs' "
-                    "(1 fused allreduce/iter; latency win on meshes), or "
+                    "(1 fused allreduce/iter; latency win on meshes), "
                     "'sstep' communication-avoiding CG (1 fused allreduce "
-                    "per --sstep iterations)")
+                    "per --sstep iterations), or 'pipe' pipelined CG "
+                    "(the allreduce overlaps the matvec)")
     ap.add_argument("--sstep", type=int, default=4,
                     help="Basis size s for --cg-variant sstep (default 4; "
                     "monomial-basis conditioning recommends s <= 8)")

@@ -285,6 +285,10 @@ def dist_solve_cg(
         from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
 
         loop_fn = partial(cg_sstep_loop, s=sstep)
+    elif variant == "pipe":
+        from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
+
+        loop_fn = cg_pipe_loop
     else:
         loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     loop = partial(

@@ -389,11 +389,13 @@ def solve_cg(
     ``variant="cs"`` selects single-reduction CG (see cg_cs_loop);
     ``variant="sstep"`` selects s-step communication-avoiding CG with
     basis size ``sstep`` (solvers/cg_sstep.py — one fused allreduce per
-    ``sstep`` iterations).
+    ``sstep`` iterations); ``variant="pipe"`` selects pipelined CG
+    (solvers/cg_pipe.py — the allreduce overlaps the matvec).
     """
-    if variant not in ("standard", "cs", "sstep"):
+    if variant not in ("standard", "cs", "sstep", "pipe"):
         raise ValueError(
-            f"variant must be 'standard', 'cs' or 'sstep', got {variant!r}"
+            "variant must be 'standard', 'cs', 'sstep' or 'pipe', "
+            f"got {variant!r}"
         )
     b = jnp.asarray(b)
     if x0 is None:
@@ -416,6 +418,10 @@ def solve_cg(
         from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
 
         loop_fn = partial(cg_sstep_loop, s=sstep)
+    elif variant == "pipe":
+        from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
+
+        loop_fn = cg_pipe_loop
     else:
         loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     kw = {"inv_diag": inv_diag}

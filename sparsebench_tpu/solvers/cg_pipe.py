@@ -1,0 +1,194 @@
+"""Pipelined CG (Ghysels & Vanroose 2014).
+
+The third latency strategy in the CG family, alongside ``cs`` (fuse the
+two allreduces into one) and ``sstep`` (amortize one allreduce over s
+iterations): pipelined CG OVERLAPS its single fused allreduce with the
+iteration's one matvec. The dots (gamma, delta) depend only on (u, w)
+from the previous update, and the matvec q = A_hat w does not depend on
+the dots — inside the one jitted program XLA is free to schedule the
+psum concurrently with the SpMV, so on a mesh the reduction latency
+hides behind local compute (the reference's blocking MPI_Allreduce
+structure cannot do this, src/solver.c:41-62).
+
+Formulated entirely in the preconditioned space (A_hat = M^-1 A,
+u = M^-1 r, self-adjoint in <a,b>_M = a^T M b; M = I unpreconditioned),
+which needs two fewer carried vectors than the textbook r-space form:
+
+    u = M^-1 (b - A x);  w = A_hat u
+    loop:
+        gamma = <u, u>_M,  delta = <w, u>_M   } ONE fused allreduce
+        q = A_hat w                           } overlapped matvec
+        beta  = gamma / gamma_old        (0 on the first iteration)
+        alpha = gamma / (delta - beta * gamma / alpha_old)
+        z = q + beta z          # z tracks A_hat (w-direction)
+        c = w + beta c          # c tracks A_hat p
+        p = u + beta p
+        x += alpha p;  u -= alpha c;  w -= alpha z
+
+Per iteration: 1 matvec + 1 fused allreduce (2 scalars; +1 for the true
+||r|| under Jacobi), independent of each other. Extra cost vs standard
+CG: carries c, z, w in addition to p — more BLAS1 traffic, the
+documented price of overlap; same matvec count. Identical Krylov
+iterates in exact arithmetic (gamma/delta recurrences are the
+Chronopoulos-Gear scalars, cf. cg_cs_loop). In floats the recurrently
+maintained u and w drift earlier than standard CG's residual, so the
+same drift-triggered replacement as cg_sstep.py repairs them
+(recompute u, w from x when <u,u>_M rises drift_factor x above its
+best-so-far; two matvecs on that iteration only).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from sparsebench_tpu.solvers.cg import safe_div
+
+_identity = lambda v: v  # noqa: E731
+
+
+def cg_pipe_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    inv_diag=None,
+    drift_factor: float = 256.0,
+):
+    """Jittable pipelined CG; same contract as cg_loop (returns
+    (x, k, history)). ``inv_diag`` enables Jacobi preconditioning (the
+    M-inner products are elementwise-weighted sums)."""
+    nr = b.shape[0]
+    nc = A.nc
+    vdt = b.dtype
+    sdt = acc_dtype or vdt
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+    precond = inv_diag is not None
+    if precond:
+        inv_diag = inv_diag.astype(vdt)
+        wvec = jnp.where(inv_diag != 0,
+                         1.0 / jnp.where(inv_diag != 0, inv_diag, 1), 0)
+    else:
+        wvec = None
+
+    def widen(v):
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
+
+    def matvec(v):
+        Av = spmv(exchange(widen(v)))
+        return ((inv_diag * Av) if precond else Av).astype(vdt)
+
+    def fused_dots(u, w):
+        # [gamma = <u,u>_M, delta = <w,u>_M] (+ ||M u||^2 = true ||r||^2
+        # under preconditioning; == gamma when M = I) — one allsum
+        us = u.astype(sdt)
+        ws = w.astype(sdt)
+        if wvec is not None:
+            uw = us * wvec.astype(sdt)
+            parts = [jnp.sum(us * uw), jnp.sum(ws * uw), jnp.sum(uw * uw)]
+        else:
+            parts = [jnp.sum(us * us), jnp.sum(ws * us)]
+        return allsum(jnp.stack(parts))
+
+    def fresh_uw(x):
+        r = (b - spmv(exchange(widen(x)))).astype(vdt)
+        u = (inv_diag * r).astype(vdt) if precond else r
+        return u, matvec(u)
+
+    u0, w0 = fresh_uw(x0)
+    gd0 = fused_dots(u0, w0)
+    gamma0 = gd0[0]
+    rr0 = gd0[2] if precond else gamma0
+    normr0 = jnp.sqrt(jnp.maximum(rr0, 0))
+    hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+
+    zeros = jnp.zeros(nr, vdt)
+    # state: (k, x, u, w, p, c, z, gamma, alpha, rr_best, need_rep,
+    #         normr, hist, done)
+    state = (jnp.asarray(1), x0, u0, w0, zeros, zeros, zeros,
+             gamma0, jnp.zeros((), sdt), rr0, jnp.asarray(False),
+             normr0, hist0, jnp.asarray(False))
+
+    def cond(st):
+        k, *_mid, normr, _hist, done = st
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
+        )
+
+    def body(st):
+        (k, x, u, w, p, c, z, gamma, alpha, rr_best, need_rep, _normr,
+         hist, done) = st
+
+        repair = bool(drift_factor and drift_factor > 0)
+        if repair:
+            # replacement restart (see cg_sstep.py): recompute u, w from
+            # x (two matvecs on that iteration only) and zero the
+            # direction family — the iteration below then takes a fresh
+            # steepest-descent step (beta = 0 via `fresh`)
+            def do_replace(args):
+                x_, _u, _w, _p, _c, _z = args
+                u2, w2 = fresh_uw(x_)
+                return u2, w2, zeros, zeros, zeros
+
+            def keep(args):
+                _x, u_, w_, p_, c_, z_ = args
+                return u_, w_, p_, c_, z_
+
+            u, w, p, c, z = jax.lax.cond(
+                need_rep, do_replace, keep, (x, u, w, p, c, z)
+            )
+
+        gd = fused_dots(u, w)        # the ONE allreduce ...
+        q = matvec(w)                # ... independent of it: overlaps
+        g_new, delta = gd[0], gd[1]
+        rr_new = gd[2] if precond else g_new
+        normr = jnp.sqrt(jnp.maximum(rr_new, 0))
+        hist = hist.at[k].set(normr)
+
+        fresh = jnp.logical_or(k == 1, need_rep)
+        beta = jnp.where(fresh, 0, safe_div(g_new, gamma))
+        denom = jnp.where(fresh, delta,
+                          delta - beta * safe_div(g_new, alpha))
+        # positivity loss: denom is p.Ap in disguise (cg_cs_loop). The
+        # pipelined recurrence loses it EARLIER than standard CG in low
+        # precision (measured on the chip at 100^3 f32: iteration ~45);
+        # with repair on it triggers a replacement restart instead of
+        # exiting, and only a breakdown right after a fresh restart ends
+        # the solve (the true floor, nothing left to repair).
+        breakdown = denom <= g_new * 1e-30
+        alpha_new = jnp.where(breakdown, 0, safe_div(g_new, denom))
+
+        b_v = beta.astype(vdt)
+        a_v = alpha_new.astype(vdt)
+        z = q + b_v * z
+        c = w + b_v * c
+        p = u + b_v * p
+        x = x + a_v * p
+        u = u - a_v * c
+        w = w - a_v * z
+
+        if repair:
+            trigger = jnp.logical_or(breakdown,
+                                     rr_new > drift_factor * rr_best)
+            need_rep_new = jnp.logical_and(trigger,
+                                           jnp.logical_not(need_rep))
+            done_new = jnp.logical_or(done,
+                                      jnp.logical_and(breakdown, need_rep))
+        else:
+            need_rep_new = need_rep
+            done_new = jnp.logical_or(done, breakdown)
+        rr_best = jnp.minimum(rr_best, rr_new)
+
+        return (k + 1, x, u, w, p, c, z, g_new, alpha_new, rr_best,
+                need_rep_new, normr, hist, done_new)
+
+    k, x, *_mid, _normr, hist, _done = jax.lax.while_loop(cond, body, state)
+    return x, k, hist

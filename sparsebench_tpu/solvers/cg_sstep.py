@@ -104,7 +104,7 @@ def cg_sstep_loop(
     inv_diag=None,
     s: int = 4,
     power_iters: int = 6,
-    drift_factor: float = 16.0,
+    drift_factor: float = 256.0,
 ):
     """Jittable s-step CG; same contract as solvers.cg.cg_loop
     (returns (x, k, history)). ``s`` is static (basis size). ``inv_diag``
@@ -115,7 +115,10 @@ def cg_sstep_loop(
     Drift repair: once the residual reaches the dtype's attainable floor
     the recurrence drifts upward (measured on the chip at 100^3 f32:
     1.2 -> 26 over the 100 post-convergence iterations). When the
-    recurrence ||r||^2 rises above ``drift_factor`` x its best-so-far,
+    recurrence ||r||^2 rises above ``drift_factor`` x its best-so-far (squared norms:
+    the default 256 = 16x in ||r||, far above CG's transient non-
+    monotone spikes — an 11x-in-norm early spike was measured on a
+    badly-scaled PCG system — and far below the unbounded floor drift),
     the next outer step REPLACES the residual with the true
     M^-1 (b - A x) and restarts the conjugacy block (one extra matvec on
     that step only — zero cost during healthy convergence; Carson-style
