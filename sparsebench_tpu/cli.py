@@ -134,7 +134,7 @@ def build_argparser() -> argparse.ArgumentParser:
                     "(the allreduce overlaps the matvec)")
     ap.add_argument("--sstep", type=int, default=4,
                     help="Basis size s for --cg-variant sstep (default 4; "
-                    "monomial-basis conditioning recommends s <= 8)")
+                    "the s x s gram conditioning recommends s <= 8)")
     ap.add_argument("--restart", type=int, default=30,
                     help="GMRES(m) restart length (default 30; the Arnoldi "
                     "basis is a dense (m+1, n) block on device)")
@@ -259,6 +259,14 @@ def main(argv: Optional[list] = None) -> int:
     print(print_parameter(param))  # reference printParameter (parameter.c:66-73)
     generated = param.filename in ("generate", "generate7P")
     warn_sell_on_tpu(param.fmt)
+
+    # flag-value validation BEFORE the sharded dispatch below — these
+    # must fail identically for serial and --shards runs (an invalid
+    # value reaching the solvers surfaces as a raw traceback)
+    if args.cg_variant == "sstep" and args.sstep < 1:
+        raise SystemExit("--sstep must be >= 1")
+    if args.restart < 1:
+        raise SystemExit("--restart must be >= 1")
 
     t0 = time.perf_counter()
     if param.shards > 1:
@@ -391,8 +399,20 @@ def main(argv: Optional[list] = None) -> int:
         """1/diag(A) for --precond jacobi (any solver), original row order."""
         if csr is not None:
             d = csr.diagonal()
-        else:  # analytic stencil: diagonal is the constant 27
+        elif generated:
+            # analytic stencil: the generator's diagonal is the constant
+            # 27 for both the 27-pt and 7-pt variants (reference
+            # src/matrix.c:87-92)
             d = np.full(A.nr, 27.0)
+        else:
+            # device-built operators without a host CSR (generateRGL):
+            # the varying diagonal is not on the host — refusing beats
+            # silently preconditioning with a wrong constant
+            raise SystemExit(
+                "--precond jacobi needs the matrix diagonal on the host; "
+                "generateRGL builds on device. Use --shards N (the "
+                "host-spec RGL path) for preconditioned RGL solves."
+            )
         print("Preconditioner: Jacobi")
         return np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
 
@@ -413,8 +433,6 @@ def main(argv: Optional[list] = None) -> int:
                 raise SystemExit(
                     "--cg-variant combines with the plain CG path only"
                 )
-            if args.cg_variant == "sstep" and args.sstep < 1:
-                raise SystemExit("--sstep must be >= 1")
             if args.checkpoint:
                 from sparsebench_tpu.solvers.checkpoint import (
                     solve_cg_checkpointed,
@@ -450,8 +468,6 @@ def main(argv: Optional[list] = None) -> int:
             b = np.ones(A.nr, dtype=policy.value)
             inv_diag = (make_inv_diag() if args.precond == "jacobi"
                         else None)
-            if args.restart < 1:
-                raise SystemExit("--restart must be >= 1")
             res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps,
                               orth=args.orth, inv_diag=inv_diag,
                               restart=args.restart)

@@ -36,7 +36,7 @@ from sparsebench_tpu.formats import get_format
 from sparsebench_tpu.host.csr import HostCSR
 from sparsebench_tpu.parallel.exchange import make_allsum, make_exchange
 from sparsebench_tpu.parallel.partition import Partitioned, partition
-from sparsebench_tpu.solvers.cg import CGResult, cg_loop
+from sparsebench_tpu.solvers.cg import CGResult
 
 AXIS = "shards"
 
@@ -279,20 +279,10 @@ def dist_solve_cg(
         if inv_diag is not None else None
     )
 
-    from sparsebench_tpu.solvers.cg import cg_cs_loop
+    from sparsebench_tpu.solvers.cg import resolve_cg_loop
 
-    if variant == "sstep":
-        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
-
-        loop_fn = partial(cg_sstep_loop, s=sstep)
-    elif variant == "pipe":
-        from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
-
-        loop_fn = cg_pipe_loop
-    else:
-        loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     loop = partial(
-        loop_fn,
+        resolve_cg_loop(variant, sstep),
         itermax=itermax,
         exchange=dm.exchange,
         allsum=dm.allsum,

@@ -182,14 +182,19 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
 
     from sparsebench_tpu.profiler import trace
 
+    def make_inv_diag():
+        """1/diag(A) from the shard diagonals (global row order), for
+        --precond jacobi with any distributed solver."""
+        d = np.concatenate([s.diagonal() for s in shards])
+        print("Preconditioner: Jacobi")
+        return np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+
     with trace(getattr(args, "trace", None)):
         if param.bench == "cg":
             print("Test type: CG")
             inv_diag = None
             if getattr(args, "precond", "none") == "jacobi":
-                d = np.concatenate([s.diagonal() for s in shards])
-                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
-                print("Preconditioner: Jacobi")
+                inv_diag = make_inv_diag()
             checkpoint = getattr(args, "checkpoint", None)
             if checkpoint and (
                 getattr(args, "profile", False)
@@ -240,9 +245,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             print("Test type: CHEBFD")
             inv_diag = None
             if getattr(args, "precond", "none") == "jacobi":
-                d = np.concatenate([s.diagonal() for s in shards])
-                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
-                print("Preconditioner: Jacobi")
+                inv_diag = make_inv_diag()
             res = dist_solve_chebyshev(dm, b, itermax=param.itermax,
                                        eps=param.eps, inv_diag=inv_diag)
         elif param.bench == "gmres":
@@ -251,9 +254,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             print("Test type: GMRES")
             inv_diag = None
             if getattr(args, "precond", "none") == "jacobi":
-                d = np.concatenate([s.diagonal() for s in shards])
-                inv_diag = np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
-                print("Preconditioner: Jacobi")
+                inv_diag = make_inv_diag()
             res = dist_solve_gmres(dm, b, itermax=param.itermax,
                                    eps=param.eps,
                                    orth=getattr(args, "orth", "cgs"),

@@ -33,7 +33,7 @@ from sparsebench_tpu.config import DTypePolicy
 from sparsebench_tpu.formats.stencil import _sum3, stencil_row_counts
 from sparsebench_tpu.parallel.dist import AXIS, make_mesh
 from sparsebench_tpu.parallel.exchange import make_allsum
-from sparsebench_tpu.solvers.cg import CGResult, cg_cs_loop, cg_loop
+from sparsebench_tpu.solvers.cg import CGResult
 
 
 @struct.dataclass
@@ -274,18 +274,10 @@ def dist_solve_cg_stencil(
     mesh = mesh if mesh is not None else make_mesh(size)
     exchange = _make_exchange(A, size)
     allsum = make_allsum(AXIS)
-    if variant == "sstep":
-        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
+    from sparsebench_tpu.solvers.cg import resolve_cg_loop
 
-        loop_fn = partial(cg_sstep_loop, s=sstep)
-    elif variant == "pipe":
-        from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
-
-        loop_fn = cg_pipe_loop
-    else:
-        loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     loop = partial(
-        loop_fn,
+        resolve_cg_loop(variant, sstep),
         itermax=itermax, exchange=exchange, allsum=allsum,
     )
 

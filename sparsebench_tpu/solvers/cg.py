@@ -344,6 +344,31 @@ def cg_cs_loop(
     return x, k, hist
 
 
+def resolve_cg_loop(variant: str, sstep: int = 4):
+    """Map a CG variant name to its loop function — the ONE place the
+    variant vocabulary lives, shared by the serial and distributed
+    drivers. Raises ValueError on unknown names: the historic failure
+    mode was an if/else chain in each driver silently falling back to
+    standard CG on a typo and reporting its results as the requested
+    variant."""
+    if variant == "standard":
+        return cg_loop
+    if variant == "cs":
+        return cg_cs_loop
+    if variant == "sstep":
+        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
+
+        return partial(cg_sstep_loop, s=sstep)
+    if variant == "pipe":
+        from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
+
+        return cg_pipe_loop
+    raise ValueError(
+        "variant must be 'standard', 'cs', 'sstep' or 'pipe', "
+        f"got {variant!r}"
+    )
+
+
 def cg_loop(
     A,
     b: jnp.ndarray,
@@ -392,11 +417,7 @@ def solve_cg(
     ``sstep`` iterations); ``variant="pipe"`` selects pipelined CG
     (solvers/cg_pipe.py — the allreduce overlaps the matvec).
     """
-    if variant not in ("standard", "cs", "sstep", "pipe"):
-        raise ValueError(
-            "variant must be 'standard', 'cs', 'sstep' or 'pipe', "
-            f"got {variant!r}"
-        )
+    loop_fn = resolve_cg_loop(variant, sstep)
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
@@ -414,16 +435,6 @@ def solve_cg(
     else:
         b_in, x0_in = b, x0
 
-    if variant == "sstep":
-        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
-
-        loop_fn = partial(cg_sstep_loop, s=sstep)
-    elif variant == "pipe":
-        from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
-
-        loop_fn = cg_pipe_loop
-    else:
-        loop_fn = cg_cs_loop if variant == "cs" else cg_loop
     kw = {"inv_diag": inv_diag}
     loop = jax.jit(
         partial(loop_fn, itermax=itermax, exchange=exchange, allsum=allsum,

@@ -131,6 +131,27 @@ def test_gmres_restart_rejects_bad():
                  "--restart", "0"])
 
 
+def test_flag_validation_reaches_sharded_runs():
+    """--restart/--sstep value checks must fire BEFORE the --shards
+    dispatch (they previously sat after it and sharded runs surfaced raw
+    tracebacks instead of the SystemExit)."""
+    with pytest.raises(SystemExit, match="restart"):
+        run_cli(["-t", "gmres", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+                 "--shards", "4", "--restart", "0"])
+    with pytest.raises(SystemExit, match="sstep"):
+        run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+                 "--shards", "4", "--cg-variant", "sstep", "--sstep", "0"])
+
+
+def test_precond_refused_for_device_built_rgl():
+    """--precond jacobi with serial generateRGL has no host diagonal; it
+    must refuse loudly, never precondition with a wrong constant."""
+    with pytest.raises(SystemExit, match="diagonal"):
+        run_cli(["-t", "cg", "-m", "generateRGL", "-x", "4096", "-y", "1",
+                 "-z", "1", "-i", "5", "--band", "64", "--deg", "4",
+                 "--precond", "jacobi"])
+
+
 @pytest.mark.parametrize("bench", ["gmres", "cheb"])
 def test_precond_jacobi_other_solvers_sharded_cli(capsys, bench):
     rc = run_cli(["-t", bench, "-x", "4", "-y", "4", "-z", "2", "-i", "30",

@@ -232,6 +232,17 @@ def test_dist_cg_sstep_matches_serial_sstep():
     assert np.abs(res.x - 1.0).max() < 1e-6
 
 
+def test_dist_cg_rejects_unknown_variant():
+    """dist_solve_cg must raise on unknown variants, not silently run
+    standard CG (the shared resolve_cg_loop guarantee)."""
+    shards = _gen_shards(3, 3, 1, 4)
+    gcsr = _global_csr(3, 3, 1, 4)
+    _, b, _ = init_vectors(gcsr)
+    dm = build_distributed(shards, fmt="crs")
+    with pytest.raises(ValueError, match="variant"):
+        dist_solve_cg(dm, b, itermax=5, variant="pipelined", verbose=False)
+
+
 def test_dist_cg_uneven_rows():
     """Row count not divisible by shards (reference sizeOfRank remainder
     handling, comm.c:35-38): pad rows must not disturb the solve."""

@@ -40,6 +40,25 @@ def test_dist_spmv_matches_global_matrix(dims, use_7pt, impl):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
 
 
+def test_dist_cg_pipe():
+    """--cg-variant pipe through the z-slab plane-halo exchange."""
+    A, counts = build_halo_stencil(6, 6, 3, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    res = dist_solve_cg_stencil(A, SIZE, b, itermax=60, eps=0.0,
+                                variant="pipe", verbose=False)
+    assert check_residual(res.x, np.ones(A.total_nr)) < 1e-4
+
+
+def test_dist_cg_rejects_unknown_variant():
+    """A typo'd variant must raise, not silently run standard CG (the
+    shared resolve_cg_loop guarantee for every driver)."""
+    A, counts = build_halo_stencil(4, 4, 1, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="variant"):
+        dist_solve_cg_stencil(A, SIZE, b, itermax=5, variant="s-step",
+                              verbose=False)
+
+
 @pytest.mark.parametrize("variant", ["standard", "cs"])
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 def test_dist_cg_matches_serial(variant, impl):
