@@ -102,3 +102,18 @@ def test_package_public_api_lazy():
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stderr
+
+
+def test_package_import_applies_malloc_tuning():
+    """Importing the package must run _malloc_tuning.apply() (the
+    reference `allocate` analog for the lazy-memory dev VM). A package
+    __init__ rewrite once dropped the call silently — pin it."""
+    import importlib
+    import sys
+
+    sys.modules.pop("sparsebench_tpu", None)
+    mt = importlib.import_module("sparsebench_tpu._malloc_tuning")
+    importlib.import_module("sparsebench_tpu")
+    # inspect the latch BEFORE touching apply() ourselves: on this glibc
+    # image mallopt succeeds, so __init__'s call must have set it
+    assert mt._applied, "__init__ did not run _malloc_tuning.apply()"
