@@ -47,6 +47,22 @@ def safe_div(num, den):
     return jnp.where(den != 0, num / jnp.where(den != 0, den, 1), 0)
 
 
+def default_acc_dtype(vdt, acc_dtype):
+    """Accumulation dtype for solver scalars (dots, residual history).
+
+    bf16 VALUES accumulate in f32 by default: an 8-bit-mantissa dot
+    product cannot drive a CG recurrence (and a bf16 residual history
+    even breaks float formatting). Vectors stay in ``vdt`` — bf16
+    storage halves BLAS1/matrix bytes, which is the point of --dtype
+    bf16 — only the reductions and recurrence scalars widen, matching
+    the Pallas kernels' bf16-data/f32-accumulate discipline."""
+    if acc_dtype is not None:
+        return acc_dtype
+    if jnp.dtype(vdt) == jnp.bfloat16:
+        return jnp.float32
+    return vdt
+
+
 @dataclasses.dataclass
 class CGResult:
     x: np.ndarray                    # solution, original row order
@@ -94,7 +110,7 @@ def cg_init(
     ``normr``/history keep the true residual norm ||r||."""
     nr = b.shape[0]
     vdt = b.dtype
-    sdt = acc_dtype or vdt
+    sdt = default_acc_dtype(vdt, acc_dtype)
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
 
     p = exchange(widen(x0))
@@ -132,7 +148,7 @@ def cg_run(
     _k, x_probe, _p, r_probe, *_ = state
     nr = r_probe.shape[0]
     vdt = r_probe.dtype
-    sdt = acc_dtype or vdt
+    sdt = default_acc_dtype(vdt, acc_dtype)
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
 
     def cond(state):
@@ -229,7 +245,7 @@ def cg_cs_loop(
     """
     nr = b.shape[0]
     vdt = b.dtype
-    sdt = acc_dtype or vdt
+    sdt = default_acc_dtype(vdt, acc_dtype)
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
     precond = inv_diag is not None
     if precond:

@@ -44,7 +44,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from sparsebench_tpu.solvers.cg import safe_div
+from sparsebench_tpu.solvers.cg import default_acc_dtype, safe_div
 
 _identity = lambda v: v  # noqa: E731
 
@@ -67,7 +67,7 @@ def cg_pipe_loop(
     nr = b.shape[0]
     nc = A.nc
     vdt = b.dtype
-    sdt = acc_dtype or vdt
+    sdt = default_acc_dtype(vdt, acc_dtype)
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
     precond = inv_diag is not None
     if precond:

@@ -61,6 +61,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sparsebench_tpu.solvers.cg import default_acc_dtype
+
 _identity = lambda v: v  # noqa: E731
 
 
@@ -129,7 +131,7 @@ def cg_sstep_loop(
     nr = b.shape[0]
     nc = A.nc
     vdt = b.dtype
-    sdt = acc_dtype or vdt
+    sdt = default_acc_dtype(vdt, acc_dtype)
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
     precond = inv_diag is not None
     if precond:

@@ -216,6 +216,13 @@ def solve_chebyshev(
     estimated for it (weighted Lanczos) — for the generated stencil
     problem this shrinks [lmin, lmax] spread ~diag-fold."""
     b = jnp.asarray(b)
+    if b.dtype == jnp.bfloat16:
+        # Lanczos bound estimation and the residual-norm tracking need
+        # more than an 8-bit mantissa; run the working vectors in f32
+        # (matrix storage stays bf16 — see solve_gmres)
+        b = b.astype(jnp.float32)
+        if x0 is not None:
+            x0 = jnp.asarray(x0).astype(jnp.float32)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     # original-row-order copy for estimate_bounds (which permutes itself)
     inv_diag_orig = (

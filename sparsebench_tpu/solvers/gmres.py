@@ -194,6 +194,14 @@ def solve_gmres(
     if orth not in ("cgs", "cgs2"):
         raise ValueError(f"orth must be 'cgs' or 'cgs2', got {orth!r}")
     b = jnp.asarray(b)
+    if b.dtype == jnp.bfloat16:
+        # Arnoldi orthogonalization in bf16 (8-bit mantissa) cannot hold
+        # a basis together; run the working vectors in f32. The MATRIX
+        # keeps its bf16 storage (the formats accumulate in f32), so the
+        # memory win of --dtype bf16 is preserved where it matters.
+        b = b.astype(jnp.float32)
+        if x0 is not None:
+            x0 = jnp.asarray(x0).astype(jnp.float32)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
     if inv_diag is not None:
         inv_diag = jnp.asarray(inv_diag, dtype=b.dtype)
