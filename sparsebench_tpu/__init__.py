@@ -61,6 +61,7 @@ _LAZY_EXPORTS = {
     "init_vectors": "sparsebench_tpu.solvers.cg",
     "solve_gmres": "sparsebench_tpu.solvers.gmres",
     "solve_chebyshev": "sparsebench_tpu.solvers.chebyshev",
+    "solve_bicgstab": "sparsebench_tpu.solvers.bicgstab",
     # distributed (imports jax)
     "build_distributed": "sparsebench_tpu.parallel.dist",
     "dist_solve_cg": "sparsebench_tpu.parallel.dist",

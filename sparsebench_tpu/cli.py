@@ -68,7 +68,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-m", metavar="FILE", dest="mm_file",
                     help="Load a matrix market file")
     ap.add_argument("-t", dest="bench", default=None,
-                    choices=["cg", "spmv", "gmres", "cheb"],
+                    choices=["cg", "spmv", "gmres", "cheb", "bicgstab"],
                     help="Benchmark type. Default cg.")
     ap.add_argument("-x", type=int, default=None, help="Generated size in x")
     ap.add_argument("-y", type=int, default=None, help="Generated size in y")
@@ -481,6 +481,19 @@ def main(argv: Optional[list] = None) -> int:
                         else None)
             res = solve_chebyshev(A, b, itermax=param.itermax, eps=param.eps,
                                   inv_diag=inv_diag)
+            iterations = res.iterations
+            if xexact is not None:
+                diff = check_residual(res.x, xexact)
+                print(f"Difference between computed and exact  = {diff:f}")
+        elif param.bench == "bicgstab":
+            print("Test type: BICGSTAB")
+            from sparsebench_tpu.solvers.bicgstab import solve_bicgstab
+
+            x0, b, xexact = make_vectors()
+            inv_diag = (make_inv_diag() if args.precond == "jacobi"
+                        else None)
+            res = solve_bicgstab(A, b, itermax=param.itermax,
+                                 eps=param.eps, inv_diag=inv_diag)
             iterations = res.iterations
             if xexact is not None:
                 diff = check_residual(res.x, xexact)

@@ -63,7 +63,7 @@ class Parameter:
     seed: int = 1              # graph seed
 
     # --- bench type (reference -t flag, src/main.c:22,116-129) ---
-    bench: str = "cg"          # cg | spmv | gmres | cheb
+    bench: str = "cg"          # cg | spmv | gmres | cheb | bicgstab
 
 
 _INT_KEYS = {"nx", "ny", "nz", "itermax", "chunk_height", "sigma", "shards",

@@ -354,6 +354,14 @@ class DiaMatrix:
     def _spmv_pallas(self, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         from sparsebench_tpu.ops.dia_pallas import choose_schedule
 
+        out_dtype = x.dtype
+        if x.dtype == jnp.bfloat16:
+            # Mosaic rejects the kernels' in-kernel bf16 vector reshapes
+            # ("infer-vector-layout: unsupported shape cast", measured on
+            # the v5e with --dtype bf16) and the lane rolls accumulate in
+            # the x dtype; stream x as f32 (the DIAGONALS keep their own,
+            # possibly bf16-compressed, storage) and narrow the result.
+            x = x.astype(jnp.float32)
         variant, tile_rows = choose_schedule(
             self.offsets, self.nr_pad, jnp.dtype(x.dtype).itemsize,
             self.data.dtype.itemsize, self.variant, self.tile_rows,
@@ -364,7 +372,7 @@ class DiaMatrix:
             self.data, x1d, self.offsets, self.nr_pad, tile_rows=tile_rows,
             interpret=interpret, variant=variant,
         )
-        return y2d.reshape(-1)[: self.nr]
+        return y2d.reshape(-1)[: self.nr].astype(out_dtype)
 
     def _spmv_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         nr = self.nr

@@ -260,6 +260,15 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
                                    orth=getattr(args, "orth", "cgs"),
                                    inv_diag=inv_diag,
                                    restart=getattr(args, "restart", 30))
+        elif param.bench == "bicgstab":
+            from sparsebench_tpu.parallel.dist import dist_solve_bicgstab
+
+            print("Test type: BICGSTAB")
+            inv_diag = None
+            if getattr(args, "precond", "none") == "jacobi":
+                inv_diag = make_inv_diag()
+            res = dist_solve_bicgstab(dm, b, itermax=param.itermax,
+                                      eps=param.eps, inv_diag=inv_diag)
         elif param.bench == "spmv":
             from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 

@@ -1,0 +1,223 @@
+"""BiCGStab solver (van der Vorst 1992) — beyond the reference.
+
+The reference's bench enum stops at {CG, SPMV, GMRES, CHEBFD}
+(src/main.c:22); for non-symmetric systems it offers only the (empty)
+GMRES slot. GMRES(m) — implemented in solvers/gmres.py — pays O(m·n)
+basis memory and O(m) orthogonalization dots per cycle; BiCGStab is the
+complementary short-recurrence method: constant memory (7 vectors),
+2 matvecs + 3 fused allreduces per iteration, no restart parameter.
+
+TPU design matches the CG family: one fused ``lax.while_loop`` under a
+single jit, injected ``exchange``/``allsum`` hooks so the serial and
+distributed solves are the same code, dots as elementwise-multiply +
+tree-sum (see cg.py on XLA dot precision), and bf16 values accumulate
+in f32 (default_acc_dtype).
+
+Per iteration (right Jacobi preconditioning via ``inv_diag``; M = I
+otherwise):
+
+    rho' = <rhat, r>                               } allreduce 1
+    beta = (rho'/rho)(alpha/omega)
+    p = r + beta (p - omega v)
+    v = A M^-1 p
+    alpha = rho' / <rhat, v>                       } allreduce 2
+    s = r - alpha v
+    t = A M^-1 s
+    [t.s, t.t, s.s]                                } allreduce 3 (fused)
+    omega = t.s / t.t
+    x += alpha M^-1 p + omega M^-1 s
+    r = s - omega t        (||r||^2 = s.s - 2 omega t.s + omega^2 t.t —
+                            read off the SAME fused reduction, no 4th)
+
+Breakdown guards (all freeze-and-exit like cg_run's): rho' ~ 0 (rhat
+deflation), <rhat, v> ~ 0, t.t = 0 (exact convergence at the s-step —
+then x += alpha M^-1 p alone is the converged update, omega = 0).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsebench_tpu.solvers.cg import (
+    CGResult,
+    default_acc_dtype,
+    safe_div,
+)
+
+_identity = lambda v: v  # noqa: E731
+
+
+def bicgstab_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    inv_diag=None,
+):
+    """Jittable BiCGStab; same contract as cg_loop (returns
+    (x, k, history))."""
+    nr = b.shape[0]
+    nc = A.nc
+    vdt = b.dtype
+    sdt = default_acc_dtype(vdt, acc_dtype)
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+    precond = inv_diag is not None
+    if precond:
+        inv_diag = inv_diag.astype(vdt)
+
+    def widen(v):
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
+
+    def matvec_minv(v):
+        # A M^-1 v (right preconditioning: the residual stays true)
+        vv = (inv_diag * v).astype(vdt) if precond else v
+        return spmv(exchange(widen(vv))).astype(vdt)
+
+    def apply_minv(v):
+        return (inv_diag * v).astype(vdt) if precond else v
+
+    def dot(u, v):
+        return allsum(jnp.sum(u.astype(sdt) * v.astype(sdt)))
+
+    r0 = (b - spmv(exchange(widen(x0)))).astype(vdt)
+    rhat = r0  # fixed shadow residual
+    rr0 = dot(r0, r0)
+    normr0 = jnp.sqrt(jnp.maximum(rr0, 0))
+    hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+
+    zeros = jnp.zeros(nr, vdt)
+    one = jnp.ones((), sdt)
+    # state: (k, x, r, p, v, rho, alpha, omega, normr, hist, done)
+    state = (jnp.asarray(1), x0, r0, zeros, zeros, one, one, one,
+             normr0, hist0, jnp.asarray(False))
+
+    def cond(st):
+        k, _x, _r, _p, _v, _rho, _al, _om, normr, _h, done = st
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
+        )
+
+    def body(st):
+        k, x, r, p, v, rho, alpha, omega, _normr, hist, done = st
+
+        rho_new = dot(rhat, r)
+        # Lanczos breakdown: the shadow residual deflated (rho ~ 0
+        # while r is not small) — freeze and exit; a production caller
+        # restarts with a new rhat, the benchmark reports the iterate
+        tiny = jnp.asarray(1e-30, sdt)
+        brk_rho = jnp.abs(rho_new) <= tiny * jnp.abs(rho)
+        beta = safe_div(rho_new * alpha, rho * omega)
+        p = r + beta.astype(vdt) * (p - omega.astype(vdt) * v)
+        v = matvec_minv(p)
+        rv = dot(rhat, v)
+        brk_rv = jnp.abs(rv) <= tiny * jnp.abs(rho_new)
+        bad = jnp.logical_or(brk_rho, brk_rv)
+        # freeze the iterate on breakdown (cg_run's alpha-freeze): zero
+        # step lengths keep x/r at their last good values this iteration
+        alpha_new = jnp.where(bad, 0, safe_div(rho_new, rv))
+        a_v = alpha_new.astype(vdt)
+        s = r - a_v * v
+        t = matvec_minv(s)
+        fused = allsum(jnp.stack([
+            jnp.sum(t.astype(sdt) * s.astype(sdt)),
+            jnp.sum(t.astype(sdt) * t.astype(sdt)),
+            jnp.sum(s.astype(sdt) * s.astype(sdt)),
+        ]))
+        ts, tt, ss = fused[0], fused[1], fused[2]
+        # tt == 0 <=> t == 0 <=> s is already the converged residual:
+        # omega = 0 and the half-step update below is exact
+        omega_new = jnp.where(bad, 0, safe_div(ts, tt))
+        o_v = omega_new.astype(vdt)
+        x = x + a_v * apply_minv(p) + o_v * apply_minv(s)
+        r = s - o_v * t
+        # ||r_new||^2 from the same fused reduction (no 4th allreduce)
+        rr = ss - 2 * omega_new * ts + omega_new * omega_new * tt
+        normr = jnp.sqrt(jnp.maximum(rr, 0))
+        hist = hist.at[k].set(normr)
+        return (k + 1, x, r, p, v, rho_new, alpha_new, omega_new,
+                normr, hist, jnp.logical_or(done, bad))
+
+    k, x, *_mid, _normr, hist, _done = jax.lax.while_loop(cond, body, state)
+    return x, k, hist
+
+
+def solve_bicgstab(
+    A,
+    b: np.ndarray,
+    *,
+    x0: Optional[np.ndarray] = None,
+    itermax: int = 150,
+    eps: float = 0.0,
+    inv_diag: Optional[np.ndarray] = None,
+    exchange: Callable = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    verbose: bool = True,
+) -> CGResult:
+    """Host driver (mirrors solve_cg): permutation handling, jit,
+    timing, residual printing. ``inv_diag`` enables right Jacobi
+    preconditioning (true residual reported)."""
+    b = jnp.asarray(b)
+    if b.dtype == jnp.bfloat16:
+        b = b.astype(jnp.float32)  # see solve_gmres: bf16 biorthogonal
+        # recurrences collapse; matrix storage stays bf16
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, b.dtype)
+    if inv_diag is not None:
+        inv_diag = jnp.asarray(inv_diag, dtype=b.dtype)
+
+    permuted = getattr(A, "permuted_output", False)
+    if permuted:
+        b_in = A.permute_vector(b)
+        x0_in = A.permute_vector(x0)
+        if inv_diag is not None:
+            inv_diag = A.permute_vector(inv_diag)
+    else:
+        b_in, x0_in = b, x0
+
+    loop = jax.jit(
+        partial(bicgstab_loop, itermax=itermax, exchange=exchange,
+                allsum=allsum, acc_dtype=acc_dtype)
+    )
+    eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
+                                  inv_diag=inv_diag)
+    int(k_dev)  # warm-up + sync
+    t0 = time.perf_counter()
+    x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
+                                  inv_diag=inv_diag)
+    k = int(k_dev)
+    t1 = time.perf_counter()
+
+    if permuted:
+        x_dev = A.unpermute_vector(x_dev)
+    hist = np.asarray(hist_dev)
+    if verbose:
+        print(f"Initial Residual = {hist[0]:E}")
+        print_freq = min(max(itermax // 10, 1), 50)
+        for j in range(1, k):
+            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
+                hist[j]
+            ):
+                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
+
+    final = hist[k - 1] if k > 1 else hist[0]
+    return CGResult(
+        x=np.asarray(x_dev),
+        iterations=k,
+        residual_history=hist[:k],
+        final_normr=float(final),
+        solve_seconds=t1 - t0,
+    )

@@ -65,6 +65,24 @@ def test_cheb_bf16_matrix_f32_vectors():
     assert res.final_normr < 1e-2
 
 
+def test_bf16_x_through_dia_pallas_kernel():
+    """bf16 x streams through the DIA Pallas kernels as f32 (Mosaic
+    rejects in-kernel bf16 vector reshapes — measured compile failure on
+    the v5e with --dtype bf16 at 100^3); output narrows back to bf16."""
+    import jax.numpy as jnp
+
+    csr = generate_stencil(6, 6, 6)
+    A = from_csr("dia", csr, BF16, impl="pallas_interpret")
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(A.nc), jnp.bfloat16
+    )
+    y = A.spmv(x)
+    assert y.dtype == jnp.bfloat16
+    want = csr.to_dense() @ np.asarray(x[: csr.nr], np.float32)
+    err = np.abs(np.asarray(y, np.float32) - want).max()
+    assert err < 0.02 * np.abs(want).max()
+
+
 def test_cli_bf16_cg(capsys):
     """--dtype bf16 -t cg end-to-end (this crashed on residual
     formatting before f32 accumulation)."""
