@@ -657,10 +657,26 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    rc = main()
-    # The dev relay's teardown thread intermittently spins at 100% CPU
-    # after a completed run (NOTES.md); the JSON line is already flushed,
-    # so skip interpreter teardown entirely.
+    # The dev relay wedges processes on the way out (NOTES.md): teardown
+    # thread spin, pre-return native spin, and crash-path teardown. The
+    # JSON line is flushed by the time main returns, so hard-exit
+    # unconditionally — including on a crash (a propagating exception
+    # previously burned CPU for minutes after its traceback printed).
+    rc = 1
+    try:
+        rc = main()
+    except SystemExit as e:
+        if e.code is None:
+            rc = 0
+        elif isinstance(e.code, int):
+            rc = e.code
+        else:
+            rc = 1
+            print(e.code, file=sys.stderr)
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
     sys.stdout.flush()
     sys.stderr.flush()
     import os

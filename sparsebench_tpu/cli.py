@@ -499,6 +499,13 @@ def main(argv: Optional[list] = None) -> int:
                 diff = check_residual(res.x, xexact)
                 print(f"Difference between computed and exact  = {diff:f}")
 
+        # every branch's solver output exists at this point: arm the
+        # watchdog so even a main thread wedged in native relay code on
+        # the way out (wedge mode 4, NOTES.md) cannot hold the process
+        from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
+
+        arm_dev_relay_exit_watchdog(0)
+
     if args.profile or param.bench == "spmv":
         print(prof.report(iterations))
     from sparsebench_tpu.utils import hard_exit_if_dev_relay

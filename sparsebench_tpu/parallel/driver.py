@@ -284,6 +284,10 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     if xexact is not None:
         diff = check_residual(res.x, xexact)
         print(f"Difference between computed and exact  = {diff:f}")
+    # solver output exists: watchdog against the native-spin wedge mode
+    from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
+
+    arm_dev_relay_exit_watchdog(0)
 
     iterations = iterations or res.iterations
     if getattr(args, "profile", False):

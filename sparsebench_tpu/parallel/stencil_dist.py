@@ -396,6 +396,10 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
         print(prof.report_aggregate(res.iterations, res.solve_seconds))
     diff = check_residual(res.x, xexact)
     print(f"Difference between computed and exact  = {diff:f}")
+    # solver output exists: watchdog against the native-spin wedge mode
+    from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
+
+    arm_dev_relay_exit_watchdog(0)
     print(HLINE)
     print("Communication")
     print("rank\tkB")

@@ -117,3 +117,42 @@ def hard_exit_if_dev_relay(rc: int = 0) -> None:
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(rc)
+
+
+def arm_dev_relay_exit_watchdog(rc: int = 0, grace_s: float = 30.0) -> None:
+    """Arm a daemon thread that hard-exits ``grace_s`` seconds from now
+    (axon dev backend only; no-op elsewhere).
+
+    Fourth observed relay wedge mode: the MAIN thread spinning at 100%
+    in native relay-client code (state R, no syscall) after the final
+    result print — unreachable by the in-line hard_exit_if_dev_relay
+    call, which the main thread never gets to. A separate OS thread
+    still gets scheduled, and os._exit works from any thread. Call this
+    once all user-visible output exists (buffers are flushed here and
+    again by the watchdog); the grace period covers the normal exit
+    path, which fires first via hard_exit_if_dev_relay in the common
+    case. The thread is a daemon: a normal process exit kills it.
+    """
+    import sys
+
+    backend = ""
+    if "jax" in sys.modules:
+        try:
+            backend = sys.modules["jax"].default_backend()
+        except Exception:  # pragma: no cover
+            backend = ""
+    if backend != "axon":
+        return
+    import threading
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+
+    def _fire():
+        time.sleep(grace_s)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
+
+    threading.Thread(target=_fire, daemon=True,
+                     name="sb-relay-exit-watchdog").start()
