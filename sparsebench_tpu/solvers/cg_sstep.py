@@ -202,6 +202,7 @@ def cg_sstep_loop(
     state = (
         jnp.asarray(1),                 # k
         x0,                             # x
+        x0,                             # x_best (iterate at rr_best)
         u0,                             # u = M^{-1} r
         jnp.zeros((s, nr), vdt),        # P_prev (row-stacked directions)
         jnp.zeros((s, nr), vdt),        # W_prev = A_hat P_prev
@@ -215,14 +216,14 @@ def cg_sstep_loop(
     )
 
     def cond(st):
-        (k, _x, _u, _P, _W, _D, _rr, _rb, _rep, normr, _h, done) = st
+        (k, _x, _xb, _u, _P, _W, _D, _rr, _rb, _rep, normr, _h, done) = st
         return jnp.logical_and(
             jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
         )
 
     def body(st):
-        (k, x, u, Pprev, Wprev, Dprev, rr, rr_best, need_rep, _normr, hist,
-         done) = st
+        (k, x, x_best, u, Pprev, Wprev, Dprev, rr, rr_best, need_rep,
+         _normr, hist, done) = st
         hist = hist.at[k].set(jnp.sqrt(rr))
 
         if drift_factor and drift_factor > 0:
@@ -295,16 +296,25 @@ def cg_sstep_loop(
             need_rep_new = jnp.logical_and(drift, jnp.logical_not(need_rep))
         else:
             need_rep_new = need_rep
+        # best-iterate snapshot: past the attainable floor the
+        # drift/replacement cycle makes the residual non-monotone; the
+        # best-ever iterate is what the solver should hand back (one
+        # vector select per OUTER step — negligible next to s matvecs)
+        better = rr_new < rr_best
+        x_best = jnp.where(better, x, x_best)
         rr_best = jnp.minimum(rr_best, rr_new)
 
-        return (k + s, x, u, P, W, D, rr_new, rr_best, need_rep_new,
-                normr_new, hist, jnp.logical_or(done, bad))
+        return (k + s, x, x_best, u, P, W, D, rr_new, rr_best,
+                need_rep_new, normr_new, hist, jnp.logical_or(done, bad))
 
-    (k, _x, _u, _P, _W, _D, _rr, _rb, _rep, normr, hist, _done) = (
-        jax.lax.while_loop(cond, body, state)
-    )
-    x = _x
+    (k, x, x_best, _u, _P, _W, _D, rr, rr_best, _rep, normr, hist,
+     _done) = jax.lax.while_loop(cond, body, state)
     k = jnp.minimum(k, itermax)
+    # Return the best-residual iterate when the final one is worse
+    # (floor cycling); pair the reported final residual with it.
+    pick_best = rr > rr_best
+    x = jnp.where(pick_best, x_best, x)
+    normr = jnp.where(pick_best, jnp.sqrt(rr_best), normr)
     # The body records the residual entering each outer step (hist[k] at
     # k = 1, 1+s, ...); the exit-triggering post-block residual lands in
     # slot k-1 here so the driver's final_normr is the fresh value for
