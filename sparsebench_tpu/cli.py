@@ -267,6 +267,29 @@ def main(argv: Optional[list] = None) -> int:
         raise SystemExit("--sstep must be >= 1")
     if args.restart < 1:
         raise SystemExit("--restart must be >= 1")
+    # No silently-ignored flags (the seam class VERDICT r2 flagged):
+    # warn when a solver-specific flag cannot reach the chosen bench
+    import sys as _sys
+
+    _ap_defaults = {"orth": "cgs", "restart": 30, "cg_variant": "standard"}
+    for flag, attr, benches in (
+        ("--orth", "orth", ("gmres",)),
+        ("--restart", "restart", ("gmres",)),
+        ("--cg-variant", "cg_variant", ("cg",)),
+    ):
+        if getattr(args, attr) != _ap_defaults[attr] and (
+            param.bench not in benches
+        ):
+            print(
+                f"warning: {flag} has no effect with -t {param.bench}",
+                file=_sys.stderr,
+            )
+    if args.sstep != 4 and args.cg_variant != "sstep":
+        print("warning: --sstep has no effect without --cg-variant sstep",
+              file=_sys.stderr)
+    if args.checkpoint_every != 50 and not args.checkpoint:
+        print("warning: --checkpoint-every has no effect without "
+              "--checkpoint", file=_sys.stderr)
 
     t0 = time.perf_counter()
     if param.shards > 1:

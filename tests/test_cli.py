@@ -143,6 +143,23 @@ def test_flag_validation_reaches_sharded_runs():
                  "--shards", "4", "--cg-variant", "sstep", "--sstep", "0"])
 
 
+def test_irrelevant_flag_warnings(capsys):
+    """Solver-specific flags that cannot reach the chosen bench type
+    warn on stderr instead of being silently ignored."""
+    rc = run_cli(["-t", "cg", "-x", "4", "-y", "4", "-z", "4", "-i", "5",
+                  "--orth", "cgs2", "--restart", "10"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "--orth has no effect" in err
+    assert "--restart has no effect" in err
+    rc = run_cli(["-t", "gmres", "-x", "4", "-y", "4", "-z", "4", "-i", "5",
+                  "--cg-variant", "cs", "--sstep", "2"])
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "--cg-variant has no effect" in err
+    assert "--sstep has no effect" in err
+
+
 def test_precond_refused_for_device_built_rgl():
     """--precond jacobi with serial generateRGL has no host diagonal; it
     must refuse loudly, never precondition with a wrong constant."""
