@@ -657,28 +657,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    # The dev relay wedges processes on the way out (NOTES.md): teardown
-    # thread spin, pre-return native spin, and crash-path teardown. The
-    # JSON line is flushed by the time main returns, so hard-exit
-    # unconditionally — including on a crash (a propagating exception
-    # previously burned CPU for minutes after its traceback printed).
-    rc = 1
-    try:
-        rc = main()
-    except SystemExit as e:
-        if e.code is None:
-            rc = 0
-        elif isinstance(e.code, int):
-            rc = e.code
-        else:
-            rc = 1
-            print(e.code, file=sys.stderr)
-    except BaseException:
-        import traceback
+    # Single exit path for the dev relay's wedge modes (NOTES.md); the
+    # JSON line is flushed by the time main returns.
+    from sparsebench_tpu.utils import run_with_hard_exit
 
-        traceback.print_exc()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    import os
-
-    os._exit(rc)
+    run_with_hard_exit(main)

@@ -52,15 +52,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    rc = 1
-    try:
-        rc = main()
-    except BaseException:
-        import traceback
+    from sparsebench_tpu.utils import run_with_hard_exit
 
-        traceback.print_exc()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    import os
-
-    os._exit(rc)
+    run_with_hard_exit(main)

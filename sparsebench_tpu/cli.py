@@ -224,7 +224,8 @@ def write_bin_matrix(filename: str) -> None:
 
 
 def main(argv: Optional[list] = None) -> int:
-    args = build_argparser().parse_args(argv)
+    ap = build_argparser()
+    args = ap.parse_args(argv)
     param = apply_args(Parameter(), args)
 
     if args.convert:
@@ -268,28 +269,31 @@ def main(argv: Optional[list] = None) -> int:
     if args.restart < 1:
         raise SystemExit("--restart must be >= 1")
     # No silently-ignored flags (the seam class VERDICT r2 flagged):
-    # warn when a solver-specific flag cannot reach the chosen bench
-    import sys as _sys
-
-    _ap_defaults = {"orth": "cgs", "restart": 30, "cg_variant": "standard"}
+    # warn when a solver-specific flag cannot reach the chosen bench.
+    # Defaults come from the parser itself so the two cannot drift.
     for flag, attr, benches in (
         ("--orth", "orth", ("gmres",)),
         ("--restart", "restart", ("gmres",)),
         ("--cg-variant", "cg_variant", ("cg",)),
+        ("--checkpoint", "checkpoint", ("cg",)),
+        ("--precond", "precond", ("cg", "gmres", "cheb", "bicgstab")),
     ):
-        if getattr(args, attr) != _ap_defaults[attr] and (
+        if getattr(args, attr) != ap.get_default(attr) and (
             param.bench not in benches
         ):
             print(
                 f"warning: {flag} has no effect with -t {param.bench}",
-                file=_sys.stderr,
+                file=sys.stderr,
             )
-    if args.sstep != 4 and args.cg_variant != "sstep":
-        print("warning: --sstep has no effect without --cg-variant sstep",
-              file=_sys.stderr)
-    if args.checkpoint_every != 50 and not args.checkpoint:
+    if args.sstep != ap.get_default("sstep") and not (
+        args.cg_variant == "sstep" and param.bench == "cg"
+    ):
+        print("warning: --sstep has no effect without -t cg "
+              "--cg-variant sstep", file=sys.stderr)
+    if (args.checkpoint_every != ap.get_default("checkpoint_every")
+            and not args.checkpoint):
         print("warning: --checkpoint-every has no effect without "
-              "--checkpoint", file=_sys.stderr)
+              "--checkpoint", file=sys.stderr)
 
     t0 = time.perf_counter()
     if param.shards > 1:
@@ -524,15 +528,20 @@ def main(argv: Optional[list] = None) -> int:
 
         # every branch's solver output exists at this point: arm the
         # watchdog so even a main thread wedged in native relay code on
-        # the way out (wedge mode 4, NOTES.md) cannot hold the process
+        # the way out (wedge mode 4, NOTES.md) cannot hold the process —
+        # but NOT while a profiler report or trace dump is still pending
+        # (a 30 s watchdog would truncate the run's primary output and
+        # report rc 0 for it)
         from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
 
-        arm_dev_relay_exit_watchdog(0)
+        if not (args.profile or args.trace or param.bench == "spmv"):
+            arm_dev_relay_exit_watchdog(0)
 
     if args.profile or param.bench == "spmv":
         print(prof.report(iterations))
     from sparsebench_tpu.utils import hard_exit_if_dev_relay
 
+    arm_dev_relay_exit_watchdog(0)  # all output exists on every path now
     hard_exit_if_dev_relay(0)  # dev-relay teardown wedge (NOTES.md)
     return 0
 

@@ -36,7 +36,7 @@ from sparsebench_tpu.formats import get_format
 from sparsebench_tpu.host.csr import HostCSR
 from sparsebench_tpu.parallel.exchange import make_allsum, make_exchange
 from sparsebench_tpu.parallel.partition import Partitioned, partition
-from sparsebench_tpu.solvers.cg import CGResult
+from sparsebench_tpu.solvers.cg import CGResult, print_residual_history
 
 AXIS = "shards"
 
@@ -321,14 +321,7 @@ def dist_solve_cg(
     x_global = dm.unshard_vector(np.asarray(x_dev))
 
     if verbose:
-        print(f"Initial Residual = {hist[0]:E}")
-        print_freq = min(max(itermax // 10, 1), 50)
-        for j in range(1, k):
-            # sstep records history at outer-step boundaries only
-            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
-                hist[j]
-            ):
-                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print_residual_history(hist, k, itermax)
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 
     return CGResult(
@@ -541,11 +534,16 @@ def dist_solve_bicgstab(
     verbose: bool = True,
 ) -> CGResult:
     """Distributed BiCGStab (solvers/bicgstab.py): one jitted shard_map
-    program — 2 halo exchanges + 3 allreduces (one fused 3-scalar) per
+    program — 2 halo exchanges + 3 allreduces (two fused) per
     iteration. ``inv_diag`` (global row order) = right Jacobi."""
     from sparsebench_tpu.solvers.bicgstab import bicgstab_loop
 
-    b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
+    b_np = np.asarray(b_global)
+    if jnp.dtype(b_np.dtype) == jnp.bfloat16:
+        # same upcast as solve_bicgstab: bf16 biorthogonal recurrences
+        # collapse (serial/dist answers diverged without this)
+        b_np = b_np.astype(np.float32)
+    b_stacked = jnp.asarray(dm.shard_vector(b_np))
     x0_stacked = jnp.zeros_like(b_stacked)
     md_stacked = (
         jnp.asarray(dm.shard_vector(np.asarray(inv_diag,
@@ -585,13 +583,7 @@ def dist_solve_bicgstab(
     t1 = time.perf_counter()
     hist = np.asarray(hist_dev)
     if verbose:
-        print(f"Initial Residual = {hist[0]:E}")
-        print_freq = min(max(itermax // 10, 1), 50)
-        for j in range(1, k):
-            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
-                hist[j]
-            ):
-                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print_residual_history(hist, k, itermax)
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
     return CGResult(
         x=dm.unshard_vector(np.asarray(x_dev)),

@@ -284,10 +284,6 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     if xexact is not None:
         diff = check_residual(res.x, xexact)
         print(f"Difference between computed and exact  = {diff:f}")
-    # solver output exists: watchdog against the native-spin wedge mode
-    from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
-
-    arm_dev_relay_exit_watchdog(0)
 
     iterations = iterations or res.iterations
     if getattr(args, "profile", False):
@@ -306,7 +302,13 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             total += kb
         print(f"Total data volume {total:.2f} kB")
         print(HLINE)
-    from sparsebench_tpu.utils import hard_exit_if_dev_relay
+    from sparsebench_tpu.utils import (
+        arm_dev_relay_exit_watchdog,
+        hard_exit_if_dev_relay,
+    )
 
+    # all output (solve + report/volume tables) exists here — watchdog
+    # against the native-spin wedge, then the in-line hard exit
+    arm_dev_relay_exit_watchdog(0)
     hard_exit_if_dev_relay(0)  # dev-relay teardown wedge (NOTES.md)
     return 0

@@ -33,7 +33,7 @@ from sparsebench_tpu.config import DTypePolicy
 from sparsebench_tpu.formats.stencil import _sum3, stencil_row_counts
 from sparsebench_tpu.parallel.dist import AXIS, make_mesh
 from sparsebench_tpu.parallel.exchange import make_allsum
-from sparsebench_tpu.solvers.cg import CGResult
+from sparsebench_tpu.solvers.cg import CGResult, print_residual_history
 
 
 @struct.dataclass
@@ -315,14 +315,7 @@ def dist_solve_cg_stencil(
     hist = np.asarray(hist_dev)
 
     if verbose:
-        print(f"Initial Residual = {hist[0]:E}")
-        print_freq = min(max(itermax // 10, 1), 50)
-        for j in range(1, k):
-            # sstep records history at outer-step boundaries only
-            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
-                hist[j]
-            ):
-                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print_residual_history(hist, k, itermax)
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 
     return CGResult(
@@ -396,10 +389,6 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
         print(prof.report_aggregate(res.iterations, res.solve_seconds))
     diff = check_residual(res.x, xexact)
     print(f"Difference between computed and exact  = {diff:f}")
-    # solver output exists: watchdog against the native-spin wedge mode
-    from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
-
-    arm_dev_relay_exit_watchdog(0)
     print(HLINE)
     print("Communication")
     print("rank\tkB")
@@ -411,7 +400,12 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
         total += kb
     print(f"Total data volume {total:.2f} kB")
     print(HLINE)
-    from sparsebench_tpu.utils import hard_exit_if_dev_relay
+    from sparsebench_tpu.utils import (
+        arm_dev_relay_exit_watchdog,
+        hard_exit_if_dev_relay,
+    )
 
+    # all output exists here — watchdog against the native-spin wedge
+    arm_dev_relay_exit_watchdog(0)
     hard_exit_if_dev_relay(0)  # dev-relay teardown wedge (NOTES.md)
     return 0

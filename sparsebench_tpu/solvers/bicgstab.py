@@ -5,7 +5,8 @@ The reference's bench enum stops at {CG, SPMV, GMRES, CHEBFD}
 GMRES slot. GMRES(m) — implemented in solvers/gmres.py — pays O(m·n)
 basis memory and O(m) orthogonalization dots per cycle; BiCGStab is the
 complementary short-recurrence method: constant memory (7 vectors),
-2 matvecs + 3 fused allreduces per iteration, no restart parameter.
+2 matvecs + 3 allreduces (two fused) per iteration, no restart
+parameter.
 
 TPU design matches the CG family: one fused ``lax.while_loop`` under a
 single jit, injected ``exchange``/``allsum`` hooks so the serial and
@@ -16,18 +17,23 @@ in f32 (default_acc_dtype).
 Per iteration (right Jacobi preconditioning via ``inv_diag``; M = I
 otherwise):
 
-    rho' = <rhat, r>                               } allreduce 1
+    [rho' = <rhat, r>, ||r||^2]                    } allreduce 1 (fused)
     beta = (rho'/rho)(alpha/omega)
     p = r + beta (p - omega v)
     v = A M^-1 p
     alpha = rho' / <rhat, v>                       } allreduce 2
     s = r - alpha v
     t = A M^-1 s
-    [t.s, t.t, s.s]                                } allreduce 3 (fused)
+    [t.s, t.t]                                     } allreduce 3 (fused)
     omega = t.s / t.t
     x += alpha M^-1 p + omega M^-1 s
-    r = s - omega t        (||r||^2 = s.s - 2 omega t.s + omega^2 t.t —
-                            read off the SAME fused reduction, no 4th)
+    r = s - omega t
+
+The residual norm rides the rho reduction and is computed from the
+ACTUAL r vector at iteration start (cg_run's history semantics; exit is
+one iteration stale like standard CG). Deriving it algebraically from
+the omega reduction (s.s - 2w t.s + w^2 t.t) was measured to
+catastrophically cancel near the attainable floor — see the body.
 
 Breakdown guards (all freeze-and-exit like cg_run's): rho' ~ 0 (rhat
 deflation), <rhat, v> ~ 0, t.t = 0 (exact convergence at the s-step —
@@ -47,6 +53,7 @@ import numpy as np
 from sparsebench_tpu.solvers.cg import (
     CGResult,
     default_acc_dtype,
+    print_residual_history,
     safe_div,
 )
 
@@ -65,7 +72,19 @@ def bicgstab_loop(
     inv_diag=None,
 ):
     """Jittable BiCGStab; same contract as cg_loop (returns
-    (x, k, history))."""
+    (x, k, history)).
+
+    Residual semantics match the CG family (and the reference's CG):
+    the reported norm is the RECURRENCE residual's — computed from the
+    actual maintained r vector, never derived algebraically from the
+    omega reduction (see body) — and like every recurrence method it
+    decays below the true ||b - A x|| floor in low precision; x accuracy
+    is the oracle there (tests). Mid-stream replacement of r with the
+    true residual was tried and REJECTED: it breaks the biorthogonality
+    against the fixed rhat and the run destabilizes (measured f32 8^3:
+    residual spiked 2.5e-7 -> 29.7 at the first replacement and x
+    accuracy degraded 1000x). When the maintained r underflows to zero
+    the rho breakdown guard exits the loop cleanly."""
     nr = b.shape[0]
     nc = A.nc
     vdt = b.dtype
@@ -112,7 +131,21 @@ def bicgstab_loop(
     def body(st):
         k, x, r, p, v, rho, alpha, omega, _normr, hist, done = st
 
-        rho_new = dot(rhat, r)
+        # rho AND the true ||r||^2 in one fused reduction. The norm MUST
+        # come from the actual r vector: deriving it algebraically from
+        # the omega reduction (ss - 2w*ts + w^2*tt) catastrophically
+        # cancels near the attainable floor — measured f32 8^3: reported
+        # 5.1e-6 vs true 4.2e-5, decaying to an exact phantom 0.0 that
+        # falsely satisfied any eps. Recording at iteration START gives
+        # cg_run's exact history semantics (one-iteration-stale exit,
+        # like standard CG) at zero extra allreduces.
+        fused1 = allsum(jnp.stack([
+            jnp.sum(rhat.astype(sdt) * r.astype(sdt)),
+            jnp.sum(r.astype(sdt) * r.astype(sdt)),
+        ]))
+        rho_new, rr = fused1[0], fused1[1]
+        normr = jnp.sqrt(jnp.maximum(rr, 0))
+        hist = hist.at[k].set(normr)
         # Lanczos breakdown: the shadow residual deflated (rho ~ 0
         # while r is not small) — freeze and exit; a production caller
         # restarts with a new rhat, the benchmark reports the iterate
@@ -133,19 +166,14 @@ def bicgstab_loop(
         fused = allsum(jnp.stack([
             jnp.sum(t.astype(sdt) * s.astype(sdt)),
             jnp.sum(t.astype(sdt) * t.astype(sdt)),
-            jnp.sum(s.astype(sdt) * s.astype(sdt)),
         ]))
-        ts, tt, ss = fused[0], fused[1], fused[2]
+        ts, tt = fused[0], fused[1]
         # tt == 0 <=> t == 0 <=> s is already the converged residual:
         # omega = 0 and the half-step update below is exact
         omega_new = jnp.where(bad, 0, safe_div(ts, tt))
         o_v = omega_new.astype(vdt)
         x = x + a_v * apply_minv(p) + o_v * apply_minv(s)
         r = s - o_v * t
-        # ||r_new||^2 from the same fused reduction (no 4th allreduce)
-        rr = ss - 2 * omega_new * ts + omega_new * omega_new * tt
-        normr = jnp.sqrt(jnp.maximum(rr, 0))
-        hist = hist.at[k].set(normr)
         return (k + 1, x, r, p, v, rho_new, alpha_new, omega_new,
                 normr, hist, jnp.logical_or(done, bad))
 
@@ -204,13 +232,7 @@ def solve_bicgstab(
         x_dev = A.unpermute_vector(x_dev)
     hist = np.asarray(hist_dev)
     if verbose:
-        print(f"Initial Residual = {hist[0]:E}")
-        print_freq = min(max(itermax // 10, 1), 50)
-        for j in range(1, k):
-            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
-                hist[j]
-            ):
-                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print_residual_history(hist, k, itermax)
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 
     final = hist[k - 1] if k > 1 else hist[0]

@@ -63,6 +63,20 @@ def default_acc_dtype(vdt, acc_dtype):
     return vdt
 
 
+def print_residual_history(hist: np.ndarray, k: int, itermax: int) -> None:
+    """The reference's residual print block (printFreq semantics,
+    src/CGSolver.c:85-91,118-120), shared by every batch-history solver
+    driver. Skips the NaN slots the sstep variant leaves between
+    outer-step boundaries."""
+    print(f"Initial Residual = {hist[0]:E}")
+    print_freq = min(max(itermax // 10, 1), 50)
+    for j in range(1, k):
+        if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
+            hist[j]
+        ):
+            print(f"Iteration = {j} Residual = {hist[j]:E}")
+
+
 @dataclasses.dataclass
 class CGResult:
     x: np.ndarray                    # solution, original row order
@@ -475,15 +489,7 @@ def solve_cg(
         x_dev = A.unpermute_vector(x_dev)
     hist = np.asarray(hist_dev)
     if verbose:
-        print(f"Initial Residual = {hist[0]:E}")
-        print_freq = min(max(itermax // 10, 1), 50)  # CGSolver.c:85-91
-        for j in range(1, k):
-            # sstep records history at outer-step boundaries only; skip
-            # the never-computed NaN slots between them
-            if (j % print_freq == 0 or j + 1 == itermax) and not np.isnan(
-                hist[j]
-            ):
-                print(f"Iteration = {j} Residual = {hist[j]:E}")
+        print_residual_history(hist, k, itermax)
         print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
 
     final = hist[k - 1] if k > 1 else hist[0]

@@ -156,3 +156,36 @@ def arm_dev_relay_exit_watchdog(rc: int = 0, grace_s: float = 30.0) -> None:
 
     threading.Thread(target=_fire, daemon=True,
                      name="sb-relay-exit-watchdog").start()
+
+
+def run_with_hard_exit(main_fn) -> None:
+    """Run an entry point and ALWAYS leave via os._exit on the dev relay
+    backend — the one place the five wedge modes' exit handling lives
+    (see hard_exit_if_dev_relay / arm_dev_relay_exit_watchdog; NOTES.md).
+
+    SystemExit keeps its semantics (message to stderr, code preserved);
+    any other exception prints its traceback first (a propagating
+    exception previously bypassed every exit guard and burned CPU for
+    minutes post-traceback). Off the dev backend this ends with a normal
+    sys.exit so tests and ordinary installs keep interpreter shutdown.
+    """
+    import sys
+
+    rc = 1
+    try:
+        rc = main_fn()
+    except SystemExit as e:
+        if e.code is None:
+            rc = 0
+        elif isinstance(e.code, int):
+            rc = e.code
+        else:
+            print(e.code, file=sys.stderr)
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    hard_exit_if_dev_relay(rc)
+    sys.exit(rc)
