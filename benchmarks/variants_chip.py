@@ -48,6 +48,11 @@ def main() -> int:
     sizes = [int(a) for a in sys.argv[1:]] or [100, 200]
     for n in sizes:
         run(n)
+    # all output exists — watchdog against the pre-return native-spin
+    # wedge (this script wedged exactly there without it, NOTES.md)
+    from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
+
+    arm_dev_relay_exit_watchdog(0)
     return 0
 
 
