@@ -118,11 +118,19 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Checkpoint solver state to PATH and resume from it")
     ap.add_argument("--checkpoint-every", type=int, default=50,
                     help="Iterations between checkpoints (default 50)")
-    ap.add_argument("--precond", default="none", choices=["none", "jacobi"],
-                    help="Jacobi preconditioning (beyond the reference, "
-                    "which is unpreconditioned): PCG for -t cg, right-"
+    ap.add_argument("--precond", default="none",
+                    choices=["none", "jacobi", "cheb", "cheb-jacobi"],
+                    help="Preconditioning (beyond the reference, which is "
+                    "unpreconditioned). 'jacobi': PCG for -t cg, right-"
                     "preconditioned GMRES for -t gmres, M^-1 A Chebyshev "
-                    "with weighted-Lanczos bounds for -t cheb")
+                    "with weighted-Lanczos bounds for -t cheb. 'cheb': "
+                    "Chebyshev polynomial PCG (-t cg, variants standard/"
+                    "cs) — degree SpMVs per apply, ZERO extra allreduces; "
+                    "'cheb-jacobi': the polynomial on the Jacobi-scaled "
+                    "operator (needs the diagonal)")
+    ap.add_argument("--precond-degree", type=int, default=3,
+                    help="Chebyshev preconditioner polynomial degree "
+                    "(default 3; only with --precond cheb/cheb-jacobi)")
     ap.add_argument("--cg-variant", default="standard",
                     choices=["standard", "cs", "sstep", "pipe"],
                     dest="cg_variant",
@@ -294,6 +302,15 @@ def main(argv: Optional[list] = None) -> int:
             and not args.checkpoint):
         print("warning: --checkpoint-every has no effect without "
               "--checkpoint", file=sys.stderr)
+    if (args.precond_degree != ap.get_default("precond_degree")
+            and args.precond not in ("cheb", "cheb-jacobi")):
+        print("warning: --precond-degree has no effect without "
+              "--precond cheb/cheb-jacobi", file=sys.stderr)
+    if args.precond in ("cheb", "cheb-jacobi") and param.bench != "cg":
+        raise SystemExit(
+            f"--precond {args.precond} supports -t cg only (GMRES/"
+            "Chebyshev/BiCGStab operator preconditioning: use jacobi)"
+        )
 
     t0 = time.perf_counter()
     if param.shards > 1:
@@ -422,7 +439,7 @@ def main(argv: Optional[list] = None) -> int:
         return init_vectors(csr, dtype=policy.value, generated=generated,
                             row_lengths=row_counts)
 
-    def make_inv_diag():
+    def make_inv_diag(announce: bool = True):
         """1/diag(A) for --precond jacobi (any solver), original row order."""
         if csr is not None:
             d = csr.diagonal()
@@ -436,12 +453,30 @@ def main(argv: Optional[list] = None) -> int:
             # the varying diagonal is not on the host — refusing beats
             # silently preconditioning with a wrong constant
             raise SystemExit(
-                "--precond jacobi needs the matrix diagonal on the host; "
-                "generateRGL builds on device. Use --shards N (the "
-                "host-spec RGL path) for preconditioned RGL solves."
+                f"--precond {args.precond} needs the matrix diagonal on "
+                "the host; generateRGL builds on device. Use --shards N "
+                "(the host-spec RGL path) for preconditioned RGL solves."
             )
-        print("Preconditioner: Jacobi")
+        if announce:
+            print("Preconditioner: Jacobi")
         return np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+
+    def make_cheb_precond(inv_diag):
+        """ChebPrecond from fused-Lanczos precond-mode bounds, for
+        --precond cheb / cheb-jacobi (the latter estimates spec(D^-1 A))."""
+        from sparsebench_tpu.solvers.precond import cheb_precond_for
+
+        bdt = np.float64 if policy.value == np.float64 else np.float32
+        permute = (A.permute_vector
+                   if getattr(A, "permuted_output", False) else None)
+        pc = cheb_precond_for(
+            A, A.nr, bdt, degree=args.precond_degree,
+            permute=permute, inv_diag=inv_diag,
+        )
+        scaled = " on D^-1 A" if inv_diag is not None else ""
+        print(f"Preconditioner: Chebyshev(degree {pc.degree}, "
+              f"bounds [{pc.lmin:.4g}, {pc.lmax:.4g}]){scaled}")
+        return pc
 
     iterations = 0
     with trace(args.trace):
@@ -449,12 +484,20 @@ def main(argv: Optional[list] = None) -> int:
             print("Test type: CG")
             x0, b, xexact = make_vectors()
             inv_diag = None
-            if args.precond == "jacobi":
-                inv_diag = make_inv_diag()
-                if args.checkpoint or args.profile:
+            precond = None
+            if args.precond in ("jacobi", "cheb-jacobi"):
+                inv_diag = make_inv_diag(announce=args.precond == "jacobi")
+            if args.precond in ("cheb", "cheb-jacobi"):
+                if args.cg_variant not in ("standard", "cs"):
                     raise SystemExit(
-                        "--precond combines with the plain CG path only"
+                        f"--precond {args.precond} combines with "
+                        "--cg-variant standard/cs only"
                     )
+                precond = make_cheb_precond(inv_diag)
+            if args.precond != "none" and (args.checkpoint or args.profile):
+                raise SystemExit(
+                    "--precond combines with the plain CG path only"
+                )
             if args.cg_variant != "standard" and (args.checkpoint
                                                   or args.profile):
                 raise SystemExit(
@@ -476,8 +519,8 @@ def main(argv: Optional[list] = None) -> int:
                 )
             else:
                 res = solve_cg(A, b, itermax=param.itermax, eps=param.eps,
-                               inv_diag=inv_diag, variant=args.cg_variant,
-                               sstep=args.sstep)
+                               inv_diag=inv_diag, precond=precond,
+                               variant=args.cg_variant, sstep=args.sstep)
                 print(prof.report_aggregate(res.iterations,
                                             res.solve_seconds))
             iterations = res.iterations

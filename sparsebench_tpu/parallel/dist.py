@@ -256,6 +256,7 @@ def dist_solve_cg(
     eps: float = 0.0,
     acc_dtype=None,
     inv_diag: "np.ndarray" = None,
+    precond=None,
     variant: str = "standard",
     sstep: int = 4,
     verbose: bool = True,
@@ -270,7 +271,20 @@ def dist_solve_cg(
     fused 3-scalar psum per iteration). ``variant="sstep"`` runs s-step
     communication-avoiding CG (solvers/cg_sstep.py): ONE fused gram psum
     per ``sstep`` iterations — the deepest latency cut, for meshes where
-    allreduce latency dominates."""
+    allreduce latency dominates.
+
+    ``precond`` (solvers/precond.py ChebPrecond, optionally on top of
+    ``inv_diag`` scaling; bounds from _dist_estimate_bounds mode=
+    "precond") runs Chebyshev-polynomial PCG: each M-apply costs
+    ``degree`` extra halo exchanges (nearest-neighbor ppermutes) but ZERO
+    extra psums — on a mesh this converts global-latency-bound iterations
+    into cheap neighbor traffic, cutting the psum count per digit of
+    accuracy ~(degree+1)-fold."""
+    if precond is not None and variant not in ("standard", "cs"):
+        raise ValueError(
+            "operator preconditioning (precond=) supports cg variants "
+            f"'standard' and 'cs' only, not {variant!r}"
+        )
     plan = dm.part.plan
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
     x0_stacked = jnp.zeros_like(b_stacked)
@@ -287,6 +301,8 @@ def dist_solve_cg(
         exchange=dm.exchange,
         allsum=dm.allsum,
         acc_dtype=acc_dtype,
+        # static (python floats + int): rides the closure, never traced
+        **({"precond": precond} if precond is not None else {}),
     )
 
     def local_fn(A_stacked, b, x0, eps_s, md):
@@ -595,7 +611,8 @@ def dist_solve_bicgstab(
 
 
 def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25,
-                          inv_diag: "np.ndarray" = None):
+                          inv_diag: "np.ndarray" = None,
+                          mode: str = "solver"):
     """Distributed Lanczos bound estimate: the whole recurrence runs as ONE
     shard_map'd jit over the mesh (round 2 drove one mesh dispatch per
     Lanczos step from the host — 25 x the relay RTT of setup cost)."""
@@ -629,7 +646,7 @@ def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25,
         )
     )
     alphas, betas, count = fn(dm.A, jnp.asarray(v0), md_stacked)
-    return bounds_from_tridiag(alphas, betas, int(count))
+    return bounds_from_tridiag(alphas, betas, int(count), mode=mode)
 
 
 def build_distributed(

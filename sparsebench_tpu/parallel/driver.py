@@ -182,23 +182,52 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
 
     from sparsebench_tpu.profiler import trace
 
-    def make_inv_diag():
+    def make_inv_diag(announce: bool = True):
         """1/diag(A) from the shard diagonals (global row order), for
         --precond jacobi with any distributed solver."""
         d = np.concatenate([s.diagonal() for s in shards])
-        print("Preconditioner: Jacobi")
+        if announce:
+            print("Preconditioner: Jacobi")
         return np.where(d != 0, 1.0 / np.where(d != 0, d, 1), 1.0)
+
+    def make_cheb_precond(inv_diag):
+        """ChebPrecond from mesh-Lanczos precond-mode bounds (one fused
+        shard_map dispatch), for --precond cheb / cheb-jacobi."""
+        from sparsebench_tpu.parallel.dist import _dist_estimate_bounds
+        from sparsebench_tpu.solvers.precond import ChebPrecond
+
+        bdt = np.float64 if policy.value == np.float64 else np.float32
+        bounds = _dist_estimate_bounds(
+            dm, dm.part.total_nr, bdt, inv_diag=inv_diag, mode="precond"
+        )
+        pc = ChebPrecond(*bounds, degree=getattr(args, "precond_degree", 3))
+        scaled = " on D^-1 A" if inv_diag is not None else ""
+        print(f"Preconditioner: Chebyshev(degree {pc.degree}, "
+              f"bounds [{pc.lmin:.4g}, {pc.lmax:.4g}]){scaled}")
+        return pc
 
     with trace(getattr(args, "trace", None)):
         if param.bench == "cg":
             print("Test type: CG")
             inv_diag = None
-            if getattr(args, "precond", "none") == "jacobi":
-                inv_diag = make_inv_diag()
+            precond = None
+            pc_name = getattr(args, "precond", "none")
+            if pc_name in ("jacobi", "cheb-jacobi"):
+                inv_diag = make_inv_diag(announce=pc_name == "jacobi")
+            if pc_name in ("cheb", "cheb-jacobi"):
+                if getattr(args, "cg_variant", "standard") not in (
+                    "standard", "cs",
+                ):
+                    raise SystemExit(
+                        f"--precond {pc_name} combines with --cg-variant "
+                        "standard/cs only"
+                    )
+                precond = make_cheb_precond(inv_diag)
             checkpoint = getattr(args, "checkpoint", None)
             if checkpoint and (
                 getattr(args, "profile", False)
                 or inv_diag is not None
+                or precond is not None
                 or getattr(args, "cg_variant", "standard") != "standard"
             ):
                 raise SystemExit(
@@ -219,7 +248,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
                     dist_solve_cg_profiled,
                 )
 
-                if inv_diag is not None:
+                if inv_diag is not None or precond is not None:
                     raise SystemExit(
                         "--precond combines with the plain CG path only"
                     )
@@ -233,6 +262,7 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             else:
                 res = dist_solve_cg(dm, b, itermax=param.itermax,
                                     eps=param.eps, inv_diag=inv_diag,
+                                    precond=precond,
                                     variant=getattr(args, "cg_variant",
                                                     "standard"),
                                     sstep=getattr(args, "sstep", 4))

@@ -264,13 +264,21 @@ def dist_solve_cg_stencil(
     variant: str = "standard",
     sstep: int = 4,
     inv_diag: np.ndarray = None,
+    precond=None,
     mesh=None,
     verbose: bool = True,
 ) -> CGResult:
     """Distributed matrix-free CG: ONE jitted shard_map program (same
     collective structure as dist_solve_cg — 2 psums + 1 plane exchange
     per iteration; 1 fused psum with variant="cs"; 1 fused gram psum per
-    ``sstep`` iterations with variant="sstep")."""
+    ``sstep`` iterations with variant="sstep"). ``precond``
+    (solvers/precond.py ChebPrecond) runs Chebyshev-polynomial PCG:
+    degree extra plane exchanges per iteration, zero extra psums."""
+    if precond is not None and variant not in ("standard", "cs"):
+        raise ValueError(
+            "operator preconditioning (precond=) supports cg variants "
+            f"'standard' and 'cs' only, not {variant!r}"
+        )
     mesh = mesh if mesh is not None else make_mesh(size)
     exchange = _make_exchange(A, size)
     allsum = make_allsum(AXIS)
@@ -279,6 +287,7 @@ def dist_solve_cg_stencil(
     loop = partial(
         resolve_cg_loop(variant, sstep),
         itermax=itermax, exchange=exchange, allsum=allsum,
+        **({"precond": precond} if precond is not None else {}),
     )
 
     b_st = jnp.asarray(_shard_in(A, size, b_global))
@@ -327,6 +336,49 @@ def dist_solve_cg_stencil(
     )
 
 
+def dist_estimate_bounds_stencil(
+    A: HaloStencilOperator, size: int, dtype, steps: int = 25,
+    inv_diag: np.ndarray = None, mesh=None, mode: str = "solver",
+):
+    """Mesh-Lanczos extreme-eigenvalue estimate for the matrix-free
+    stencil operator: one fused shard_map dispatch (the same discipline
+    as parallel/dist.py _dist_estimate_bounds)."""
+    from sparsebench_tpu.solvers.chebyshev import (
+        bounds_from_tridiag,
+        lanczos_tridiag,
+    )
+
+    mesh = mesh if mesh is not None else make_mesh(size)
+    exchange = _make_exchange(A, size)
+    allsum = make_allsum(AXIS)
+    n = A.total_nr
+    steps = min(steps, n)
+    rng = np.random.default_rng(0)
+    v0 = _shard_in(A, size, rng.standard_normal(n).astype(dtype))
+    md = (
+        _shard_in(A, size, np.asarray(inv_diag, dtype=dtype))
+        if inv_diag is not None else None
+    )
+
+    def local_fn(v, md_):
+        return lanczos_tridiag(A, v[0], steps=steps, exchange=exchange,
+                               allsum=allsum,
+                               inv_diag=None if md_ is None else md_[0])
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS), P() if md is None else P(AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    alphas, betas, count = fn(
+        jnp.asarray(v0), None if md is None else jnp.asarray(md)
+    )
+    return bounds_from_tridiag(alphas, betas, int(count), mode=mode)
+
+
 def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
     """CLI driver for --fmt stencil --shards N (generated problems only).
     Mirrors run_distributed's report shape (parallel/driver.py)."""
@@ -371,9 +423,31 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
     b = (27.0 - (counts - 1)).astype(policy.value)
     xexact = np.ones(A.total_nr, dtype=policy.value)
     inv_diag = None
-    if getattr(args, "precond", "none") == "jacobi":
+    precond = None
+    pc_name = getattr(args, "precond", "none")
+    if pc_name in ("jacobi", "cheb-jacobi"):
+        # analytic stencil diagonal: constant 27 (reference matrix.c:87-92)
         inv_diag = np.full(A.total_nr, 1.0 / 27.0, dtype=policy.value)
-        print("Preconditioner: Jacobi")
+        if pc_name == "jacobi":
+            print("Preconditioner: Jacobi")
+    if pc_name in ("cheb", "cheb-jacobi"):
+        from sparsebench_tpu.solvers.precond import ChebPrecond
+
+        if getattr(args, "cg_variant", "standard") not in ("standard",
+                                                           "cs"):
+            raise SystemExit(
+                f"--precond {pc_name} combines with --cg-variant "
+                "standard/cs only"
+            )
+        bdt = np.float64 if policy.value == np.float64 else np.float32
+        bounds = dist_estimate_bounds_stencil(
+            A, size, bdt, inv_diag=inv_diag, mode="precond"
+        )
+        precond = ChebPrecond(*bounds,
+                              degree=getattr(args, "precond_degree", 3))
+        scaled = " on D^-1 A" if inv_diag is not None else ""
+        print(f"Preconditioner: Chebyshev(degree {precond.degree}, "
+              f"bounds [{precond.lmin:.4g}, {precond.lmax:.4g}]){scaled}")
 
     prof = Profiler()
     prof.init_factors(A.total_nr, 27 * A.total_nr, policy.value_bytes,
@@ -385,6 +459,7 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
             variant=getattr(args, "cg_variant", "standard"),
             sstep=getattr(args, "sstep", 4),
             inv_diag=inv_diag,
+            precond=precond,
         )
         print(prof.report_aggregate(res.iterations, res.solve_seconds))
     diff = check_residual(res.x, xexact)

@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sparsebench_tpu.solvers.precond import resolve_apply_m
+
 _identity = lambda v: v  # noqa: E731
 
 
@@ -115,27 +117,34 @@ def cg_init(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag=None,
+    precond=None,
 ):
     """Initial CG state (reference src/CGSolver.c:94-104). The state tuple
     (k, x, p, r, rtrans, normr, hist, done) is a checkpointable pytree.
 
     With ``inv_diag`` (Jacobi preconditioning — beyond the reference, which
-    is unpreconditioned) the ``rtrans`` slot carries r.z (z = D^-1 r) while
-    ``normr``/history keep the true residual norm ||r||."""
+    is unpreconditioned) the ``rtrans`` slot carries r.z (z = M^-1 r) while
+    ``normr``/history keep the true residual norm ||r||. ``precond``
+    (solvers/precond.py ChebPrecond) switches M to the Chebyshev
+    polynomial operator (scaled by ``inv_diag`` when both are given)."""
     nr = b.shape[0]
     vdt = b.dtype
     sdt = default_acc_dtype(vdt, acc_dtype)
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
+    apply_m = resolve_apply_m(
+        precond, inv_diag, lambda v: spmv(exchange(widen(v))), vdt
+    )
 
     p = exchange(widen(x0))
     Ap = spmv(p)
     r = b - Ap
-    if inv_diag is None:
+    if apply_m is None:
         rtrans0 = dot(r, r)
         normr0 = jnp.sqrt(rtrans0)
     else:
+        z = apply_m(r)
         s = allsum(jnp.stack([
-            jnp.sum(r.astype(sdt) * (inv_diag * r).astype(sdt)),
+            jnp.sum(r.astype(sdt) * z.astype(sdt)),
             jnp.sum(r.astype(sdt) * r.astype(sdt)),
         ]))
         rtrans0, normr0 = s[0], jnp.sqrt(s[1])
@@ -153,17 +162,22 @@ def cg_run(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag=None,
+    precond=None,
 ):
     """Advance CG from ``state`` until k == k_end, convergence, or
     breakdown (reference hot loop, src/CGSolver.c:107-129). Segmentable:
     running two segments is bit-identical to one long run, which is what
     makes checkpoint/resume exact. ``inv_diag`` switches the loop to
-    Jacobi-preconditioned CG (see cg_init)."""
+    Jacobi-preconditioned CG; ``precond`` to Chebyshev-polynomial PCG
+    (see cg_init)."""
     _k, x_probe, _p, r_probe, *_ = state
     nr = r_probe.shape[0]
     vdt = r_probe.dtype
     sdt = default_acc_dtype(vdt, acc_dtype)
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
+    apply_m = resolve_apply_m(
+        precond, inv_diag, lambda v: spmv(exchange(widen(v))), vdt
+    )
 
     def cond(state):
         k, _x, _p, _r, _rtrans, normr, _hist, done = state
@@ -174,7 +188,7 @@ def cg_run(
     def body(state):
         k, x, p, r, rtrans, _normr, hist, done = state
 
-        if inv_diag is None:
+        if apply_m is None:
 
             def first(_):
                 return rtrans, widen(r)
@@ -187,7 +201,7 @@ def cg_run(
             rtrans, p = jax.lax.cond(k == 1, first, rest, None)
             normr = jnp.sqrt(rtrans)
         else:
-            z = (inv_diag * r).astype(vdt)
+            z = apply_m(r)
 
             def first(_):
                 rr = dot(r, r)
@@ -232,6 +246,7 @@ def cg_cs_loop(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag=None,
+    precond=None,
 ):
     """Single-reduction CG (Chronopoulos & Gear 1989, "communication-
     saving" CG). Mathematically identical iterates to standard CG, but the
@@ -255,15 +270,19 @@ def cg_cs_loop(
     carries one extra scalar — [r.u, w.u, r.r] — still ONE allreduce per
     iteration. alpha/beta use the M-inner products (gamma = r.u,
     delta = w.u); normr/history track the true ||r|| like cg_run's
-    preconditioned path.
+    preconditioned path. ``precond`` (ChebPrecond) swaps M for the
+    Chebyshev polynomial operator — the fused reduction structure is
+    unchanged (the polynomial apply has no dot products), so this is
+    polynomial PCG at ONE allreduce per iteration.
     """
     nr = b.shape[0]
     vdt = b.dtype
     sdt = default_acc_dtype(vdt, acc_dtype)
     spmv, dot, widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange, allsum)
-    precond = inv_diag is not None
-    if precond:
-        inv_diag = inv_diag.astype(vdt)
+    _apply_m = resolve_apply_m(
+        precond, inv_diag, lambda v: spmv(exchange(widen(v))), vdt
+    )
+    has_m = _apply_m is not None
 
     # Fully-fused path (stencil Pallas operator): the apply emits
     # [u.u, w.u] as per-tile partials (spmv_permuted_dots) and the four
@@ -278,7 +297,7 @@ def cg_cs_loop(
     import os as _os
 
     fused = (
-        not precond
+        not has_m
         and bool(_os.environ.get("SB_FUSED_CS"))
         and getattr(A, "supports_fused_cs", False)
         and jnp.dtype(sdt) == jnp.float32
@@ -300,7 +319,7 @@ def cg_cs_loop(
             return w, allsum(gd_local)
 
     def apply_m(r):
-        return (inv_diag * r).astype(vdt) if precond else r
+        return _apply_m(r) if has_m else r
 
     def fused_dots(r, u, w):
         # [gamma = r.u, delta = w.u] (+ [r.r] under preconditioning, where
@@ -309,7 +328,7 @@ def cg_cs_loop(
             jnp.sum(r.astype(sdt) * u.astype(sdt)),
             jnp.sum(w.astype(sdt) * u.astype(sdt)),
         ]
-        if precond:
+        if has_m:
             parts.append(jnp.sum(r.astype(sdt) * r.astype(sdt)))
         return allsum(jnp.stack(parts))
 
@@ -321,7 +340,7 @@ def cg_cs_loop(
         w = spmv(exchange(widen(u)))
         gd = fused_dots(r, u, w)
     gamma, delta = gd[0], gd[1]
-    rr = gd[2] if precond else gamma
+    rr = gd[2] if has_m else gamma
     alpha = safe_div(gamma, delta)
     normr0 = jnp.sqrt(rr)
     hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
@@ -360,7 +379,7 @@ def cg_cs_loop(
             w = spmv(exchange(widen(u)))
             gd = fused_dots(r, u, w)
         g_new, d_new = gd[0], gd[1]
-        rr_new = gd[2] if precond else g_new
+        rr_new = gd[2] if has_m else g_new
         beta_new = safe_div(g_new, gamma)
         denom = d_new - beta_new * safe_div(g_new, alpha)
         # breakdown: denom is p.Ap in disguise — same positivity guard as
@@ -409,15 +428,17 @@ def cg_loop(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag=None,
+    precond=None,
 ):
     """Pure jittable CG. ``A`` is any device format (pytree); ``b``/``x0``
     are length-nr vectors already in the format's row order. Returns
     (x, k, history[itermax]) with history[j] = normr at iteration j
     (nan where not reached).
     """
-    state = cg_init(A, b, x0, itermax, exchange, allsum, acc_dtype, inv_diag)
+    state = cg_init(A, b, x0, itermax, exchange, allsum, acc_dtype, inv_diag,
+                    precond)
     k, x, p, r, rtrans, normr, hist, _done = cg_run(
-        A, state, itermax, eps, exchange, allsum, acc_dtype, inv_diag
+        A, state, itermax, eps, exchange, allsum, acc_dtype, inv_diag, precond
     )
     return x, k, hist
 
@@ -433,6 +454,7 @@ def solve_cg(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag: Optional[np.ndarray] = None,
+    precond=None,
     variant: str = "standard",
     sstep: int = 4,
     verbose: bool = True,
@@ -440,7 +462,9 @@ def solve_cg(
     """Host driver: permutation handling, jit, timing, residual printing.
 
     ``b`` is in original row order; the result ``x`` likewise. Pass
-    ``inv_diag`` (1/diag(A), original row order) for Jacobi PCG.
+    ``inv_diag`` (1/diag(A), original row order) for Jacobi PCG, and/or
+    ``precond`` (solvers/precond.py ChebPrecond, bounds for A — or for
+    D^-1 A when combined with ``inv_diag``) for polynomial PCG.
     ``variant="cs"`` selects single-reduction CG (see cg_cs_loop);
     ``variant="sstep"`` selects s-step communication-avoiding CG with
     basis size ``sstep`` (solvers/cg_sstep.py — one fused allreduce per
@@ -448,6 +472,11 @@ def solve_cg(
     (solvers/cg_pipe.py — the allreduce overlaps the matvec).
     """
     loop_fn = resolve_cg_loop(variant, sstep)
+    if precond is not None and variant not in ("standard", "cs"):
+        raise ValueError(
+            "operator preconditioning (precond=) supports cg variants "
+            f"'standard' and 'cs' only, not {variant!r}"
+        )
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference initVectors: x = 0 (CGSolver.c:29)
@@ -466,9 +495,12 @@ def solve_cg(
         b_in, x0_in = b, x0
 
     kw = {"inv_diag": inv_diag}
+    # precond is entirely static (python floats + int) — it rides the
+    # partial closure, not the traced arguments
+    extra = {"precond": precond} if precond is not None else {}
     loop = jax.jit(
         partial(loop_fn, itermax=itermax, exchange=exchange, allsum=allsum,
-                acc_dtype=acc_dtype),
+                acc_dtype=acc_dtype, **extra),
         static_argnames=(),
     )
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)

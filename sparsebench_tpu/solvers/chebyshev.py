@@ -67,7 +67,10 @@ def lanczos_tridiag(A, v0, steps: int, exchange=_identity, allsum=_identity,
         return jnp.concatenate([v, jnp.zeros(nc - nr, dtype)])
 
     def matvec(v):
-        Av = spmv(exchange(widen(v)))
+        # astype keeps the recurrence carry dtype-stable when the format's
+        # value dtype differs from the working dtype (f64 matrix probed in
+        # f32, bf16 storage with f32 accumulation)
+        Av = spmv(exchange(widen(v))).astype(dtype)
         return (inv_diag * Av).astype(dtype) if precond else Av
 
     def wdot(u, v):
@@ -100,8 +103,25 @@ def lanczos_tridiag(A, v0, steps: int, exchange=_identity, allsum=_identity,
     return alphas, betas, count
 
 
-def bounds_from_tridiag(alphas, betas, count: int) -> Tuple[float, float]:
-    """Host-side tridiagonal eigensolve + defensive margins."""
+def bounds_from_tridiag(
+    alphas, betas, count: int, mode: str = "solver"
+) -> Tuple[float, float]:
+    """Host-side tridiagonal eigensolve + defensive margins.
+
+    ``mode="solver"``: wide additive margins — for the standalone
+    Chebyshev SOLVER an interval that over-covers the spectrum only slows
+    convergence, while under-covering diverges, so err hard toward wide.
+
+    ``mode="precond"``: tight multiplicative margins — a polynomial
+    PRECONDITIONER's clustering quality is exactly the tightness of
+    [lmin, lmax] (the solver margins collapse the preconditioned condition
+    number back to the raw one, measured: 27-pt 16^3 PCG-cheb(2) 19 iters
+    with tight bounds vs 400+ with solver margins). Asymmetric because the
+    risks are asymmetric: eigenvalues BELOW lmin keep 1 - q(x) in (0, 1)
+    (M stays SPD, those modes just decluster), so lmin only shrinks 0.9x;
+    eigenvalues ABOVE the interval flip the polynomial's sign for even
+    degrees (M indefinite, CG breaks), so lmax gets the bigger 1.1x
+    cushion against Lanczos' underestimate of the top Ritz value."""
     alphas = np.asarray(alphas, dtype=np.float64)[:count]
     betas = np.asarray(betas, dtype=np.float64)[:count]
     T = np.diag(alphas)
@@ -109,6 +129,8 @@ def bounds_from_tridiag(alphas, betas, count: int) -> Tuple[float, float]:
     T += np.diag(off, 1) + np.diag(off, -1)
     ev = np.linalg.eigvalsh(T)
     lmin, lmax = float(ev[0]), float(ev[-1])
+    if mode == "precond":
+        return max(lmin * 0.9, 1e-10 * lmax), lmax * 1.1
     # Lanczos underestimates the spread on few steps; widen defensively.
     spread = max(lmax - lmin, 1e-30)
     return max(lmin - 0.1 * spread, 1e-8 * lmax), lmax * 1.05
@@ -116,7 +138,7 @@ def bounds_from_tridiag(alphas, betas, count: int) -> Tuple[float, float]:
 
 def estimate_bounds(
     A, nr: int, dtype, exchange=_identity, allsum=_identity, steps: int = 25,
-    seed: int = 0, permute=None, inv_diag=None,
+    seed: int = 0, permute=None, inv_diag=None, mode: str = "solver",
 ) -> Tuple[float, float]:
     """Lanczos extreme-eigenvalue estimate with safety margins (one fused
     device dispatch + a tiny host eigensolve). For permuted-space
@@ -135,7 +157,7 @@ def estimate_bounds(
                 allsum=allsum)
     )
     alphas, betas, count = fn(A, v0, inv_diag=inv_diag)
-    return bounds_from_tridiag(alphas, betas, int(count))
+    return bounds_from_tridiag(alphas, betas, int(count), mode=mode)
 
 
 def cheby_loop(A, b, x0, itermax, eps, lmin, lmax, exchange=_identity,
