@@ -306,10 +306,13 @@ def main(argv: Optional[list] = None) -> int:
             and args.precond not in ("cheb", "cheb-jacobi")):
         print("warning: --precond-degree has no effect without "
               "--precond cheb/cheb-jacobi", file=sys.stderr)
-    if args.precond in ("cheb", "cheb-jacobi") and param.bench != "cg":
+    if args.precond in ("cheb", "cheb-jacobi") and param.bench not in (
+        "cg", "gmres", "bicgstab"
+    ):
         raise SystemExit(
-            f"--precond {args.precond} supports -t cg only (GMRES/"
-            "Chebyshev/BiCGStab operator preconditioning: use jacobi)"
+            f"--precond {args.precond} supports -t cg/gmres/bicgstab "
+            "(preconditioning the Chebyshev solver with a Chebyshev "
+            "polynomial is the same iteration twice: raise --iter instead)"
         )
 
     t0 = time.perf_counter()
@@ -478,22 +481,30 @@ def main(argv: Optional[list] = None) -> int:
               f"bounds [{pc.lmin:.4g}, {pc.lmax:.4g}]){scaled}")
         return pc
 
+    def resolve_precond_pair():
+        """(inv_diag, precond) for the solver from --precond — the four
+        resolve_apply_m combinations (solvers/precond.py)."""
+        inv_diag = None
+        precond = None
+        if args.precond in ("jacobi", "cheb-jacobi"):
+            inv_diag = make_inv_diag(announce=args.precond == "jacobi")
+        if args.precond in ("cheb", "cheb-jacobi"):
+            precond = make_cheb_precond(inv_diag)
+        return inv_diag, precond
+
     iterations = 0
     with trace(args.trace):
         if param.bench == "cg":
             print("Test type: CG")
             x0, b, xexact = make_vectors()
-            inv_diag = None
-            precond = None
-            if args.precond in ("jacobi", "cheb-jacobi"):
-                inv_diag = make_inv_diag(announce=args.precond == "jacobi")
-            if args.precond in ("cheb", "cheb-jacobi"):
-                if args.cg_variant not in ("standard", "cs"):
-                    raise SystemExit(
-                        f"--precond {args.precond} combines with "
-                        "--cg-variant standard/cs only"
-                    )
-                precond = make_cheb_precond(inv_diag)
+            if args.precond in ("cheb", "cheb-jacobi") and (
+                args.cg_variant not in ("standard", "cs")
+            ):
+                raise SystemExit(
+                    f"--precond {args.precond} combines with "
+                    "--cg-variant standard/cs only"
+                )
+            inv_diag, precond = resolve_precond_pair()
             if args.precond != "none" and (args.checkpoint or args.profile):
                 raise SystemExit(
                     "--precond combines with the plain CG path only"
@@ -536,11 +547,10 @@ def main(argv: Optional[list] = None) -> int:
             from sparsebench_tpu.solvers.gmres import solve_gmres
 
             b = np.ones(A.nr, dtype=policy.value)
-            inv_diag = (make_inv_diag() if args.precond == "jacobi"
-                        else None)
+            inv_diag, precond = resolve_precond_pair()
             res = solve_gmres(A, b, itermax=param.itermax, eps=param.eps,
                               orth=args.orth, inv_diag=inv_diag,
-                              restart=args.restart)
+                              precond=precond, restart=args.restart)
             iterations = res.iterations
         elif param.bench == "cheb":
             print("Test type: CHEBFD")
@@ -560,10 +570,10 @@ def main(argv: Optional[list] = None) -> int:
             from sparsebench_tpu.solvers.bicgstab import solve_bicgstab
 
             x0, b, xexact = make_vectors()
-            inv_diag = (make_inv_diag() if args.precond == "jacobi"
-                        else None)
+            inv_diag, precond = resolve_precond_pair()
             res = solve_bicgstab(A, b, itermax=param.itermax,
-                                 eps=param.eps, inv_diag=inv_diag)
+                                 eps=param.eps, inv_diag=inv_diag,
+                                 precond=precond)
             iterations = res.iterations
             if xexact is not None:
                 diff = check_residual(res.x, xexact)

@@ -457,13 +457,15 @@ def dist_solve_gmres(
     restart: int = 30,
     orth: str = "cgs",
     inv_diag: "np.ndarray" = None,
+    precond=None,
     verbose: bool = True,
 ):
     """Distributed restarted GMRES(m): the Arnoldi cycle runs inside
     shard_map (basis sharded by rows, orthogonalization dots psummed).
     ``inv_diag`` (global row order) enables right Jacobi preconditioning
     (see solvers/gmres.py _gmres_cycle) — the M^-1 apply is shard-local
-    elementwise."""
+    elementwise. ``precond`` (ChebPrecond) swaps M^-1 for the Chebyshev
+    polynomial: each apply costs ``degree`` halo exchanges, zero psums."""
     from sparsebench_tpu.solvers.gmres import GMRESResult, _gmres_cycle
 
     if orth not in ("cgs", "cgs2"):
@@ -493,7 +495,7 @@ def dist_solve_gmres(
             A_local, b[0], x0[0], None if md is None else md[0],
             m=m, exchange=dm.exchange,
             allsum=dm.allsum, spmv=spmv, nr=nr_local, nc=nc_local, eps=eps,
-            orth=orth,
+            orth=orth, precond=precond,
         )
         return x_new[None], normr, k, brk
 
@@ -547,11 +549,14 @@ def dist_solve_bicgstab(
     eps: float = 0.0,
     acc_dtype=None,
     inv_diag: "np.ndarray" = None,
+    precond=None,
     verbose: bool = True,
 ) -> CGResult:
     """Distributed BiCGStab (solvers/bicgstab.py): one jitted shard_map
     program — 2 halo exchanges + 3 allreduces (two fused) per
-    iteration. ``inv_diag`` (global row order) = right Jacobi."""
+    iteration. ``inv_diag`` (global row order) = right Jacobi;
+    ``precond`` (ChebPrecond) = right polynomial preconditioning
+    (2*degree extra halo exchanges per iteration, zero extra psums)."""
     from sparsebench_tpu.solvers.bicgstab import bicgstab_loop
 
     b_np = np.asarray(b_global)
@@ -570,6 +575,8 @@ def dist_solve_bicgstab(
         bicgstab_loop,
         itermax=itermax, exchange=dm.exchange, allsum=dm.allsum,
         acc_dtype=acc_dtype,
+        # static (python floats + int): rides the closure, never traced
+        **({"precond": precond} if precond is not None else {}),
     )
 
     def local_fn(A_stacked, b, x0, eps_s, md):

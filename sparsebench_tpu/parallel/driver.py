@@ -206,23 +206,30 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
               f"bounds [{pc.lmin:.4g}, {pc.lmax:.4g}]){scaled}")
         return pc
 
+    def resolve_precond_pair():
+        """(inv_diag, precond) from --precond — mirrors cli.py's helper
+        of the same name for the distributed solver branches."""
+        pc_name = getattr(args, "precond", "none")
+        inv_diag = None
+        precond = None
+        if pc_name in ("jacobi", "cheb-jacobi"):
+            inv_diag = make_inv_diag(announce=pc_name == "jacobi")
+        if pc_name in ("cheb", "cheb-jacobi"):
+            precond = make_cheb_precond(inv_diag)
+        return inv_diag, precond
+
     with trace(getattr(args, "trace", None)):
         if param.bench == "cg":
             print("Test type: CG")
-            inv_diag = None
-            precond = None
             pc_name = getattr(args, "precond", "none")
-            if pc_name in ("jacobi", "cheb-jacobi"):
-                inv_diag = make_inv_diag(announce=pc_name == "jacobi")
-            if pc_name in ("cheb", "cheb-jacobi"):
-                if getattr(args, "cg_variant", "standard") not in (
-                    "standard", "cs",
-                ):
-                    raise SystemExit(
-                        f"--precond {pc_name} combines with --cg-variant "
-                        "standard/cs only"
-                    )
-                precond = make_cheb_precond(inv_diag)
+            if pc_name in ("cheb", "cheb-jacobi") and getattr(
+                args, "cg_variant", "standard"
+            ) not in ("standard", "cs"):
+                raise SystemExit(
+                    f"--precond {pc_name} combines with --cg-variant "
+                    "standard/cs only"
+                )
+            inv_diag, precond = resolve_precond_pair()
             checkpoint = getattr(args, "checkpoint", None)
             if checkpoint and (
                 getattr(args, "profile", False)
@@ -282,23 +289,20 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             from sparsebench_tpu.parallel.dist import dist_solve_gmres
 
             print("Test type: GMRES")
-            inv_diag = None
-            if getattr(args, "precond", "none") == "jacobi":
-                inv_diag = make_inv_diag()
+            inv_diag, precond = resolve_precond_pair()
             res = dist_solve_gmres(dm, b, itermax=param.itermax,
                                    eps=param.eps,
                                    orth=getattr(args, "orth", "cgs"),
-                                   inv_diag=inv_diag,
+                                   inv_diag=inv_diag, precond=precond,
                                    restart=getattr(args, "restart", 30))
         elif param.bench == "bicgstab":
             from sparsebench_tpu.parallel.dist import dist_solve_bicgstab
 
             print("Test type: BICGSTAB")
-            inv_diag = None
-            if getattr(args, "precond", "none") == "jacobi":
-                inv_diag = make_inv_diag()
+            inv_diag, precond = resolve_precond_pair()
             res = dist_solve_bicgstab(dm, b, itermax=param.itermax,
-                                      eps=param.eps, inv_diag=inv_diag)
+                                      eps=param.eps, inv_diag=inv_diag,
+                                      precond=precond)
         elif param.bench == "spmv":
             from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 

@@ -56,6 +56,7 @@ from sparsebench_tpu.solvers.cg import (
     print_residual_history,
     safe_div,
 )
+from sparsebench_tpu.solvers.precond import resolve_apply_m
 
 _identity = lambda v: v  # noqa: E731
 
@@ -70,9 +71,12 @@ def bicgstab_loop(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag=None,
+    precond=None,
 ):
     """Jittable BiCGStab; same contract as cg_loop (returns
-    (x, k, history)).
+    (x, k, history)). ``precond`` (solvers/precond.py ChebPrecond)
+    switches the right preconditioner from Jacobi to the Chebyshev
+    polynomial operator (scaled by ``inv_diag`` when both are given).
 
     Residual semantics match the CG family (and the reference's CG):
     the reported norm is the RECURRENCE residual's — computed from the
@@ -90,22 +94,23 @@ def bicgstab_loop(
     vdt = b.dtype
     sdt = default_acc_dtype(vdt, acc_dtype)
     spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
-    precond = inv_diag is not None
-    if precond:
-        inv_diag = inv_diag.astype(vdt)
 
     def widen(v):
         if nc == nr:
             return v
         return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
 
-    def matvec_minv(v):
-        # A M^-1 v (right preconditioning: the residual stays true)
-        vv = (inv_diag * v).astype(vdt) if precond else v
-        return spmv(exchange(widen(vv))).astype(vdt)
+    def apply_a(v):
+        return spmv(exchange(widen(v))).astype(vdt)
+
+    _am = resolve_apply_m(precond, inv_diag, apply_a, vdt)
 
     def apply_minv(v):
-        return (inv_diag * v).astype(vdt) if precond else v
+        return _am(v) if _am is not None else v
+
+    def matvec_minv(v):
+        # A M^-1 v (right preconditioning: the residual stays true)
+        return apply_a(apply_minv(v))
 
     def dot(u, v):
         return allsum(jnp.sum(u.astype(sdt) * v.astype(sdt)))
@@ -189,6 +194,7 @@ def solve_bicgstab(
     itermax: int = 150,
     eps: float = 0.0,
     inv_diag: Optional[np.ndarray] = None,
+    precond=None,
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     acc_dtype=None,
@@ -196,7 +202,8 @@ def solve_bicgstab(
 ) -> CGResult:
     """Host driver (mirrors solve_cg): permutation handling, jit,
     timing, residual printing. ``inv_diag`` enables right Jacobi
-    preconditioning (true residual reported)."""
+    preconditioning (true residual reported); ``precond`` (ChebPrecond)
+    swaps in the Chebyshev polynomial operator — see resolve_apply_m."""
     b = jnp.asarray(b)
     if b.dtype == jnp.bfloat16:
         b = b.astype(jnp.float32)  # see solve_gmres: bf16 biorthogonal
@@ -216,7 +223,7 @@ def solve_bicgstab(
 
     loop = jax.jit(
         partial(bicgstab_loop, itermax=itermax, exchange=exchange,
-                allsum=allsum, acc_dtype=acc_dtype)
+                allsum=allsum, acc_dtype=acc_dtype, precond=precond)
     )
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)
     x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,

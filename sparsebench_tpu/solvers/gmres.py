@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sparsebench_tpu.solvers.precond import resolve_apply_m
+
 _identity = lambda v: v  # noqa: E731
 
 
@@ -48,7 +50,7 @@ class GMRESBreakdownError(RuntimeError):
 
 
 def _gmres_cycle(A, b, x0, inv_diag=None, *, m, exchange, allsum, spmv, nr,
-                 nc, eps=0.0, orth="cgs", _return_basis=False):
+                 nc, eps=0.0, orth="cgs", precond=None, _return_basis=False):
     """One GMRES(m) cycle.
 
     Returns ``(x_new, normr_new, k_inner, breakdown)`` where ``k_inner`` is
@@ -62,9 +64,11 @@ def _gmres_cycle(A, b, x0, inv_diag=None, *, m, exchange, allsum, spmv, nr,
     ``inv_diag`` switches to RIGHT-preconditioned GMRES (Jacobi): the
     Arnoldi process runs on A M^-1 and the update maps back through
     M^-1, so the minimized/reported residual stays the TRUE residual
-    ||b - A x|| (the reason right > left preconditioning here)."""
+    ||b - A x|| (the reason right > left preconditioning here).
+    ``precond`` (solvers/precond.py ChebPrecond) swaps M^-1 for the
+    Chebyshev polynomial operator — a FIXED operator, so plain (not
+    flexible) GMRES theory applies."""
     vdt = b.dtype
-    precond = inv_diag is not None
 
     def widen(v):
         if nc == nr:
@@ -74,8 +78,10 @@ def _gmres_cycle(A, b, x0, inv_diag=None, *, m, exchange, allsum, spmv, nr,
     def apply_a(v):
         return spmv(exchange(widen(v)))
 
+    _am = resolve_apply_m(precond, inv_diag, apply_a, vdt)
+
     def apply_minv(v):
-        return (inv_diag * v).astype(vdt) if precond else v
+        return _am(v) if _am is not None else v
 
     def matvec(v):
         # the Arnoldi operator: A M^-1 (plain A when unpreconditioned)
@@ -185,11 +191,13 @@ def solve_gmres(
     restart: int = 30,
     orth: str = "cgs",
     inv_diag: Optional[np.ndarray] = None,
+    precond=None,
     exchange: Callable = _identity,
     allsum: Callable = _identity,
     verbose: bool = True,
 ) -> GMRESResult:
     """``inv_diag`` (1/diag(A), original row order) enables right Jacobi
+    preconditioning; ``precond`` (ChebPrecond) right polynomial
     preconditioning — see _gmres_cycle."""
     if orth not in ("cgs", "cgs2"):
         raise ValueError(f"orth must be 'cgs' or 'cgs2', got {orth!r}")
@@ -219,7 +227,7 @@ def solve_gmres(
     cycle = jax.jit(
         partial(
             _gmres_cycle, m=m, exchange=exchange, allsum=allsum,
-            spmv=spmv, nr=nr, nc=A.nc, eps=eps, orth=orth,
+            spmv=spmv, nr=nr, nc=A.nc, eps=eps, orth=orth, precond=precond,
         )
     )
 

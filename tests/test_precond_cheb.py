@@ -146,6 +146,73 @@ def test_cheb_pcg_permuted_format():
     np.testing.assert_allclose(pre.x, ref.x, rtol=1e-6, atol=1e-9)
 
 
+# ------------------------------------------------ GMRES / BiCGStab serial
+
+def test_cheb_gmres_beats_plain():
+    """Right polynomial preconditioning for GMRES: the Arnoldi operator is
+    A p_k(A) — fixed, so plain GMRES theory applies — and the reported
+    norm stays the TRUE residual."""
+    from sparsebench_tpu.solvers.gmres import solve_gmres
+
+    csr = generate_stencil(10, 10, 10)
+    A = from_csr("crs", csr)
+    b = np.random.default_rng(6).standard_normal(csr.nr)
+    plain = solve_gmres(A, b, itermax=200, eps=1e-8, verbose=False)
+    pc = cheb_precond_for(A, csr.nr, np.float64, degree=3)
+    pre = solve_gmres(A, b, itermax=200, eps=1e-8, precond=pc,
+                      verbose=False)
+    assert pre.final_normr <= 1e-8
+    assert pre.iterations < plain.iterations / 2
+    np.testing.assert_allclose(
+        pre.final_normr, _true_residual(A, pre.x, b),
+        rtol=1e-6, atol=1e-10 * np.linalg.norm(b))
+
+
+def test_cheb_jacobi_gmres_scaled_system():
+    """Scaled polynomial (cheb-jacobi) for GMRES on a badly diagonally
+    scaled SPD system: solution correct, beats pure Jacobi."""
+    from sparsebench_tpu.host import HostCSR
+    from sparsebench_tpu.solvers.gmres import solve_gmres
+
+    csr = generate_stencil(7, 6, 5)
+    rng = np.random.default_rng(7)
+    s = 10.0 ** rng.uniform(-1.5, 1.5, csr.nr)
+    rows = np.repeat(np.arange(csr.nr), csr.row_lengths)
+    scaled = HostCSR(row_ptr=csr.row_ptr, col=csr.col,
+                     val=csr.val * s[rows] * s[csr.col],
+                     nr=csr.nr, nc=csr.nc)
+    A = from_csr("crs", scaled)
+    xe = rng.standard_normal(scaled.nr)
+    b = np.asarray(scaled.to_dense() @ xe)
+    inv_diag = 1.0 / scaled.diagonal()
+    tol = 1e-9 * np.linalg.norm(b)
+    jac = solve_gmres(A, b, itermax=200, eps=tol, inv_diag=inv_diag,
+                      verbose=False)
+    pc = cheb_precond_for(A, scaled.nr, np.float64, degree=3,
+                          inv_diag=inv_diag)
+    pre = solve_gmres(A, b, itermax=200, eps=tol, inv_diag=inv_diag,
+                      precond=pc, verbose=False)
+    assert pre.iterations < jac.iterations
+    assert np.abs(pre.x - xe).max() < 1e-6 * np.abs(xe).max()
+
+
+def test_cheb_bicgstab_beats_plain():
+    from sparsebench_tpu.solvers.bicgstab import solve_bicgstab
+
+    csr = generate_stencil(10, 10, 10)
+    A = from_csr("crs", csr)
+    rng = np.random.default_rng(8)
+    xe = rng.standard_normal(csr.nr)
+    b = np.asarray(A.spmv(np.asarray(xe)))
+    plain = solve_bicgstab(A, b, itermax=200, eps=1e-8, verbose=False)
+    pc = cheb_precond_for(A, csr.nr, np.float64, degree=3)
+    pre = solve_bicgstab(A, b, itermax=200, eps=1e-8, precond=pc,
+                         verbose=False)
+    assert pre.iterations < plain.iterations / 2
+    assert _true_residual(A, pre.x, b) < 1e-7
+    assert np.abs(pre.x - xe).max() < 1e-6 * np.abs(xe).max()
+
+
 # ------------------------------------------------------- distributed PCG
 
 def test_dist_cheb_pcg_parity():
@@ -205,6 +272,41 @@ def test_dist_cheb_pcg_stencil_parity():
     np.testing.assert_allclose(d.x, serial.x, rtol=2e-4, atol=1e-5)
 
 
+def test_dist_cheb_gmres_bicgstab_parity():
+    """Distributed GMRES/BiCGStab with the Chebyshev polynomial: the
+    preconditioner apply runs inside shard_map (degree halo exchanges,
+    zero psums) and must reproduce the serial run bit-for-rounding."""
+    from sparsebench_tpu.parallel.dist import (
+        build_distributed,
+        dist_solve_bicgstab,
+        dist_solve_gmres,
+    )
+    from sparsebench_tpu.solvers.bicgstab import solve_bicgstab
+    from sparsebench_tpu.solvers.gmres import solve_gmres
+
+    size = 4
+    shards = [generate_stencil(6, 6, 2, rank=r, size=size)
+              for r in range(size)]
+    csr = generate_stencil(6, 6, 2 * size)
+    A = from_csr("crs", csr)
+    b = np.random.default_rng(9).standard_normal(csr.nr)
+    pc = cheb_precond_for(A, csr.nr, np.float64, degree=2)
+    dm = build_distributed(shards, fmt="crs")
+
+    sg = solve_gmres(A, b, itermax=40, eps=1e-9, precond=pc, verbose=False)
+    dg = dist_solve_gmres(dm, b, itermax=40, eps=1e-9, precond=pc,
+                          verbose=False)
+    assert dg.iterations == sg.iterations
+    np.testing.assert_allclose(dg.x, sg.x, rtol=1e-9, atol=1e-12)
+
+    sb = solve_bicgstab(A, b, itermax=60, eps=1e-9, precond=pc,
+                        verbose=False)
+    db = dist_solve_bicgstab(dm, b, itermax=60, eps=1e-9, precond=pc,
+                             verbose=False)
+    assert db.iterations == sb.iterations
+    np.testing.assert_allclose(db.x, sb.x, rtol=1e-9, atol=1e-12)
+
+
 # --------------------------------------------------------------- CLI
 
 def test_cli_cheb_precond(capsys):
@@ -229,11 +331,34 @@ def test_cli_cheb_jacobi_sharded(capsys):
     assert "on D^-1 A" in out
 
 
-def test_cli_cheb_rejects_non_cg():
+def test_cli_cheb_gmres(capsys):
     from sparsebench_tpu.cli import main
 
-    with pytest.raises(SystemExit, match="-t cg"):
-        main(["-t", "gmres", "-x", "5", "-y", "5", "-z", "5",
+    rc = main(["-t", "gmres", "-x", "8", "-y", "8", "-z", "8", "-i", "100",
+               "-e", "1e-6", "--precond", "cheb", "--precond-degree", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Preconditioner: Chebyshev(degree 2" in out
+
+
+def test_cli_cheb_jacobi_bicgstab_sharded(capsys):
+    from sparsebench_tpu.cli import main
+
+    rc = main(["-t", "bicgstab", "-x", "6", "-y", "6", "-z", "2", "-i",
+               "100", "-e", "1e-8", "--shards", "4", "--precond",
+               "cheb-jacobi"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "on D^-1 A" in out
+
+
+def test_cli_cheb_rejects_cheb_solver():
+    """Chebyshev-preconditioning the Chebyshev solver is the same
+    polynomial twice — rejected with guidance (cg/gmres/bicgstab allowed)."""
+    from sparsebench_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="cg/gmres/bicgstab"):
+        main(["-t", "cheb", "-x", "5", "-y", "5", "-z", "5",
               "--precond", "cheb"])
 
 
