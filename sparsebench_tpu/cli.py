@@ -498,11 +498,11 @@ def main(argv: Optional[list] = None) -> int:
             print("Test type: CG")
             x0, b, xexact = make_vectors()
             if args.precond in ("cheb", "cheb-jacobi") and (
-                args.cg_variant not in ("standard", "cs")
+                args.cg_variant not in ("standard", "cs", "pipe")
             ):
                 raise SystemExit(
                     f"--precond {args.precond} combines with "
-                    "--cg-variant standard/cs only"
+                    "--cg-variant standard/cs/pipe only"
                 )
             inv_diag, precond = resolve_precond_pair()
             if args.precond != "none" and (args.checkpoint or args.profile):

@@ -280,10 +280,10 @@ def dist_solve_cg(
     extra psums — on a mesh this converts global-latency-bound iterations
     into cheap neighbor traffic, cutting the psum count per digit of
     accuracy ~(degree+1)-fold."""
-    if precond is not None and variant not in ("standard", "cs"):
+    if precond is not None and variant not in ("standard", "cs", "pipe"):
         raise ValueError(
             "operator preconditioning (precond=) supports cg variants "
-            f"'standard' and 'cs' only, not {variant!r}"
+            f"'standard', 'cs' and 'pipe' only, not {variant!r}"
         )
     plan = dm.part.plan
     b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))

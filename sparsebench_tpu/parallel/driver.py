@@ -224,10 +224,10 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             pc_name = getattr(args, "precond", "none")
             if pc_name in ("cheb", "cheb-jacobi") and getattr(
                 args, "cg_variant", "standard"
-            ) not in ("standard", "cs"):
+            ) not in ("standard", "cs", "pipe"):
                 raise SystemExit(
                     f"--precond {pc_name} combines with --cg-variant "
-                    "standard/cs only"
+                    "standard/cs/pipe only"
                 )
             inv_diag, precond = resolve_precond_pair()
             checkpoint = getattr(args, "checkpoint", None)

@@ -274,10 +274,10 @@ def dist_solve_cg_stencil(
     ``sstep`` iterations with variant="sstep"). ``precond``
     (solvers/precond.py ChebPrecond) runs Chebyshev-polynomial PCG:
     degree extra plane exchanges per iteration, zero extra psums."""
-    if precond is not None and variant not in ("standard", "cs"):
+    if precond is not None and variant not in ("standard", "cs", "pipe"):
         raise ValueError(
             "operator preconditioning (precond=) supports cg variants "
-            f"'standard' and 'cs' only, not {variant!r}"
+            f"'standard', 'cs' and 'pipe' only, not {variant!r}"
         )
     mesh = mesh if mesh is not None else make_mesh(size)
     exchange = _make_exchange(A, size)
@@ -433,11 +433,12 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
     if pc_name in ("cheb", "cheb-jacobi"):
         from sparsebench_tpu.solvers.precond import ChebPrecond
 
-        if getattr(args, "cg_variant", "standard") not in ("standard",
-                                                           "cs"):
+        if getattr(args, "cg_variant", "standard") not in (
+            "standard", "cs", "pipe",
+        ):
             raise SystemExit(
                 f"--precond {pc_name} combines with --cg-variant "
-                "standard/cs only"
+                "standard/cs/pipe only"
             )
         bdt = np.float64 if policy.value == np.float64 else np.float32
         bounds = dist_estimate_bounds_stencil(

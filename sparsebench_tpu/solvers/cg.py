@@ -472,10 +472,10 @@ def solve_cg(
     (solvers/cg_pipe.py — the allreduce overlaps the matvec).
     """
     loop_fn = resolve_cg_loop(variant, sstep)
-    if precond is not None and variant not in ("standard", "cs"):
+    if precond is not None and variant not in ("standard", "cs", "pipe"):
         raise ValueError(
             "operator preconditioning (precond=) supports cg variants "
-            f"'standard' and 'cs' only, not {variant!r}"
+            f"'standard', 'cs' and 'pipe' only, not {variant!r}"
         )
     b = jnp.asarray(b)
     if x0 is None:

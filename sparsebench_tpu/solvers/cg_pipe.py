@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from sparsebench_tpu.solvers.cg import default_acc_dtype, safe_div
+from sparsebench_tpu.solvers.precond import resolve_apply_m
 
 _identity = lambda v: v  # noqa: E731
 
@@ -59,11 +60,21 @@ def cg_pipe_loop(
     allsum: Callable = _identity,
     acc_dtype=None,
     inv_diag=None,
+    precond=None,
     drift_factor: float = 256.0,
 ):
     """Jittable pipelined CG; same contract as cg_loop (returns
     (x, k, history)). ``inv_diag`` enables Jacobi preconditioning (the
-    M-inner products are elementwise-weighted sums)."""
+    M-inner products are elementwise-weighted sums). ``precond``
+    (solvers/precond.py ChebPrecond) switches to the general-operator
+    r-space form (_pipe_prec_loop): a polynomial M^-1 has no cheap M
+    apply, so the M-inner-product trick below does not reach it."""
+    if precond is not None:
+        return _pipe_prec_loop(
+            A, b, x0, itermax, eps, exchange=exchange, allsum=allsum,
+            acc_dtype=acc_dtype, inv_diag=inv_diag, precond=precond,
+            drift_factor=drift_factor,
+        )
     nr = b.shape[0]
     nc = A.nc
     vdt = b.dtype
@@ -188,6 +199,158 @@ def cg_pipe_loop(
         rr_best = jnp.minimum(rr_best, rr_new)
 
         return (k + 1, x, u, w, p, c, z, g_new, alpha_new, rr_best,
+                need_rep_new, normr, hist, done_new)
+
+    k, x, *_mid, _normr, hist, _done = jax.lax.while_loop(cond, body, state)
+    return x, k, hist
+
+
+def _pipe_prec_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    inv_diag=None,
+    precond=None,
+    drift_factor: float = 256.0,
+):
+    """General-operator preconditioned pipelined CG (Ghysels & Vanroose
+    2014, Alg. 4 — the paper's preconditioned form).
+
+    The M^-1-applied formulation in ``cg_pipe_loop`` needs M-inner
+    products <a,b>_M = a^T M b, which only exist cheaply when M itself
+    is cheap (Jacobi: elementwise). For an operator preconditioner like
+    the Chebyshev polynomial (M^-1 = p_k(A), M = p_k(A)^-1 has no
+    apply), the textbook r-space form carries the residual explicitly —
+    two more vectors (r and the direction s tracking A p's r-update),
+    the documented price:
+
+        r = b - A x;  u = M^-1 r;  w = A u
+        loop:
+            gamma = <r, u>, delta = <w, u>, rr = <r, r> } ONE allreduce
+            m = M^-1 w;  n = A m                        } overlapped
+            beta  = gamma / gamma_old     (0 on a fresh start)
+            alpha = gamma / (delta - beta * gamma / alpha_old)
+            z = n + beta z;  q = m + beta q   # z, q track A_hat-family
+            s = w + beta s;  p = u + beta p
+            x += alpha p;  r -= alpha s;  u -= alpha q;  w -= alpha z
+
+    The allreduce overlaps BOTH the preconditioner apply (degree halo
+    exchanges for ChebPrecond, zero psums) and the matvec — more local
+    work to hide the reduction latency behind than the unpreconditioned
+    form has. Same drift-triggered replacement as the M^-1-space loop
+    (all four recurrently-maintained vectors refresh from x).
+    """
+    nr = b.shape[0]
+    nc = A.nc
+    vdt = b.dtype
+    sdt = default_acc_dtype(vdt, acc_dtype)
+    spmv = A.spmv_permuted if getattr(A, "permuted_output", False) else A.spmv
+
+    def widen(v):
+        if nc == nr:
+            return v
+        return jnp.concatenate([v, jnp.zeros(nc - nr, vdt)])
+
+    def matvec(v):
+        return spmv(exchange(widen(v))).astype(vdt)
+
+    apply_m = resolve_apply_m(precond, inv_diag, matvec, vdt)
+
+    def fused_dots(r, u, w):
+        # [gamma = <r,u>, delta = <w,u>, rr = <r,r>] — one allsum
+        rs = r.astype(sdt)
+        us = u.astype(sdt)
+        return allsum(jnp.stack([
+            jnp.sum(rs * us), jnp.sum(w.astype(sdt) * us), jnp.sum(rs * rs),
+        ]))
+
+    def fresh_ruw(x):
+        r = (b - matvec(x)).astype(vdt)
+        u = apply_m(r)
+        return r, u, matvec(u)
+
+    r0, u0, w0 = fresh_ruw(x0)
+    gd0 = fused_dots(r0, u0, w0)
+    gamma0, rr0 = gd0[0], gd0[2]
+    normr0 = jnp.sqrt(jnp.maximum(rr0, 0))
+    hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+
+    zeros = jnp.zeros(nr, vdt)
+    # state: (k, x, r, u, w, p, s, q, z, gamma, alpha, rr_best, need_rep,
+    #         normr, hist, done)
+    state = (jnp.asarray(1), x0, r0, u0, w0, zeros, zeros, zeros, zeros,
+             gamma0, jnp.zeros((), sdt), rr0, jnp.asarray(False),
+             normr0, hist0, jnp.asarray(False))
+
+    def cond(st):
+        k, *_mid, normr, _hist, done = st
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps), jnp.logical_not(done)
+        )
+
+    def body(st):
+        (k, x, r, u, w, p, s, q, z, gamma, alpha, rr_best, need_rep,
+         _normr, hist, done) = st
+
+        repair = bool(drift_factor and drift_factor > 0)
+        if repair:
+
+            def do_replace(args):
+                x_, _r, _u, _w, _p, _s, _q, _z = args
+                r2, u2, w2 = fresh_ruw(x_)
+                return r2, u2, w2, zeros, zeros, zeros, zeros
+
+            def keep(args):
+                _x, r_, u_, w_, p_, s_, q_, z_ = args
+                return r_, u_, w_, p_, s_, q_, z_
+
+            r, u, w, p, s, q, z = jax.lax.cond(
+                need_rep, do_replace, keep, (x, r, u, w, p, s, q, z)
+            )
+
+        gd = fused_dots(r, u, w)     # the ONE allreduce ...
+        m = apply_m(w)               # ... independent of it: the
+        n = matvec(m)                # precond apply + matvec overlap
+        g_new, delta, rr_new = gd[0], gd[1], gd[2]
+        normr = jnp.sqrt(jnp.maximum(rr_new, 0))
+        hist = hist.at[k].set(normr)
+
+        fresh = jnp.logical_or(k == 1, need_rep)
+        beta = jnp.where(fresh, 0, safe_div(g_new, gamma))
+        denom = jnp.where(fresh, delta,
+                          delta - beta * safe_div(g_new, alpha))
+        breakdown = denom <= g_new * 1e-30
+        alpha_new = jnp.where(breakdown, 0, safe_div(g_new, denom))
+
+        b_v = beta.astype(vdt)
+        a_v = alpha_new.astype(vdt)
+        z = n + b_v * z
+        q = m + b_v * q
+        s = w + b_v * s
+        p = u + b_v * p
+        x = x + a_v * p
+        r = r - a_v * s
+        u = u - a_v * q
+        w = w - a_v * z
+
+        if repair:
+            trigger = jnp.logical_or(breakdown,
+                                     rr_new > drift_factor * rr_best)
+            need_rep_new = jnp.logical_and(trigger,
+                                           jnp.logical_not(need_rep))
+            done_new = jnp.logical_or(done,
+                                      jnp.logical_and(breakdown, need_rep))
+        else:
+            need_rep_new = need_rep
+            done_new = jnp.logical_or(done, breakdown)
+        rr_best = jnp.minimum(rr_best, rr_new)
+
+        return (k + 1, x, r, u, w, p, s, q, z, g_new, alpha_new, rr_best,
                 need_rep_new, normr, hist, done_new)
 
     k, x, *_mid, _normr, hist, _done = jax.lax.while_loop(cond, body, state)

@@ -120,15 +120,58 @@ def test_cheb_jacobi_on_scaled_system():
     assert _true_residual(A, pre.x, b) < 1e-7
 
 
-def test_cheb_pcg_rejects_other_variants():
+def test_cheb_pcg_rejects_sstep():
     csr = generate_stencil(6, 6, 6)
     A = from_csr("crs", csr)
     b = np.ones(csr.nr)
     pc = ChebPrecond(1.0, 40.0, degree=2)
-    for variant in ("sstep", "pipe"):
-        with pytest.raises(ValueError, match="standard"):
-            solve_cg(A, b, itermax=10, precond=pc, variant=variant,
-                     verbose=False)
+    with pytest.raises(ValueError, match="standard"):
+        solve_cg(A, b, itermax=10, precond=pc, variant="sstep",
+                 verbose=False)
+
+
+def test_cheb_pcg_pipe_matches_standard():
+    """Preconditioned pipelined CG (Ghysels-Vanroose Alg. 4 r-space
+    form): same Krylov iterates as standard polynomial PCG in exact
+    arithmetic — trajectories match to rounding in f64."""
+    csr = generate_stencil(12, 12, 12)
+    A = from_csr("crs", csr)
+    b = np.random.default_rng(10).standard_normal(csr.nr)
+    pc = cheb_precond_for(A, csr.nr, np.float64, degree=3)
+    std = solve_cg(A, b, itermax=300, eps=1e-9, precond=pc, verbose=False)
+    pipe = solve_cg(A, b, itermax=300, eps=1e-9, precond=pc,
+                    variant="pipe", verbose=False)
+    assert abs(std.iterations - pipe.iterations) <= 1
+    np.testing.assert_allclose(pipe.x, std.x, rtol=1e-7, atol=1e-11)
+    n = min(len(std.residual_history), len(pipe.residual_history))
+    np.testing.assert_allclose(pipe.residual_history[:n],
+                               std.residual_history[:n],
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_cheb_jacobi_pipe_scaled_system():
+    """Scaled polynomial + pipe on a badly scaled system: the drift
+    repair keeps the recurrence honest; solution matches standard."""
+    from sparsebench_tpu.host import HostCSR
+
+    csr = generate_stencil(8, 8, 8)
+    rng = np.random.default_rng(11)
+    s = 10.0 ** rng.uniform(-1.5, 1.5, csr.nr)
+    rows = np.repeat(np.arange(csr.nr), csr.row_lengths)
+    scaled = HostCSR(row_ptr=csr.row_ptr, col=csr.col,
+                     val=csr.val * s[rows] * s[csr.col],
+                     nr=csr.nr, nc=csr.nc)
+    A = from_csr("crs", scaled)
+    b = rng.standard_normal(scaled.nr)
+    inv_diag = 1.0 / scaled.diagonal()
+    pc = cheb_precond_for(A, scaled.nr, np.float64, degree=3,
+                          inv_diag=inv_diag)
+    std = solve_cg(A, b, itermax=400, eps=1e-9, inv_diag=inv_diag,
+                   precond=pc, verbose=False)
+    pipe = solve_cg(A, b, itermax=400, eps=1e-9, inv_diag=inv_diag,
+                    precond=pc, variant="pipe", verbose=False)
+    assert _true_residual(A, pipe.x, b) < 1e-7
+    np.testing.assert_allclose(pipe.x, std.x, rtol=1e-6, atol=1e-10)
 
 
 def test_cheb_pcg_permuted_format():
@@ -241,6 +284,14 @@ def test_dist_cheb_pcg_parity():
                           variant=variant, verbose=False)
         assert d.iterations == serial.iterations
         np.testing.assert_allclose(d.x, serial.x, rtol=1e-9, atol=1e-12)
+    # pipe is a different recurrence: compare dist pipe to SERIAL pipe
+    sp = solve_cg(A, b, itermax=300, eps=1e-9, precond=pc, variant="pipe",
+                  verbose=False)
+    dp = dist_solve_cg(dm, b, itermax=300, eps=1e-9,
+                       precond=ChebPrecond(*bounds, degree=3),
+                       variant="pipe", verbose=False)
+    assert dp.iterations == sp.iterations
+    np.testing.assert_allclose(dp.x, sp.x, rtol=1e-9, atol=1e-12)
 
 
 def test_dist_cheb_pcg_stencil_parity():
