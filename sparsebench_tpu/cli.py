@@ -143,6 +143,17 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--sstep", type=int, default=4,
                     help="Basis size s for --cg-variant sstep (default 4; "
                     "the s x s gram conditioning recommends s <= 8)")
+    ap.add_argument("--refine", action="store_true",
+                    help="Mixed-precision iterative refinement for -t cg: "
+                    "outer true-residual sweeps at --dtype, inner CG one "
+                    "precision down (f64->f32, f32->bf16) — the inner "
+                    "solve streams roughly half the bytes per iteration "
+                    "(solvers/refine.py). -i caps the inner iterations "
+                    "per sweep; -e is the outer (true-residual) target, "
+                    "0 = run to the low precision's floor.")
+    ap.add_argument("--refine-sweeps", type=int, default=12,
+                    help="Max outer refinement sweeps (default 12; the "
+                    "loop also exits on -e or on stagnation)")
     ap.add_argument("--restart", type=int, default=30,
                     help="GMRES(m) restart length (default 30; the Arnoldi "
                     "basis is a dense (m+1, n) block on device)")
@@ -285,6 +296,7 @@ def main(argv: Optional[list] = None) -> int:
         ("--cg-variant", "cg_variant", ("cg",)),
         ("--checkpoint", "checkpoint", ("cg",)),
         ("--precond", "precond", ("cg", "gmres", "cheb", "bicgstab")),
+        ("--refine", "refine", ("cg",)),
     ):
         if getattr(args, attr) != ap.get_default(attr) and (
             param.bench not in benches
@@ -306,6 +318,18 @@ def main(argv: Optional[list] = None) -> int:
             and args.precond not in ("cheb", "cheb-jacobi")):
         print("warning: --precond-degree has no effect without "
               "--precond cheb/cheb-jacobi", file=sys.stderr)
+    if (args.refine_sweeps != ap.get_default("refine_sweeps")
+            and not args.refine):
+        print("warning: --refine-sweeps has no effect without --refine",
+              file=sys.stderr)
+    if args.refine and (args.precond != "none"
+                        or args.cg_variant != "standard"
+                        or args.checkpoint or args.profile):
+        raise SystemExit(
+            "--refine combines with the plain CG path only (no "
+            "--precond/--cg-variant/--checkpoint/--profile: the inner "
+            "solve IS the acceleration)"
+        )
     if args.precond in ("cheb", "cheb-jacobi") and param.bench not in (
         "cg", "gmres", "bicgstab"
     ):
@@ -492,6 +516,50 @@ def main(argv: Optional[list] = None) -> int:
             precond = make_cheb_precond(inv_diag)
         return inv_diag, precond
 
+    def build_lo_matrix():
+        """Low-precision twin of A (same layout, same row order) for
+        --refine: rebuilt from the same spec one value-dtype down."""
+        from sparsebench_tpu.solvers.refine import refine_lo_policy
+
+        lo, lo_name = refine_lo_policy(policy)
+        print(f"Refinement: outer {args.dtype or 'f32'} sweeps, "
+              f"inner CG in {lo_name}")
+        if param.fmt == "stencil":
+            return A  # the matrix-free apply adopts the vector dtype
+        if rgl:
+            from sparsebench_tpu.formats.rgl_build import rgl_bslab
+
+            A_lo, _nnz = rgl_bslab(
+                param.nx * param.ny * param.nz, band=param.band,
+                deg=param.deg, seed=param.seed, policy=lo,
+                **impl_opts, **sub_opts,
+            )
+            return A_lo
+        if csr is None:
+            # analytic on-device stencil build (dia / bslab)
+            if param.fmt == "bslab":
+                from sparsebench_tpu.formats.bslab import BslabMatrix
+
+                A_lo, _rc = BslabMatrix.from_stencil(
+                    param.nx, param.ny, param.nz,
+                    use_7pt=param.filename == "generate7P",
+                    policy=lo, **impl_opts, **sub_opts,
+                )
+            else:
+                from sparsebench_tpu.formats.dia import DiaMatrix
+
+                A_lo, _rc = DiaMatrix.from_stencil(
+                    param.nx, param.ny, param.nz,
+                    use_7pt=param.filename == "generate7P",
+                    policy=lo, **impl_opts,
+                )
+            return A_lo
+        extra = dict(sub_opts) if param.fmt == "bslab" else {}
+        return from_csr(
+            param.fmt, csr, lo, C=param.chunk_height, sigma=param.sigma,
+            **impl_opts, **extra,
+        )
+
     iterations = 0
     with trace(args.trace):
         if param.bench == "cg":
@@ -514,7 +582,15 @@ def main(argv: Optional[list] = None) -> int:
                 raise SystemExit(
                     "--cg-variant combines with the plain CG path only"
                 )
-            if args.checkpoint:
+            if args.refine:
+                from sparsebench_tpu.solvers.refine import solve_cg_refine
+
+                res = solve_cg_refine(
+                    A, b, A_lo=build_lo_matrix(),
+                    outer_max=args.refine_sweeps,
+                    inner_iters=param.itermax, eps=param.eps,
+                )
+            elif args.checkpoint:
                 from sparsebench_tpu.solvers.checkpoint import (
                     solve_cg_checkpointed,
                 )

@@ -349,6 +349,88 @@ def dist_solve_cg(
     )
 
 
+def dist_solve_cg_refine(
+    dm: DistMatrix,
+    b_global: np.ndarray,
+    *,
+    dm_lo: DistMatrix,
+    outer_max: int = 12,
+    inner_iters: int = 100,
+    eps: float = 0.0,
+    acc_dtype=None,
+    inner_eps_factor: float = 0.05,
+    verbose: bool = True,
+) -> CGResult:
+    """Distributed mixed-precision iterative-refinement CG
+    (solvers/refine.py cg_refine_loop inside shard_map): ``dm_lo`` is the
+    low-precision twin built over the SAME ``Partitioned`` (pass the same
+    ``part`` to both DistMatrix builds — same row split, same halo plan).
+    Inner iterations exchange half-width halos and psum f32 scalars; the
+    outer true-residual psum runs once per sweep in working precision."""
+    if dm_lo.part is not dm.part and (
+        dm_lo.part.plan.nr_max != dm.part.plan.nr_max
+        or dm_lo.part.plan.size != dm.part.plan.size
+    ):
+        raise ValueError("dm_lo must share dm's partition plan")
+    from sparsebench_tpu.solvers.refine import cg_refine_loop
+
+    b_stacked = jnp.asarray(dm.shard_vector(np.asarray(b_global)))
+    x0_stacked = jnp.zeros_like(b_stacked)
+
+    loop = partial(
+        cg_refine_loop, outer_max=outer_max, inner_iters=inner_iters,
+        exchange=dm.exchange, allsum=dm.allsum, acc_dtype=acc_dtype,
+        inner_eps_factor=inner_eps_factor,
+    )
+
+    def local_fn(A_hi_st, A_lo_st, b, x0, eps_s):
+        A_hi = jax.tree_util.tree_map(lambda l: l[0], A_hi_st)
+        A_lo = jax.tree_util.tree_map(lambda l: l[0], A_lo_st)
+        x, sweeps, total_inner, hist = loop(A_hi, A_lo, b[0], x0[0],
+                                            eps=eps_s)
+        return x[None], sweeps, total_inner, hist
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=dm.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    eps_arr = jnp.asarray(eps, dtype=acc_dtype or b_stacked.dtype)
+    x_dev, s_dev, ti_dev, hist_dev = shard_fn(dm.A, dm_lo.A, b_stacked,
+                                              x0_stacked, eps_arr)
+    int(s_dev)
+    t0 = time.perf_counter()
+    x_dev, s_dev, ti_dev, hist_dev = shard_fn(dm.A, dm_lo.A, b_stacked,
+                                              x0_stacked, eps_arr)
+    sweeps = int(s_dev)
+    t1 = time.perf_counter()
+    total_inner = int(ti_dev)
+    hist = np.asarray(hist_dev)
+    x_global = dm.unshard_vector(np.asarray(x_dev))
+
+    if verbose:
+        print(f"Initial Residual = {hist[0]:E}")
+        for j in range(1, sweeps + 1):
+            if not np.isnan(hist[j]):
+                print(f"Refinement sweep = {j} Residual = {hist[j]:E}")
+        print(f"Solution performed {sweeps} sweeps / {total_inner} "
+              f"low-precision iterations and took {t1 - t0:.2f}s")
+
+    final = hist[sweeps] if sweeps > 0 else hist[0]
+    return CGResult(
+        x=x_global,
+        iterations=total_inner,
+        residual_history=hist[: sweeps + 1],
+        final_normr=float(final),
+        solve_seconds=t1 - t0,
+    )
+
+
 def dist_spmv(dm: DistMatrix, x_global: np.ndarray) -> np.ndarray:
     """Distributed SpMV (halo exchange + local kernel), for tests/benchmarks."""
     x_stacked = jnp.asarray(dm.shard_vector(np.asarray(x_global)))

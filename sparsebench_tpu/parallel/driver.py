@@ -229,6 +229,17 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
                     f"--precond {pc_name} combines with --cg-variant "
                     "standard/cs/pipe only"
                 )
+            refine = getattr(args, "refine", False)
+            if refine and (
+                pc_name != "none"
+                or getattr(args, "cg_variant", "standard") != "standard"
+                or getattr(args, "checkpoint", None)
+                or getattr(args, "profile", False)
+            ):
+                raise SystemExit(
+                    "--refine combines with the plain CG path only (no "
+                    "--precond/--cg-variant/--checkpoint/--profile)"
+                )
             inv_diag, precond = resolve_precond_pair()
             checkpoint = getattr(args, "checkpoint", None)
             if checkpoint and (
@@ -240,7 +251,27 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
                 raise SystemExit(
                     "--checkpoint combines with the plain CG path only"
                 )
-            if checkpoint:
+            if refine:
+                from sparsebench_tpu.parallel.dist import (
+                    DistMatrix,
+                    dist_solve_cg_refine,
+                )
+                from sparsebench_tpu.solvers.refine import refine_lo_policy
+
+                lo, lo_name = refine_lo_policy(policy)
+                print(f"Refinement: outer {np.dtype(policy.value).name} "
+                      f"sweeps, inner CG in {lo_name}")
+                dm_lo = DistMatrix(
+                    dm.part, dm.fmt, lo, C=param.chunk_height,
+                    sigma=param.sigma, exchange_backend=param.exchange,
+                    mesh=dm.mesh, impl=getattr(args, "impl", None),
+                )
+                res = dist_solve_cg_refine(
+                    dm, b, dm_lo=dm_lo,
+                    outer_max=getattr(args, "refine_sweeps", 12),
+                    inner_iters=param.itermax, eps=param.eps,
+                )
+            elif checkpoint:
                 from sparsebench_tpu.parallel.checkpoint import (
                     dist_solve_cg_checkpointed,
                 )

@@ -336,6 +336,80 @@ def dist_solve_cg_stencil(
     )
 
 
+def dist_solve_cg_refine_stencil(
+    A: HaloStencilOperator,
+    size: int,
+    b_global: np.ndarray,
+    *,
+    outer_max: int = 12,
+    inner_iters: int = 100,
+    eps: float = 0.0,
+    inner_eps_factor: float = 0.05,
+    mesh=None,
+    verbose: bool = True,
+) -> CGResult:
+    """Distributed mixed-precision iterative refinement on the
+    matrix-free stencil (solvers/refine.py cg_refine_loop inside
+    shard_map). The operator stores nothing and adopts the vector dtype,
+    so the low-precision twin IS the operator itself: inner iterations
+    run on bf16/f32 vectors (halved halo planes and BLAS1 bytes — for a
+    zero-matrix-byte apply the vectors are ALL the traffic), the outer
+    true-residual sweep restores working precision."""
+    mesh = mesh if mesh is not None else make_mesh(size)
+    exchange = _make_exchange(A, size)
+    allsum = make_allsum(AXIS)
+    from sparsebench_tpu.solvers.refine import cg_refine_loop
+
+    loop = partial(
+        cg_refine_loop, outer_max=outer_max, inner_iters=inner_iters,
+        exchange=exchange, allsum=allsum,
+        inner_eps_factor=inner_eps_factor,
+    )
+
+    b_st = jnp.asarray(_shard_in(A, size, b_global))
+    x0_st = jnp.zeros_like(b_st)
+
+    def local_fn(b, x0, eps_s):
+        x, sweeps, total_inner, hist = loop(A, A, b[0], x0[0], eps=eps_s)
+        return x[None], sweeps, total_inner, hist
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+    eps_arr = jnp.asarray(eps, dtype=b_st.dtype)
+    x_dev, s_dev, ti_dev, hist_dev = shard_fn(b_st, x0_st, eps_arr)
+    int(s_dev)  # warm-up + sync
+    t0 = time.perf_counter()
+    x_dev, s_dev, ti_dev, hist_dev = shard_fn(b_st, x0_st, eps_arr)
+    sweeps = int(s_dev)
+    t1 = time.perf_counter()
+    total_inner = int(ti_dev)
+    hist = np.asarray(hist_dev)
+
+    if verbose:
+        print(f"Initial Residual = {hist[0]:E}")
+        for j in range(1, sweeps + 1):
+            if not np.isnan(hist[j]):
+                print(f"Refinement sweep = {j} Residual = {hist[j]:E}")
+        print(f"Solution performed {sweeps} sweeps / {total_inner} "
+              f"low-precision iterations and took {t1 - t0:.2f}s")
+
+    final = hist[sweeps] if sweeps > 0 else hist[0]
+    return CGResult(
+        x=_shard_out(A, size, x_dev),
+        iterations=total_inner,
+        residual_history=hist[: sweeps + 1],
+        final_normr=float(final),
+        solve_seconds=t1 - t0,
+    )
+
+
 def dist_estimate_bounds_stencil(
     A: HaloStencilOperator, size: int, dtype, steps: int = 25,
     inv_diag: np.ndarray = None, mesh=None, mode: str = "solver",
@@ -422,6 +496,15 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
 
     b = (27.0 - (counts - 1)).astype(policy.value)
     xexact = np.ones(A.total_nr, dtype=policy.value)
+    refine = getattr(args, "refine", False)
+    if refine and (
+        getattr(args, "precond", "none") != "none"
+        or getattr(args, "cg_variant", "standard") != "standard"
+    ):
+        raise SystemExit(
+            "--refine combines with the plain CG path only (no "
+            "--precond/--cg-variant)"
+        )
     inv_diag = None
     precond = None
     pc_name = getattr(args, "precond", "none")
@@ -455,13 +538,26 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
                       policy.index_bytes)
     with trace(getattr(args, "trace", None)):
         print("Test type: CG")
-        res = dist_solve_cg_stencil(
-            A, size, b, itermax=param.itermax, eps=param.eps,
-            variant=getattr(args, "cg_variant", "standard"),
-            sstep=getattr(args, "sstep", 4),
-            inv_diag=inv_diag,
-            precond=precond,
-        )
+        if refine:
+            from sparsebench_tpu.solvers.refine import refine_lo_policy
+
+            _lo, lo_name = refine_lo_policy(policy)  # validates headroom
+            print(f"Refinement: outer {np.dtype(policy.value).name} "
+                  f"sweeps, inner CG in {lo_name} (matrix-free: the "
+                  "operator adopts the vector dtype)")
+            res = dist_solve_cg_refine_stencil(
+                A, size, b,
+                outer_max=getattr(args, "refine_sweeps", 12),
+                inner_iters=param.itermax, eps=param.eps,
+            )
+        else:
+            res = dist_solve_cg_stencil(
+                A, size, b, itermax=param.itermax, eps=param.eps,
+                variant=getattr(args, "cg_variant", "standard"),
+                sstep=getattr(args, "sstep", 4),
+                inv_diag=inv_diag,
+                precond=precond,
+            )
         print(prof.report_aggregate(res.iterations, res.solve_seconds))
     diff = check_residual(res.x, xexact)
     print(f"Difference between computed and exact  = {diff:f}")
