@@ -91,6 +91,15 @@ def _stencil_kernel(
     cp_in.wait()
 
     v = xwin[:, :]
+    store_dt = v.dtype
+    # Mosaic has no sub-32-bit rotate ("tpu.dynamic_rotate ... not
+    # implemented: Rotate with non-32-bit data", v5e, observed with bf16
+    # under --refine): upcast IN-REGISTER after the DMA — the HBM reads,
+    # VMEM window, and output store all stay bf16, so the bandwidth win
+    # is untouched; only the VPU roll/add stages widen (same discipline
+    # as the DIA kernels' bf16-x-as-f32 fix, formats/dia.py).
+    if store_dt.itemsize < 4:
+        v = v.astype(jnp.float32)
     dt = v.dtype
 
     def sum_x(t):  # lane rolls; pad lanes are zero so wraps carry zeros
@@ -133,7 +142,7 @@ def _stencil_kernel(
     y_masked = jnp.where(
         (pos_c < ny) & (lane < nx), y, jnp.asarray(0, dt)
     )
-    ywin[:, :] = y_masked
+    ywin[:, :] = y_masked.astype(store_dt)
     if with_dots:
         # free CG dot products: the kernel already holds u (the spmv
         # input, interior slice vc) and w = A u (y_masked); the padded
@@ -152,7 +161,7 @@ def _stencil_kernel(
     # the two output halo planes belong to no tile: edge tiles zero them
     @pl.when(a == 0)
     def _():
-        zplane[:, :] = jnp.zeros((nyp, nxp), dt)
+        zplane[:, :] = jnp.zeros((nyp, nxp), store_dt)
         cp = pltpu.make_async_copy(
             zplane, y_hbm.at[pl.ds(0, nyp), :], sem_z
         )
@@ -161,7 +170,7 @@ def _stencil_kernel(
 
     @pl.when(a == n_tiles - 1)
     def _():
-        zplane[:, :] = jnp.zeros((nyp, nxp), dt)
+        zplane[:, :] = jnp.zeros((nyp, nxp), store_dt)
         cp = pltpu.make_async_copy(
             zplane, y_hbm.at[pl.ds((1 + nz) * nyp, nyp), :], sem_z
         )
