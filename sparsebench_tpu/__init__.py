@@ -62,6 +62,7 @@ _LAZY_EXPORTS = {
     "solve_gmres": "sparsebench_tpu.solvers.gmres",
     "solve_chebyshev": "sparsebench_tpu.solvers.chebyshev",
     "solve_bicgstab": "sparsebench_tpu.solvers.bicgstab",
+    "solve_minres": "sparsebench_tpu.solvers.minres",
     # distributed (imports jax)
     "build_distributed": "sparsebench_tpu.parallel.dist",
     "dist_solve_cg": "sparsebench_tpu.parallel.dist",

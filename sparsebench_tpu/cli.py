@@ -68,7 +68,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-m", metavar="FILE", dest="mm_file",
                     help="Load a matrix market file")
     ap.add_argument("-t", dest="bench", default=None,
-                    choices=["cg", "spmv", "gmres", "cheb", "bicgstab"],
+                    choices=["cg", "spmv", "gmres", "cheb", "bicgstab",
+                             "minres"],
                     help="Benchmark type. Default cg.")
     ap.add_argument("-x", type=int, default=None, help="Generated size in x")
     ap.add_argument("-y", type=int, default=None, help="Generated size in y")
@@ -295,7 +296,8 @@ def main(argv: Optional[list] = None) -> int:
         ("--restart", "restart", ("gmres",)),
         ("--cg-variant", "cg_variant", ("cg",)),
         ("--checkpoint", "checkpoint", ("cg",)),
-        ("--precond", "precond", ("cg", "gmres", "cheb", "bicgstab")),
+        ("--precond", "precond", ("cg", "gmres", "cheb", "bicgstab",
+                                  "minres")),
         ("--refine", "refine", ("cg",)),
     ):
         if getattr(args, attr) != ap.get_default(attr) and (
@@ -650,6 +652,22 @@ def main(argv: Optional[list] = None) -> int:
             res = solve_bicgstab(A, b, itermax=param.itermax,
                                  eps=param.eps, inv_diag=inv_diag,
                                  precond=precond)
+            iterations = res.iterations
+            if xexact is not None:
+                diff = check_residual(res.x, xexact)
+                print(f"Difference between computed and exact  = {diff:f}")
+        elif param.bench == "minres":
+            print("Test type: MINRES")
+            from sparsebench_tpu.solvers.minres import solve_minres
+
+            x0, b, xexact = make_vectors()
+            # Jacobi only: MINRES needs M SPD; p_k(A) of an indefinite A
+            # is not (solvers/minres.py module doc) — cheb/cheb-jacobi
+            # already exit above via the cheb-bench restriction
+            inv_diag = (make_inv_diag() if args.precond == "jacobi"
+                        else None)
+            res = solve_minres(A, b, itermax=param.itermax, eps=param.eps,
+                               inv_diag=inv_diag)
             iterations = res.iterations
             if xexact is not None:
                 diff = check_residual(res.x, xexact)

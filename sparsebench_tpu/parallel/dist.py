@@ -699,6 +699,86 @@ def dist_solve_bicgstab(
     )
 
 
+def dist_solve_minres(
+    dm: DistMatrix,
+    b_global: np.ndarray,
+    *,
+    itermax: int = 150,
+    eps: float = 0.0,
+    acc_dtype=None,
+    inv_diag: "np.ndarray" = None,
+    verbose: bool = True,
+) -> CGResult:
+    """Distributed MINRES (solvers/minres.py): one jitted shard_map
+    program — 1 halo exchange + 2 scalar allreduces per iteration
+    (standard CG's collective count). ``inv_diag`` (global row order) =
+    Jacobi preconditioning; MINRES needs M SPD so every entry must be
+    positive (validated here, like solve_minres)."""
+    from sparsebench_tpu.solvers.minres import minres_loop
+
+    b_np = np.asarray(b_global)
+    if jnp.dtype(b_np.dtype) == jnp.bfloat16:
+        # same upcast as solve_minres: bf16 three-term recurrences
+        # collapse; matrix storage stays bf16
+        b_np = b_np.astype(np.float32)
+    if inv_diag is not None and not np.all(
+        np.asarray(inv_diag, dtype=np.float64) > 0
+    ):
+        raise ValueError(
+            "MINRES Jacobi preconditioning requires a positive diagonal "
+            "(M must be SPD)"
+        )
+    b_stacked = jnp.asarray(dm.shard_vector(b_np))
+    x0_stacked = jnp.zeros_like(b_stacked)
+    md_stacked = (
+        jnp.asarray(dm.shard_vector(np.asarray(inv_diag,
+                                               dtype=b_stacked.dtype)))
+        if inv_diag is not None else None
+    )
+    loop = partial(
+        minres_loop,
+        itermax=itermax, exchange=dm.exchange, allsum=dm.allsum,
+        acc_dtype=acc_dtype,
+    )
+
+    def local_fn(A_stacked, b, x0, eps_s, md):
+        A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
+        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s,
+                          inv_diag=None if md is None else md[0])
+        return x[None], k, hist
+
+    shard_fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=dm.mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(),
+                      P() if md_stacked is None else P(AXIS)),
+            out_specs=(P(AXIS), P(), P()),
+            check_vma=False,
+        )
+    )
+    eps_arr = jnp.asarray(eps, dtype=acc_dtype or b_stacked.dtype)
+    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
+                                      md_stacked)
+    int(k_dev)
+    t0 = time.perf_counter()
+    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
+                                      md_stacked)
+    k = int(k_dev)
+    t1 = time.perf_counter()
+    hist = np.asarray(hist_dev)
+    if verbose:
+        print_residual_history(hist, k, itermax)
+        print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
+    return CGResult(
+        x=dm.unshard_vector(np.asarray(x_dev)),
+        iterations=k,
+        residual_history=hist[:k],
+        final_normr=float(hist[k - 1] if k > 1 else hist[0]),
+        solve_seconds=t1 - t0,
+    )
+
+
 def _dist_estimate_bounds(dm: DistMatrix, n: int, dtype, steps: int = 25,
                           inv_diag: "np.ndarray" = None,
                           mode: str = "solver"):

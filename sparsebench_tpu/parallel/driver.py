@@ -334,6 +334,17 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
             res = dist_solve_bicgstab(dm, b, itermax=param.itermax,
                                       eps=param.eps, inv_diag=inv_diag,
                                       precond=precond)
+        elif param.bench == "minres":
+            from sparsebench_tpu.parallel.dist import dist_solve_minres
+
+            print("Test type: MINRES")
+            # Jacobi only (M must be SPD — solvers/minres.py); cheb was
+            # rejected by the CLI before the sharded dispatch
+            inv_diag = None
+            if getattr(args, "precond", "none") == "jacobi":
+                inv_diag = make_inv_diag()
+            res = dist_solve_minres(dm, b, itermax=param.itermax,
+                                    eps=param.eps, inv_diag=inv_diag)
         elif param.bench == "spmv":
             from sparsebench_tpu.parallel.profiled import dist_bench_spmv
 
