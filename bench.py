@@ -55,6 +55,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def emit(payload: dict, rc: int) -> int:
+    """Print the driver-facing JSON line, then arm the relay exit
+    watchdog BEFORE returning. The r3 full-suite run proved the
+    post-return guard (run_with_hard_exit -> hard_exit_if_dev_relay)
+    can be unreachable: with all output printed, the main thread wedged
+    at ~90% CPU for 40+ min inside run_suite's frame teardown (device
+    buffer GC / native relay spin happens BEFORE the caller resumes).
+    The daemon-thread watchdog os._exit's regardless of where the main
+    thread is stuck; 10 s grace since no output remains. No-op off the
+    axon dev backend."""
+    print(json.dumps(payload), flush=True)
+    from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
+
+    arm_dev_relay_exit_watchdog(rc, grace_s=10.0)
+    return rc
+
+
 def measure_stream_triad(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
                          trials: int = 3) -> float:
     """In-situ HBM STREAM triad: a = b + s*a, fused fori_loop chain with a
@@ -532,18 +549,16 @@ def run_suite() -> int:
             extra["spmv_frac_of_stream"] = round(max(phys) / stream, 3)
 
     if best100 is None:
-        print(json.dumps({"metric": "cg_stencil100cubed_150iter_solve_seconds",
-                          "value": 0.0, "unit": "s", "vs_baseline": 0.0,
-                          "extra": extra}))
-        return 1
-    print(json.dumps({
+        return emit({"metric": "cg_stencil100cubed_150iter_solve_seconds",
+                     "value": 0.0, "unit": "s", "vs_baseline": 0.0,
+                     "extra": extra}, rc=1)
+    return emit({
         "metric": "cg_stencil100cubed_150iter_solve_seconds",
         "value": round(best100, 4),
         "unit": "s",
         "vs_baseline": round(REFERENCE_CG_SECONDS_100 / best100, 2),
         "extra": extra,
-    }))
-    return 0
+    }, rc=0)
 
 
 def bench_cg(n: int = 100) -> int:
@@ -556,17 +571,15 @@ def bench_cg(n: int = 100) -> int:
         log("pallas results invalid; retrying with the XLA dia path")
         best = timed_cg(A.replace(impl="xla"), b, xexact, n)
     if best is None:
-        print(json.dumps({"metric": f"cg_stencil{n}cubed_150iter_solve_seconds",
-                          "value": 0.0, "unit": "s", "vs_baseline": 0.0}))
-        return 1
-    print(json.dumps({
+        return emit({"metric": f"cg_stencil{n}cubed_150iter_solve_seconds",
+                     "value": 0.0, "unit": "s", "vs_baseline": 0.0}, rc=1)
+    return emit({
         "metric": f"cg_stencil{n}cubed_150iter_solve_seconds",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(REFERENCE_CG_SECONDS_100 / best, 2)
         if n == 100 else 0.0,
-    }))
-    return 0
+    }, rc=0)
 
 
 def bench_spmv(n: int, fmts) -> int:
@@ -599,19 +612,17 @@ def bench_spmv(n: int, fmts) -> int:
             log(f"{fmt}: failed: {e!r}")
 
     if not results:
-        print(json.dumps({"metric": "spmv_effective_bandwidth", "value": 0.0,
-                          "unit": "GB/s", "vs_baseline": 0.0}))
-        return 1
+        return emit({"metric": "spmv_effective_bandwidth", "value": 0.0,
+                     "unit": "GB/s", "vs_baseline": 0.0}, rc=1)
     best_fmt = max(results, key=results.get)
     value = results[best_fmt]
     target = NOMINAL_HBM_GBPS * TARGET_FRACTION
-    print(json.dumps({
+    return emit({
         "metric": f"spmv_effective_bandwidth_{n}cubed_{best_fmt}",
         "value": round(value, 2),
         "unit": "GB/s",
         "vs_baseline": round(value / target, 4),
-    }))
-    return 0
+    }, rc=0)
 
 
 def _ensure_device() -> None:
