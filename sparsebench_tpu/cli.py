@@ -254,9 +254,14 @@ def main(argv: Optional[list] = None) -> int:
 
     policy = DTypePolicy.from_names(param.dtype, param.index_dtype)
     policy.ensure_x64()
-    from sparsebench_tpu.utils import enable_compile_cache
+    from sparsebench_tpu.utils import (
+        arm_dev_relay_deadline,
+        enable_compile_cache,
+    )
 
     enable_compile_cache()  # setup is compile-dominated (NOTES.md r3)
+    arm_dev_relay_deadline()  # wedge mode 5: compile errors that never
+    # propagate back to Python (utils.py; no-op off the dev relay)
 
     import jax
 

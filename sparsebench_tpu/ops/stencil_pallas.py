@@ -182,7 +182,12 @@ def _apply_call(xpad, nx, ny, nz, use_7pt, tz, interpret, with_dots):
     nxp, nyp = pad_dims(nx, ny, nz)
     plane = nyp * nxp
     assert xpad.shape[0] == (nz + 2) * plane, (xpad.shape, nz, plane)
-    tz = tz or choose_tz(nz, plane * xpad.dtype.itemsize)
+    # budget the tile by the COMPUTE width, not the stored width: sub-
+    # 32-bit windows upcast to f32 in-register (Mosaic has no bf16
+    # rotate — _stencil_kernel), so the scoped-VMEM footprint is the f32
+    # one. Budgeting with itemsize=2 at 200^3 picked tz=25 and blew the
+    # 16 MB scoped limit by 564 KB on the chip (bf16 --refine, r3).
+    tz = tz or choose_tz(nz, plane * max(xpad.dtype.itemsize, 4))
     grid = nz // tz
     kernel = functools.partial(
         _stencil_kernel, nx=nx, ny=ny, nz=nz, nxp=nxp, nyp=nyp, tz=tz,

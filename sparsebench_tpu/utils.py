@@ -90,6 +90,49 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
         pass
 
 
+_IS_DEV_RELAY: Optional[bool] = None
+
+
+def _on_dev_relay() -> bool:
+    """Whether this process runs on the tunneled dev TPU backend (axon)
+    — resolved ONCE and cached. The exit helpers below must not touch
+    jax at fire time: the r3 refine run wedged with NO watchdog thread
+    present, i.e. the main thread never got through the arm call after
+    the final print — and the only native-touching call in that window
+    was this backend query. Resolve it early (arm_dev_relay_deadline at
+    driver entry), read the cached bool ever after."""
+    global _IS_DEV_RELAY
+    if _IS_DEV_RELAY is None:
+        import sys
+
+        if "jax" not in sys.modules:
+            if os.environ.get("SB_DEBUG_EXIT"):
+                print("[sb-exit] probe: jax not imported", file=sys.stderr,
+                      flush=True)
+            return False  # don't cache: jax not initialized yet
+        try:
+            backend = sys.modules["jax"].default_backend()
+        except Exception as e:  # pragma: no cover — backend init failed
+            if os.environ.get("SB_DEBUG_EXIT"):
+                print(f"[sb-exit] probe raised: {e!r}", file=sys.stderr,
+                      flush=True)
+            return False  # don't cache a failed probe
+        # The relay plugin has reported its platform as 'axon' AND (after
+        # a relay update mid-r3) as plain 'tpu' — with the latter, every
+        # name-gated guard silently no-ops and the teardown wedge
+        # returns (measured: instrumented CLI run, backend='tpu'). The
+        # robust marker is the relay env itself: PALLAS_AXON_POOL_IPS
+        # set (sitecustomize dials the relay) and a non-cpu backend.
+        _IS_DEV_RELAY = backend == "axon" or (
+            bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            and backend != "cpu"
+        )
+        if os.environ.get("SB_DEBUG_EXIT"):
+            print(f"[sb-exit] backend={backend!r} dev_relay="
+                  f"{_IS_DEV_RELAY}", file=sys.stderr, flush=True)
+    return _IS_DEV_RELAY
+
+
 def hard_exit_if_dev_relay(rc: int = 0) -> None:
     """Hard-exit the process on the tunneled dev TPU backend (axon).
 
@@ -107,13 +150,7 @@ def hard_exit_if_dev_relay(rc: int = 0) -> None:
     """
     import sys
 
-    backend = ""
-    if "jax" in sys.modules:
-        try:
-            backend = sys.modules["jax"].default_backend()
-        except Exception:  # pragma: no cover — backend init failed
-            backend = ""
-    if backend == "axon":
+    if _on_dev_relay():
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(rc)
@@ -135,13 +172,7 @@ def arm_dev_relay_exit_watchdog(rc: int = 0, grace_s: float = 30.0) -> None:
     """
     import sys
 
-    backend = ""
-    if "jax" in sys.modules:
-        try:
-            backend = sys.modules["jax"].default_backend()
-        except Exception:  # pragma: no cover
-            backend = ""
-    if backend != "axon":
+    if not _on_dev_relay():
         return
     import threading
 
@@ -156,6 +187,44 @@ def arm_dev_relay_exit_watchdog(rc: int = 0, grace_s: float = 30.0) -> None:
 
     threading.Thread(target=_fire, daemon=True,
                      name="sb-relay-exit-watchdog").start()
+
+
+def arm_dev_relay_deadline(seconds: Optional[float] = None) -> None:
+    """Last-resort wall-clock deadline for dev-relay runs (axon only).
+
+    Fifth observed wedge mode (r3): a Mosaic compile ERROR inside a
+    jitted call never finished propagating to Python — the process
+    burned CPU in native error-path code, so __main__'s catch-all and
+    every output-gated watchdog were unreachable (nothing to catch, no
+    output to gate on). The only robust answer is a coarse deadline: a
+    daemon thread that os._exit(124)s after SB_RELAY_DEADLINE seconds
+    (default 2700 — above the ~20 min worst-case legitimate compile,
+    NOTES.md). Arm once at driver entry; normal exits fire first. 0
+    disables. No-op off the axon backend.
+    """
+    import sys
+
+    if not _on_dev_relay():
+        return
+    if seconds is None:
+        seconds = float(os.environ.get("SB_RELAY_DEADLINE", "2700"))
+    if seconds <= 0:
+        return
+    import threading
+
+    def _fire():
+        time.sleep(seconds)
+        print(
+            f"sparsebench: relay deadline ({seconds:.0f}s, "
+            "SB_RELAY_DEADLINE) exceeded — assuming a wedged relay "
+            "client, hard-exiting 124",
+            file=sys.stderr, flush=True,
+        )
+        sys.stdout.flush()
+        os._exit(124)
+
+    threading.Thread(target=_fire, daemon=True,
+                     name="sb-relay-deadline").start()
 
 
 def run_with_hard_exit(main_fn) -> None:
