@@ -39,6 +39,7 @@ Modes: ``python bench.py`` (full suite), ``python bench.py cg [n]``,
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -676,7 +677,13 @@ def _ensure_device() -> None:
         jax.devices()
         return
     except RuntimeError as e:
-        if "axon" not in str(e):
+        # claim-failure detection: the registration error has named the
+        # plugin 'axon', but the relay has renamed its platform once
+        # already (utils._on_dev_relay) — under the relay env, treat any
+        # backend-init RuntimeError as claim-not-ready and retry
+        if "axon" not in str(e) and not os.environ.get(
+            "PALLAS_AXON_POOL_IPS"
+        ):
             raise
         n = int(os.environ.get("SB_BENCH_CLAIM_RETRY", "0"))
         if n >= 25:
