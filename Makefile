@@ -16,7 +16,8 @@ test:
 # errors in environments without ruff (like the dev image).
 lint:
 	@if command -v ruff >/dev/null 2>&1; then \
-		ruff check sparsebench_tpu tests bench.py; \
+		ruff check sparsebench_tpu tests tools bench.py \
+			__graft_entry__.py; \
 	else \
 		echo "ruff not installed; falling back to compileall"; \
 		python -m compileall -q sparsebench_tpu tests tools bench.py \
@@ -25,8 +26,8 @@ lint:
 
 format:
 	@command -v ruff >/dev/null 2>&1 || { echo "ruff not installed"; exit 1; }
-	ruff check --fix sparsebench_tpu tests bench.py
-	ruff format sparsebench_tpu tests bench.py
+	ruff check --fix sparsebench_tpu tests tools bench.py __graft_entry__.py
+	ruff format sparsebench_tpu tests tools bench.py __graft_entry__.py
 
 # reference `make asm` analog (Makefile:26-30): dump lowered + optimized
 # HLO for the hot solves into build/asm/

@@ -498,10 +498,9 @@ def run_suite() -> int:
         if t16 is not None:
             extra["cg200_stencil_bf16_seconds"] = round(t16, 3)
         _, bm32, _ = init_vectors(row_lengths=cm, dtype=np.float32)
+        # solve_cg_refine warms up and times a second run internally
         rres = solve_cg_refine(Am, bm32, outer_max=12, inner_iters=150,
                                eps=0.0, verbose=False)
-        rres = solve_cg_refine(Am, bm32, outer_max=12, inner_iters=150,
-                               eps=0.0, verbose=False)  # warm second run
         rdiff = check_residual(rres.x, xem.astype(np.float32))
         log(f"refine 200^3 (f32 outer / bf16 inner): "
             f"{rres.solve_seconds:.3f}s, {rres.iterations} inner iters, "
@@ -677,13 +676,15 @@ def _ensure_device() -> None:
         jax.devices()
         return
     except RuntimeError as e:
-        # claim-failure detection: the registration error has named the
-        # plugin 'axon', but the relay has renamed its platform once
-        # already (utils._on_dev_relay) — under the relay env, treat any
-        # backend-init RuntimeError as claim-not-ready and retry
-        if "axon" not in str(e) and not os.environ.get(
-            "PALLAS_AXON_POOL_IPS"
-        ):
+        # claim-failure detection: the registration error names the
+        # plugin 'axon' today, but the relay has renamed its platform
+        # once already (utils._on_dev_relay) — also match the generic
+        # registration-failure text so a rename doesn't turn claim
+        # cooldowns into hard failures. Anything else (version
+        # mismatch, bad config) raises immediately: a blanket retry
+        # would burn 25 x 90 s on a permanent error.
+        s = str(e)
+        if "axon" not in s and "known backends" not in s:
             raise
         n = int(os.environ.get("SB_BENCH_CLAIM_RETRY", "0"))
         if n >= 25:

@@ -304,6 +304,10 @@ def main(argv: Optional[list] = None) -> int:
         ("--precond", "precond", ("cg", "gmres", "cheb", "bicgstab",
                                   "minres")),
         ("--refine", "refine", ("cg",)),
+        # only the CG loop and the SpMV bench feed the region timers
+        # (reference PROFILE sites: CGSolver.c + main.c:200-216); other
+        # benches would print an all-zeros table
+        ("--profile", "profile", ("cg", "spmv")),
     ):
         if getattr(args, attr) != ap.get_default(attr) and (
             param.bench not in benches
@@ -689,7 +693,8 @@ def main(argv: Optional[list] = None) -> int:
         if not (args.profile or args.trace or param.bench == "spmv"):
             arm_dev_relay_exit_watchdog(0)
 
-    if args.profile or param.bench == "spmv":
+    if (args.profile and param.bench == "cg") or param.bench == "spmv":
+        # gated to the benches that feed the timers (warned above)
         print(prof.report(iterations))
     from sparsebench_tpu.utils import hard_exit_if_dev_relay
 

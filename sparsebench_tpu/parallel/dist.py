@@ -623,28 +623,26 @@ def dist_solve_gmres(
     )
 
 
-def dist_solve_bicgstab(
+def _dist_short_recurrence_solve(
     dm: DistMatrix,
     b_global: np.ndarray,
+    loop,
     *,
-    itermax: int = 150,
-    eps: float = 0.0,
+    itermax: int,
+    eps: float,
     acc_dtype=None,
     inv_diag: "np.ndarray" = None,
-    precond=None,
     verbose: bool = True,
 ) -> CGResult:
-    """Distributed BiCGStab (solvers/bicgstab.py): one jitted shard_map
-    program — 2 halo exchanges + 3 allreduces (two fused) per
-    iteration. ``inv_diag`` (global row order) = right Jacobi;
-    ``precond`` (ChebPrecond) = right polynomial preconditioning
-    (2*degree extra halo exchanges per iteration, zero extra psums)."""
-    from sparsebench_tpu.solvers.bicgstab import bicgstab_loop
-
+    """Shared driver for the short-recurrence distributed solvers
+    (BiCGStab, MINRES — both share cg_loop's (x, k, hist) contract):
+    bf16 working-vector upcast (bf16 recurrences collapse —
+    solve_gmres's finding), vector sharding, ONE shard_map'd jit with
+    the None-aware inv_diag spec, warm-up + timed run, CGResult
+    assembly. ``loop`` is the solver's jittable loop partially applied
+    with everything but (A, b, x0, eps, inv_diag)."""
     b_np = np.asarray(b_global)
     if jnp.dtype(b_np.dtype) == jnp.bfloat16:
-        # same upcast as solve_bicgstab: bf16 biorthogonal recurrences
-        # collapse (serial/dist answers diverged without this)
         b_np = b_np.astype(np.float32)
     b_stacked = jnp.asarray(dm.shard_vector(b_np))
     x0_stacked = jnp.zeros_like(b_stacked)
@@ -652,13 +650,6 @@ def dist_solve_bicgstab(
         jnp.asarray(dm.shard_vector(np.asarray(inv_diag,
                                                dtype=b_stacked.dtype)))
         if inv_diag is not None else None
-    )
-    loop = partial(
-        bicgstab_loop,
-        itermax=itermax, exchange=dm.exchange, allsum=dm.allsum,
-        acc_dtype=acc_dtype,
-        # static (python floats + int): rides the closure, never traced
-        **({"precond": precond} if precond is not None else {}),
     )
 
     def local_fn(A_stacked, b, x0, eps_s, md):
@@ -696,6 +687,37 @@ def dist_solve_bicgstab(
         residual_history=hist[:k],
         final_normr=float(hist[k - 1] if k > 1 else hist[0]),
         solve_seconds=t1 - t0,
+    )
+
+
+def dist_solve_bicgstab(
+    dm: DistMatrix,
+    b_global: np.ndarray,
+    *,
+    itermax: int = 150,
+    eps: float = 0.0,
+    acc_dtype=None,
+    inv_diag: "np.ndarray" = None,
+    precond=None,
+    verbose: bool = True,
+) -> CGResult:
+    """Distributed BiCGStab (solvers/bicgstab.py): one jitted shard_map
+    program — 2 halo exchanges + 3 allreduces (two fused) per
+    iteration. ``inv_diag`` (global row order) = right Jacobi;
+    ``precond`` (ChebPrecond) = right polynomial preconditioning
+    (2*degree extra halo exchanges per iteration, zero extra psums)."""
+    from sparsebench_tpu.solvers.bicgstab import bicgstab_loop
+
+    loop = partial(
+        bicgstab_loop,
+        itermax=itermax, exchange=dm.exchange, allsum=dm.allsum,
+        acc_dtype=acc_dtype,
+        # static (python floats + int): rides the closure, never traced
+        **({"precond": precond} if precond is not None else {}),
+    )
+    return _dist_short_recurrence_solve(
+        dm, b_global, loop, itermax=itermax, eps=eps, acc_dtype=acc_dtype,
+        inv_diag=inv_diag, verbose=verbose,
     )
 
 
@@ -716,11 +738,6 @@ def dist_solve_minres(
     positive (validated here, like solve_minres)."""
     from sparsebench_tpu.solvers.minres import minres_loop
 
-    b_np = np.asarray(b_global)
-    if jnp.dtype(b_np.dtype) == jnp.bfloat16:
-        # same upcast as solve_minres: bf16 three-term recurrences
-        # collapse; matrix storage stays bf16
-        b_np = b_np.astype(np.float32)
     if inv_diag is not None and not np.all(
         np.asarray(inv_diag, dtype=np.float64) > 0
     ):
@@ -728,54 +745,14 @@ def dist_solve_minres(
             "MINRES Jacobi preconditioning requires a positive diagonal "
             "(M must be SPD)"
         )
-    b_stacked = jnp.asarray(dm.shard_vector(b_np))
-    x0_stacked = jnp.zeros_like(b_stacked)
-    md_stacked = (
-        jnp.asarray(dm.shard_vector(np.asarray(inv_diag,
-                                               dtype=b_stacked.dtype)))
-        if inv_diag is not None else None
-    )
     loop = partial(
         minres_loop,
         itermax=itermax, exchange=dm.exchange, allsum=dm.allsum,
         acc_dtype=acc_dtype,
     )
-
-    def local_fn(A_stacked, b, x0, eps_s, md):
-        A_local = jax.tree_util.tree_map(lambda l: l[0], A_stacked)
-        x, k, hist = loop(A_local, b[0], x0[0], eps=eps_s,
-                          inv_diag=None if md is None else md[0])
-        return x[None], k, hist
-
-    shard_fn = jax.jit(
-        jax.shard_map(
-            local_fn,
-            mesh=dm.mesh,
-            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(),
-                      P() if md_stacked is None else P(AXIS)),
-            out_specs=(P(AXIS), P(), P()),
-            check_vma=False,
-        )
-    )
-    eps_arr = jnp.asarray(eps, dtype=acc_dtype or b_stacked.dtype)
-    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
-                                      md_stacked)
-    int(k_dev)
-    t0 = time.perf_counter()
-    x_dev, k_dev, hist_dev = shard_fn(dm.A, b_stacked, x0_stacked, eps_arr,
-                                      md_stacked)
-    k = int(k_dev)
-    t1 = time.perf_counter()
-    hist = np.asarray(hist_dev)
-    if verbose:
-        print_residual_history(hist, k, itermax)
-        print(f"Solution performed {k} iterations and took {t1 - t0:.2f}s")
-    return CGResult(
-        x=dm.unshard_vector(np.asarray(x_dev)),
-        iterations=k,
-        residual_history=hist[:k],
-        final_normr=float(hist[k - 1] if k > 1 else hist[0]),
-        solve_seconds=t1 - t0,
+    return _dist_short_recurrence_solve(
+        dm, b_global, loop, itermax=itermax, eps=eps, acc_dtype=acc_dtype,
+        inv_diag=inv_diag, verbose=verbose,
     )
 
 

@@ -362,9 +362,10 @@ def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
         print(f"Difference between computed and exact  = {diff:f}")
 
     iterations = iterations or res.iterations
-    if getattr(args, "profile", False):
+    if getattr(args, "profile", False) and param.bench == "cg":
         # full multi-rank report: per-region min/max/avg + per-rank comm
-        # kB / kB/s / walltime (reference profiler.c:47-124)
+        # kB / kB/s / walltime (reference profiler.c:47-124). Gated to
+        # the bench that feeds the timers — the CLI warns for others
         print(prof.report(iterations, comm=comm))
     else:
         # fused mode has no per-region attribution — volumes only

@@ -75,6 +75,15 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
     SB_NO_COMPILE_CACHE env var disables it (cold-compile measurement)."""
     if os.environ.get("SB_NO_COMPILE_CACHE"):
         return
+    # Dev-relay runs only (or an explicit SB_COMPILE_CACHE opt-in): a
+    # shared on-disk cache serving XLA:CPU AOT results across machine
+    # configs was observed loading executables with mismatched CPU
+    # feature sets ("could lead to execution errors such as SIGILL") —
+    # CPU compiles are seconds anyway; the cache pays on the chip where
+    # per-shape compiles cost 4-12 s.
+    if not (os.environ.get("PALLAS_AXON_POOL_IPS")
+            or os.environ.get("SB_COMPILE_CACHE")):
+        return
     import jax
 
     path = cache_dir or os.environ.get(
@@ -93,43 +102,51 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
 _IS_DEV_RELAY: Optional[bool] = None
 
 
-def _on_dev_relay() -> bool:
-    """Whether this process runs on the tunneled dev TPU backend (axon)
-    — resolved ONCE and cached. The exit helpers below must not touch
-    jax at fire time: the r3 refine run wedged with NO watchdog thread
+def _on_dev_relay(resolve: bool = False) -> bool:
+    """Whether this process runs on the tunneled dev TPU backend —
+    resolved ONCE and cached. The exit helpers below must not touch jax
+    at fire time: the r3 refine run wedged with NO watchdog thread
     present, i.e. the main thread never got through the arm call after
     the final print — and the only native-touching call in that window
-    was this backend query. Resolve it early (arm_dev_relay_deadline at
-    driver entry), read the cached bool ever after."""
+    was this backend query. ``resolve=True`` (arm_dev_relay_deadline at
+    driver entry) forces a definitive answer — importing jax if needed
+    and falling back to the relay env marker if backend init fails —
+    so a cached bool always exists by the time fire-time helpers run."""
     global _IS_DEV_RELAY
-    if _IS_DEV_RELAY is None:
-        import sys
+    if _IS_DEV_RELAY is not None:
+        return _IS_DEV_RELAY
+    import sys
 
-        if "jax" not in sys.modules:
-            if os.environ.get("SB_DEBUG_EXIT"):
-                print("[sb-exit] probe: jax not imported", file=sys.stderr,
-                      flush=True)
-            return False  # don't cache: jax not initialized yet
-        try:
-            backend = sys.modules["jax"].default_backend()
-        except Exception as e:  # pragma: no cover — backend init failed
-            if os.environ.get("SB_DEBUG_EXIT"):
-                print(f"[sb-exit] probe raised: {e!r}", file=sys.stderr,
-                      flush=True)
-            return False  # don't cache a failed probe
-        # The relay plugin has reported its platform as 'axon' AND (after
-        # a relay update mid-r3) as plain 'tpu' — with the latter, every
-        # name-gated guard silently no-ops and the teardown wedge
-        # returns (measured: instrumented CLI run, backend='tpu'). The
-        # robust marker is the relay env itself: PALLAS_AXON_POOL_IPS
-        # set (sitecustomize dials the relay) and a non-cpu backend.
-        _IS_DEV_RELAY = backend == "axon" or (
-            bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-            and backend != "cpu"
-        )
+    def _dbg(msg):
         if os.environ.get("SB_DEBUG_EXIT"):
-            print(f"[sb-exit] backend={backend!r} dev_relay="
-                  f"{_IS_DEV_RELAY}", file=sys.stderr, flush=True)
+            print(f"[sb-exit] {msg}", file=sys.stderr, flush=True)
+
+    if resolve and "jax" not in sys.modules:
+        import jax  # noqa: F401 — putting it in sys.modules IS the point
+    if "jax" not in sys.modules:
+        _dbg("probe: jax not imported")
+        return False  # passive probe: don't cache, jax may come later
+    try:
+        backend = sys.modules["jax"].default_backend()
+    except Exception as e:  # pragma: no cover — backend init failed
+        _dbg(f"probe raised: {e!r}")
+        if resolve:
+            # claim race at driver entry: decide from the env marker so
+            # the deadline still arms (the whole point of resolve mode)
+            _IS_DEV_RELAY = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            _dbg(f"resolved from env: dev_relay={_IS_DEV_RELAY}")
+            return _IS_DEV_RELAY
+        return False  # don't cache a failed passive probe
+    # The relay plugin has reported its platform as 'axon' AND (after a
+    # relay update mid-r3) as plain 'tpu' — with the latter, every
+    # name-gated guard silently no-ops and the teardown wedge returns
+    # (measured: instrumented CLI run, backend='tpu'). The robust marker
+    # is the relay env itself: PALLAS_AXON_POOL_IPS set (sitecustomize
+    # dials the relay) and a non-cpu backend.
+    _IS_DEV_RELAY = backend == "axon" or (
+        bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and backend != "cpu"
+    )
+    _dbg(f"backend={backend!r} dev_relay={_IS_DEV_RELAY}")
     return _IS_DEV_RELAY
 
 
@@ -204,10 +221,12 @@ def arm_dev_relay_deadline(seconds: Optional[float] = None) -> None:
     """
     import sys
 
-    if not _on_dev_relay():
+    if not _on_dev_relay(resolve=True):
         return
+    src = "caller override"
     if seconds is None:
         seconds = float(os.environ.get("SB_RELAY_DEADLINE", "2700"))
+        src = "SB_RELAY_DEADLINE"
     if seconds <= 0:
         return
     import threading
@@ -215,9 +234,8 @@ def arm_dev_relay_deadline(seconds: Optional[float] = None) -> None:
     def _fire():
         time.sleep(seconds)
         print(
-            f"sparsebench: relay deadline ({seconds:.0f}s, "
-            "SB_RELAY_DEADLINE) exceeded — assuming a wedged relay "
-            "client, hard-exiting 124",
+            f"sparsebench: relay deadline ({seconds:.0f}s, {src}) "
+            "exceeded — assuming a wedged relay client, hard-exiting 124",
             file=sys.stderr, flush=True,
         )
         sys.stdout.flush()
