@@ -111,6 +111,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--exchange", default=None,
                     choices=["auto", "ppermute", "allgather"],
                     help="Halo exchange backend for sharded solves")
+    ap.add_argument("--overlap", action="store_true",
+                    help="Overlap the halo exchange with the interior "
+                    "apply (--fmt stencil --shards N): the boundary-plane "
+                    "ppermutes run concurrently with the zero-halo fused "
+                    "kernel, then one-plane corrections restore exactness "
+                    "— hides ICI latency on real multi-chip meshes. The "
+                    "reference's MPI_Neighbor_alltoallv is blocking "
+                    "(comm.c:627-651); this is the TPU answer.")
     ap.add_argument("--profile", action="store_true",
                     help="Per-region timing report (reference profiler table)")
     ap.add_argument("--trace", metavar="DIR", default=None,
@@ -333,6 +341,13 @@ def main(argv: Optional[list] = None) -> int:
             and not args.refine):
         print("warning: --refine-sweeps has no effect without --refine",
               file=sys.stderr)
+    if args.overlap and (param.shards <= 1 or param.fmt != "stencil"):
+        raise SystemExit(
+            "--overlap applies to the distributed matrix-free stencil "
+            "only (--fmt stencil --shards N): the stored-format exchange "
+            "is already a compacted-tail gather; overlap there would "
+            "need an interior/boundary row split (not implemented)"
+        )
     if args.refine and (args.precond != "none"
                         or args.cg_variant != "standard"
                         or args.checkpoint or args.profile):

@@ -16,6 +16,14 @@ neighbor's LAST plane), plane received from rank+1 (the z-above
 neighbor's FIRST plane)]. Edge shards keep zeros there — ppermute
 zero-fills non-receiving shards, which is exactly the generator's
 global-boundary truncation.
+
+``overlap=True`` (CLI --overlap) swaps the blocking exchange->apply
+composition for OverlapHaloStencil: the two plane ppermutes become
+data-independent of the interior apply, so XLA's latency-hiding
+scheduler runs the ICI transfer underneath the whole fused kernel and
+only the O(nx*ny) one-plane corrections wait on the wire — the
+communication/computation overlap the reference's blocking
+MPI_Neighbor_alltoallv cannot express.
 """
 
 from __future__ import annotations
@@ -138,6 +146,117 @@ class HaloStencilOperator:
         return v4[1 : self.nz + 1, : self.ny, : self.nx].reshape(-1)
 
 
+def _halo_plane_correction(h2: jnp.ndarray, ny: int, nx: int,
+                           use_7pt: bool) -> jnp.ndarray:
+    """Contribution of one received z-halo plane to its adjacent interior
+    output plane. By the tensor-product factorization (formats/stencil.py)
+    the halo plane enters the apply only through the z-window term of that
+    one neighbor plane: -(Sy Sx h) for the 27-pt operator, -h for the
+    7-pt. Masked back to the real (ny, nx) domain when the plane carries
+    lane/sublane padding (the S sums smear one column/row of real data
+    into the padding, which must stay zero — solver dots run over the
+    whole padded vector)."""
+    if not use_7pt:
+        h2 = _sum3(_sum3(h2, 0), 1)
+        if h2.shape != (ny, nx):
+            h2 = jnp.zeros_like(h2).at[:ny, :nx].set(h2[:ny, :nx])
+    return h2
+
+
+@struct.dataclass
+class OverlapHaloStencil:
+    """Communication/computation-overlapped distributed stencil apply.
+
+    The plain path composes ``spmv(exchange(p))``: the fused kernel's
+    input depends on both ppermutes, so XLA must finish the halo exchange
+    before the apply starts — exactly the reference's blocking
+    MPI_Neighbor_alltoallv discipline (comm.c:627-651). This operator
+    restructures the SAME linear apply for latency hiding:
+
+        1. ship the two boundary planes (ppermute, depends only on two
+           planes of p);
+        2. run the fused kernel on p with ZERO halo planes (independent
+           of the ppermutes — XLA's latency-hiding scheduler overlaps the
+           ICI transfer with the whole interior apply);
+        3. add the received planes' one-plane corrections
+           (_halo_plane_correction — O(nx*ny) work vs O(nx*ny*nz)).
+
+    Linearity makes this exact: kernel(p with halos h) == kernel(p, 0)
+    - corrections(h), to the same rounding class (the correction sums
+    f32 products in a different association; parity tests bound it).
+    Works because solver working vectors keep their halo planes zero
+    (the kernel zeroes output halo planes, ops/stencil_pallas.py:161-173;
+    axpys preserve zeros), so the operand IS the zero-halo volume.
+
+    The exchange hook becomes identity; fused in-kernel cs dots are
+    disabled (the kernel's partial dots would miss the corrections)."""
+
+    base: HaloStencilOperator = struct.field(pytree_node=False)
+    size: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default=AXIS)
+
+    # mirrored static layout metadata (solvers read these off the operator)
+    @property
+    def nr(self):
+        return self.base.nr
+
+    @property
+    def nc(self):
+        return self.base.nc
+
+    @property
+    def nnz(self):
+        return self.base.nnz
+
+    @property
+    def total_nr(self):
+        return self.base.total_nr
+
+    @property
+    def total_nnz(self):
+        return self.base.total_nnz
+
+    @property
+    def impl(self):
+        return self.base.impl
+
+    @property
+    def supports_fused_cs(self) -> bool:
+        return False
+
+    def spmv(self, v: jnp.ndarray) -> jnp.ndarray:
+        A = self.base
+        up_perm = [(i, i + 1) for i in range(self.size - 1)]
+        dn_perm = [(i + 1, i) for i in range(self.size - 1)]
+        if A.impl == "pallas":
+            nxp, nyp = A._pads()
+            pp = nyp * nxp
+            nz = A.nz
+            # send my last/first REAL planes; non-receivers get zeros
+            # (= the generator's global-boundary truncation)
+            up = jax.lax.ppermute(v[nz * pp:(nz + 1) * pp], self.axis,
+                                  up_perm)
+            dn = jax.lax.ppermute(v[pp : 2 * pp], self.axis, dn_perm)
+            y = A.spmv(v)  # zero-halo fused kernel, concurrent with ICI
+            cu = _halo_plane_correction(up.reshape(nyp, nxp), A.ny, A.nx,
+                                        A.use_7pt)
+            cd = _halo_plane_correction(dn.reshape(nyp, nxp), A.ny, A.nx,
+                                        A.use_7pt)
+            y3 = y.reshape(nz + 2, nyp, nxp)
+            return y3.at[1].add(-cu).at[nz].add(-cd).reshape(-1)
+        plane = A.nx * A.ny
+        nr = A.nr
+        up = jax.lax.ppermute(v[nr - plane : nr], self.axis, up_perm)
+        dn = jax.lax.ppermute(v[:plane], self.axis, dn_perm)
+        y = A.spmv(v)  # tail halos are zero in solver working vectors
+        cu = _halo_plane_correction(up.reshape(A.ny, A.nx), A.ny, A.nx,
+                                    A.use_7pt)
+        cd = _halo_plane_correction(dn.reshape(A.ny, A.nx), A.ny, A.nx,
+                                    A.use_7pt)
+        y3 = y.reshape(A.nz, A.ny, A.nx)
+        return y3.at[0].add(-cu).at[A.nz - 1].add(-cd).reshape(-1)
+
+
 def make_plane_exchange(nr: int, plane: int, size: int, axis: str = AXIS):
     """Fill the 2-plane halo tail from the z-neighbors: two nearest-
     neighbor ppermutes (the reference's MPI_Neighbor_alltoallv over the
@@ -233,18 +352,29 @@ def _make_exchange(A: HaloStencilOperator, size: int):
     return make_plane_exchange(A.nr, A.nx * A.ny, size)
 
 
+def _op_and_exchange(A: HaloStencilOperator, size: int, overlap: bool):
+    """(operator, exchange) pair for the solver loops. ``overlap`` swaps
+    the blocking exchange->apply composition for the OverlapHaloStencil
+    restructuring (exchange becomes identity — the ppermutes live inside
+    the apply where XLA can schedule them concurrently)."""
+    if overlap:
+        return OverlapHaloStencil(base=A, size=size), (lambda p: p)
+    return A, _make_exchange(A, size)
+
+
 def dist_spmv_stencil(A: HaloStencilOperator, size: int,
-                      x_global: np.ndarray, mesh=None) -> np.ndarray:
+                      x_global: np.ndarray, mesh=None,
+                      overlap: bool = False) -> np.ndarray:
     """One exchanged SpMV over the mesh (testing/parity oracle)."""
     mesh = mesh if mesh is not None else make_mesh(size)
-    exchange = _make_exchange(A, size)
+    A_op, exchange = _op_and_exchange(A, size, overlap)
     tail = A.nc - A.nr if A.impl != "pallas" else 0
 
     def local(x):
         xl = x[0]
         if tail:
             xl = jnp.concatenate([xl, jnp.zeros(tail, xl.dtype)])
-        return A.spmv(exchange(xl))[None]
+        return A_op.spmv(exchange(xl))[None]
 
     fn = jax.jit(
         jax.shard_map(local, mesh=mesh, in_specs=(P(AXIS),),
@@ -267,20 +397,23 @@ def dist_solve_cg_stencil(
     precond=None,
     mesh=None,
     verbose: bool = True,
+    overlap: bool = False,
 ) -> CGResult:
     """Distributed matrix-free CG: ONE jitted shard_map program (same
     collective structure as dist_solve_cg — 2 psums + 1 plane exchange
     per iteration; 1 fused psum with variant="cs"; 1 fused gram psum per
     ``sstep`` iterations with variant="sstep"). ``precond``
     (solvers/precond.py ChebPrecond) runs Chebyshev-polynomial PCG:
-    degree extra plane exchanges per iteration, zero extra psums."""
+    degree extra plane exchanges per iteration, zero extra psums.
+    ``overlap`` hides the halo-exchange latency behind the interior
+    apply (OverlapHaloStencil)."""
     if precond is not None and variant not in ("standard", "cs", "pipe"):
         raise ValueError(
             "operator preconditioning (precond=) supports cg variants "
             f"'standard', 'cs' and 'pipe' only, not {variant!r}"
         )
     mesh = mesh if mesh is not None else make_mesh(size)
-    exchange = _make_exchange(A, size)
+    A_op, exchange = _op_and_exchange(A, size, overlap)
     allsum = make_allsum(AXIS)
     from sparsebench_tpu.solvers.cg import resolve_cg_loop
 
@@ -300,7 +433,7 @@ def dist_solve_cg_stencil(
     )
 
     def local_fn(b, x0, eps_s, md):
-        x, k, hist = loop(A, b[0], x0[0], eps=eps_s,
+        x, k, hist = loop(A_op, b[0], x0[0], eps=eps_s,
                           inv_diag=None if md is None else md[0])
         return x[None], k, hist
 
@@ -347,6 +480,7 @@ def dist_solve_cg_refine_stencil(
     inner_eps_factor: float = 0.05,
     mesh=None,
     verbose: bool = True,
+    overlap: bool = False,
 ) -> CGResult:
     """Distributed mixed-precision iterative refinement on the
     matrix-free stencil (solvers/refine.py cg_refine_loop inside
@@ -356,7 +490,7 @@ def dist_solve_cg_refine_stencil(
     zero-matrix-byte apply the vectors are ALL the traffic), the outer
     true-residual sweep restores working precision."""
     mesh = mesh if mesh is not None else make_mesh(size)
-    exchange = _make_exchange(A, size)
+    A_op, exchange = _op_and_exchange(A, size, overlap)
     allsum = make_allsum(AXIS)
     from sparsebench_tpu.solvers.refine import cg_refine_loop
 
@@ -370,7 +504,8 @@ def dist_solve_cg_refine_stencil(
     x0_st = jnp.zeros_like(b_st)
 
     def local_fn(b, x0, eps_s):
-        x, sweeps, total_inner, hist = loop(A, A, b[0], x0[0], eps=eps_s)
+        x, sweeps, total_inner, hist = loop(A_op, A_op, b[0], x0[0],
+                                            eps=eps_s)
         return x[None], sweeps, total_inner, hist
 
     shard_fn = jax.jit(
@@ -413,6 +548,7 @@ def dist_solve_cg_refine_stencil(
 def dist_estimate_bounds_stencil(
     A: HaloStencilOperator, size: int, dtype, steps: int = 25,
     inv_diag: np.ndarray = None, mesh=None, mode: str = "solver",
+    overlap: bool = False,
 ):
     """Mesh-Lanczos extreme-eigenvalue estimate for the matrix-free
     stencil operator: one fused shard_map dispatch (the same discipline
@@ -423,7 +559,7 @@ def dist_estimate_bounds_stencil(
     )
 
     mesh = mesh if mesh is not None else make_mesh(size)
-    exchange = _make_exchange(A, size)
+    A_op, exchange = _op_and_exchange(A, size, overlap)
     allsum = make_allsum(AXIS)
     n = A.total_nr
     steps = min(steps, n)
@@ -435,7 +571,7 @@ def dist_estimate_bounds_stencil(
     )
 
     def local_fn(v, md_):
-        return lanczos_tridiag(A, v[0], steps=steps, exchange=exchange,
+        return lanczos_tridiag(A_op, v[0], steps=steps, exchange=exchange,
                                allsum=allsum,
                                inv_diag=None if md_ is None else md_[0])
 
@@ -493,6 +629,10 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
           f"matrix-free, impl={A.impl})")
     plane = param.nx * param.ny
     print(f"Partition: {size} z-slabs x {A.nr} rows, halo {2 * plane}")
+    overlap = bool(getattr(args, "overlap", False))
+    if overlap:
+        print("Exchange: overlapped (boundary-plane ppermutes concurrent "
+              "with the zero-halo interior apply)")
 
     b = (27.0 - (counts - 1)).astype(policy.value)
     xexact = np.ones(A.total_nr, dtype=policy.value)
@@ -525,7 +665,8 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
             )
         bdt = np.float64 if policy.value == np.float64 else np.float32
         bounds = dist_estimate_bounds_stencil(
-            A, size, bdt, inv_diag=inv_diag, mode="precond"
+            A, size, bdt, inv_diag=inv_diag, mode="precond",
+            overlap=overlap,
         )
         precond = ChebPrecond(*bounds,
                               degree=getattr(args, "precond_degree", 3))
@@ -549,6 +690,7 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
                 A, size, b,
                 outer_max=getattr(args, "refine_sweeps", 12),
                 inner_iters=param.itermax, eps=param.eps,
+                overlap=overlap,
             )
         else:
             res = dist_solve_cg_stencil(
@@ -557,6 +699,7 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
                 sstep=getattr(args, "sstep", 4),
                 inv_diag=inv_diag,
                 precond=precond,
+                overlap=overlap,
             )
         print(prof.report_aggregate(res.iterations, res.solve_seconds))
     diff = check_residual(res.x, xexact)

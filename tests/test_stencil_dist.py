@@ -123,6 +123,91 @@ def test_cli_sharded_stencil(capsys):
     assert "Difference between computed and exact" in out
 
 
+@pytest.mark.parametrize("dims", [(6, 5, 4), (3, 3, 2)])
+@pytest.mark.parametrize("use_7pt", [False, True])
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_overlap_spmv_matches_global_matrix(dims, use_7pt, impl):
+    """OverlapHaloStencil (ppermutes concurrent with the zero-halo apply
+    + one-plane corrections) must be the same linear operator as the
+    blocking exchange->apply composition."""
+    nx, ny, nz = dims
+    A, _ = build_halo_stencil(nx, ny, nz, SIZE, use_7pt=use_7pt, impl=impl)
+    csr = generate_stencil(nx, ny, nz * SIZE, use_7pt=use_7pt,
+                           dtype=np.float64)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(A.total_nr).astype(np.float32)
+    want = csr.to_dense() @ x.astype(np.float64)
+    got = dist_spmv_stencil(A, SIZE, x, overlap=True)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+    # and rounding-class-identical to the blocking path (the correction
+    # only reassociates the one neighbor-plane term)
+    blocking = dist_spmv_stencil(A, SIZE, x)
+    np.testing.assert_allclose(got, blocking, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["standard", "cs", "pipe"])
+def test_overlap_cg_matches_blocking(variant):
+    A, counts = build_halo_stencil(6, 6, 3, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    res_b = dist_solve_cg_stencil(A, SIZE, b, itermax=40, eps=0.0,
+                                  variant=variant, verbose=False)
+    res_o = dist_solve_cg_stencil(A, SIZE, b, itermax=40, eps=0.0,
+                                  variant=variant, overlap=True,
+                                  verbose=False)
+    assert check_residual(res_o.x, np.ones(A.total_nr)) < 1e-4
+    # trajectory parity over the meaningful decay range: the correction
+    # reassociates one f32 plane sum, and the recurrence-maintained
+    # variants (pipe) amplify that in the deep tail — same comparison
+    # discipline as the MINRES dryrun leg (__graft_entry__.py)
+    n = min(res_b.iterations, res_o.iterations)
+    hb = res_b.residual_history[:n]
+    keep = hb > 1e-5 * hb[0]
+    np.testing.assert_allclose(res_o.residual_history[:n][keep], hb[keep],
+                               rtol=1e-3)
+
+
+def test_overlap_cg_cheb_precond():
+    """Operator preconditioning composes with the overlapped apply (the
+    polynomial's SpMVs each carry their own in-apply ppermutes)."""
+    from sparsebench_tpu.parallel.stencil_dist import (
+        dist_estimate_bounds_stencil,
+    )
+    from sparsebench_tpu.solvers.precond import ChebPrecond
+
+    A, counts = build_halo_stencil(5, 5, 2, SIZE)
+    b = (27.0 - (counts - 1)).astype(np.float32)
+    bounds = dist_estimate_bounds_stencil(A, SIZE, np.float32,
+                                          mode="precond", overlap=True)
+    pc = ChebPrecond(*bounds, degree=2)
+    res = dist_solve_cg_stencil(A, SIZE, b, itermax=40, eps=0.0,
+                                precond=pc, overlap=True, verbose=False)
+    assert check_residual(res.x, np.ones(A.total_nr)) < 1e-4
+
+
+def test_cli_sharded_stencil_overlap(capsys):
+    from sparsebench_tpu.cli import main
+
+    rc = main(["-t", "cg", "-x", "6", "-y", "6", "-z", "3", "-i", "40",
+               "--fmt", "stencil", "--shards", str(SIZE), "--overlap"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Exchange: overlapped" in out
+    assert "Difference between computed and exact  = 0.000" in out
+
+
+def test_cli_overlap_guard():
+    """--overlap outside --fmt stencil --shards must error loudly, never
+    be silently dropped (the seam class VERDICT r2 flagged)."""
+    from sparsebench_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="overlap"):
+        main(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+              "--overlap"])
+    with pytest.raises(SystemExit, match="overlap"):
+        main(["-t", "cg", "-x", "4", "-y", "4", "-z", "2", "-i", "5",
+              "--fmt", "dia", "--shards", "2", "--overlap"])
+
+
 def test_cli_sharded_stencil_guards():
     from sparsebench_tpu.cli import main
 
