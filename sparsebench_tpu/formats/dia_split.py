@@ -24,6 +24,7 @@ import numpy as np
 
 from sparsebench_tpu.config import DTypePolicy
 from sparsebench_tpu.formats.bsell import BsellMatrix
+from sparsebench_tpu.formats.bslab import BslabMatrix
 from sparsebench_tpu.formats.dia import DiaMatrix
 from sparsebench_tpu.host.csr import HostCSR
 
@@ -94,7 +95,15 @@ class DiaSplitMatrix:
         )
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self.interior.spmv(x) + self.boundary.spmv(x)
+        # The explicit local-head slice makes the interior product's
+        # independence from the halo exchange STRUCTURAL: the exchange
+        # returns concat([x_local, received_tail]) (parallel/exchange.py),
+        # XLA forwards slice-of-concat, so the dominant interior kernel
+        # never waits on the collectives — the exchange rides under it
+        # (latency-hiding scheduler). Only the tiny boundary product
+        # consumes the wire data. The stored-format analog of the
+        # matrix-free --overlap (parallel/stencil_dist.py).
+        return self.interior.spmv(x[: self.nr]) + self.boundary.spmv(x)
 
     @property
     def permuted_output(self) -> bool:
@@ -115,3 +124,80 @@ class DiaSplitMatrix:
             rows = np.repeat(np.arange(ic.nr, dtype=np.int64), ic.row_lengths)
             offsets.update(np.unique(ic.col - rows).tolist())
         return tuple(sorted(offsets))
+
+
+@struct.dataclass
+class BslabSplitMatrix:
+    """Split interior/boundary BSLAB for distributed general matrices.
+
+    Same decomposition as DiaSplitMatrix, with the tall-slice BSLAB
+    kernel (formats/bslab.py — the general-format STREAM-rate path) on
+    the interior block and a small BSELL block for the halo-tail
+    entries. The interior product reads only the LOCAL x head (sliced
+    in spmv), so the halo-exchange collectives and the dominant
+    interior kernel are structurally independent and XLA's
+    latency-hiding scheduler overlaps the ICI transfer with the
+    interior apply — the previous whole-shard bslab build consumed the
+    exchanged vector in ONE kernel and therefore blocked on the wire
+    every iteration (the reference's blocking MPI_Neighbor_alltoallv
+    discipline, comm.c:627-651, which this removes)."""
+
+    interior: "BslabMatrix"
+    boundary: BsellMatrix
+    nr: int = struct.field(pytree_node=False)
+    nc: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+    start_row: int = struct.field(pytree_node=False, default=0)
+    total_nr: int = struct.field(pytree_node=False, default=0)
+    total_nnz: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def from_csr(
+        cls,
+        csr: HostCSR,
+        policy: Optional[DTypePolicy] = None,
+        *,
+        sub: int = 0,
+        min_s_aff: int = 0,
+        min_s_gen: int = 0,
+        min_s_max: int = 0,
+        impl: str = "auto",
+        **_opts,
+    ) -> "BslabSplitMatrix":
+        # ``impl`` overrides the INTERIOR BSLAB kernel (the dominant
+        # part); the boundary BSELL block stays auto-selected.
+        interior_csr, boundary_csr = split_interior_boundary(csr)
+        return cls(
+            interior=BslabMatrix.from_csr(
+                interior_csr, policy, sub=sub, min_s_aff=min_s_aff,
+                min_s_gen=min_s_gen, impl=impl,
+            ),
+            boundary=BsellMatrix.from_csr(
+                boundary_csr, policy, min_s_max=min_s_max
+            ),
+            nr=csr.nr,
+            nc=csr.nc,
+            nnz=csr.nnz,
+            start_row=csr.start_row,
+            total_nr=csr.total_nr,
+            total_nnz=csr.total_nnz,
+        )
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        # see DiaSplitMatrix.spmv: the local-head slice keeps the
+        # interior kernel off the exchange's dependency chain
+        return self.interior.spmv(x[: self.nr]) + self.boundary.spmv(x)
+
+    @property
+    def padding_ratio(self) -> float:
+        return float(getattr(self.interior, "padding_ratio", 1.0))
+
+    @property
+    def permuted_output(self) -> bool:
+        return False
+
+    def permute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v
+
+    def unpermute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v

@@ -164,25 +164,44 @@ class DistMatrix:
             ]
             self.perms = None
         elif fmt == "bslab":
+            # split interior/boundary build (BslabSplitMatrix): the
+            # interior BSLAB kernel reads only local columns, so the halo
+            # exchange overlaps it instead of blocking it (the whole-shard
+            # build consumed the exchanged vector in one kernel)
             from sparsebench_tpu.formats.bslab import with_window
+            from sparsebench_tpu.formats.dia_split import BslabSplitMatrix
 
-            probe = [cls.from_csr(s, policy, **impl_kw) for s in part.shards]
-            sub = probe[0].sub
-            s_aff = max(o.s_aff for o in probe)
-            s_gen = max(o.s_gen for o in probe)
+            probe = [
+                BslabSplitMatrix.from_csr(s, policy, **impl_kw)
+                for s in part.shards
+            ]
+            sub = probe[0].interior.sub
+            s_aff = max(o.interior.s_aff for o in probe)
+            s_gen = max(o.interior.s_gen for o in probe)
+            s_max = max(o.boundary.s_max for o in probe)
             objs = [
                 o
-                if (o.s_aff, o.s_gen, o.sub) == (s_aff, s_gen, sub)
-                else cls.from_csr(s, policy, sub=sub, min_s_aff=s_aff,
-                                  min_s_gen=s_gen, **impl_kw)
+                if (o.interior.s_aff, o.interior.s_gen, o.interior.sub,
+                    o.boundary.s_max) == (s_aff, s_gen, sub, s_max)
+                else BslabSplitMatrix.from_csr(
+                    s, policy, sub=sub, min_s_aff=s_aff, min_s_gen=s_gen,
+                    min_s_max=s_max, **impl_kw)
                 for o, s in zip(probe, part.shards)
             ]
             # one chunk plan across shards so the stacked pytrees share
             # a treedef (dbase metadata is absolute; see with_window)
-            w = max(o.w_blocks for o in objs)
-            probe2 = [with_window(o, w) for o in objs]
-            xw = max(o.xw_rows for o in probe2)
-            objs = [o.replace(xw_rows=xw) for o in probe2]
+            w = max(o.interior.w_blocks for o in objs)
+            objs = [o.replace(interior=with_window(o.interior, w))
+                    for o in objs]
+            xw = max(o.interior.xw_rows for o in objs)
+            objs = [
+                o.replace(
+                    interior=o.interior.replace(xw_rows=xw, nnz=0,
+                                                start_row=0),
+                    boundary=o.boundary.replace(nnz=0, start_row=0),
+                )
+                for o in objs
+            ]
             self.perms = None
         else:
             raise NotImplementedError(

@@ -307,6 +307,34 @@ def test_dist_dia_split(size):
     assert np.abs(res.x - xexact).max() < 1e-6
 
 
+@pytest.mark.parametrize("size", [2, 4])
+def test_dist_bslab_split(size):
+    """Distributed BSLAB is the split interior/boundary build
+    (BslabSplitMatrix): the interior tall-slice kernel reads only local
+    columns (off the exchange's dependency chain — overlap-capable),
+    the boundary BSELL block consumes the halo tail; the sum is the
+    exact shard product."""
+    from sparsebench_tpu.formats.dia_split import BslabSplitMatrix
+
+    shards = _gen_shards(4, 4, 3, size)
+    gcsr = _global_csr(4, 4, 3, size)
+    dm = build_distributed(shards, fmt="bslab")
+    assert isinstance(dm.A, BslabSplitMatrix)
+    # decomposition integrity on the raw shard: interior strictly local,
+    # boundary strictly halo-tail
+    from sparsebench_tpu.formats.dia_split import split_interior_boundary
+
+    ic, bc = split_interior_boundary(dm.part.shards[0])
+    assert ic.nnz + bc.nnz == dm.part.shards[0].nnz
+    assert ic.nnz == 0 or ic.col.max() < ic.nr
+    assert bc.nnz == 0 or bc.col.min() >= bc.nr
+    x = np.random.default_rng(5).standard_normal(gcsr.nr)
+    np.testing.assert_allclose(dist_spmv(dm, x), gcsr.spmv(x), rtol=1e-12)
+    _, b, xexact = init_vectors(gcsr)
+    res = dist_solve_cg(dm, b, itermax=60, eps=1e-10, verbose=False)
+    assert np.abs(res.x - xexact).max() < 1e-6
+
+
 def test_dist_cg_profiled_matches_fused():
     """The profiled distributed CG (separately-jitted region kernels,
     parallel/profiled.py) must reproduce the fused shard_map solve's
