@@ -73,7 +73,16 @@ def _pad_stack_leaves(objs):
 
 
 def _normalize_statics(obj, part: Partitioned):
-    """Equalize per-shard static metadata so pytree structures match."""
+    """Equalize per-shard static metadata so pytree structures match.
+
+    Runs AFTER the shard_meta snapshot in DistMatrix.__init__, so
+    per-shard truth (nnz, padding_ratio) is recorded before the zeroing
+    (split formats normalize their nested interior/boundary here too)."""
+    if hasattr(obj, "interior"):
+        obj = obj.replace(
+            interior=obj.interior.replace(nnz=0, start_row=0),
+            boundary=obj.boundary.replace(nnz=0, start_row=0),
+        )
     return obj.replace(
         nnz=part.total_nnz,
         start_row=0,
@@ -146,13 +155,6 @@ class DistMatrix:
                 )
                 for o, s in zip(probe, part.shards)
             ]
-            objs = [
-                o.replace(
-                    interior=o.interior.replace(nnz=0, start_row=0),
-                    boundary=o.boundary.replace(nnz=0, start_row=0),
-                )
-                for o in objs
-            ]
             self.perms = None
         elif fmt == "bsell":
             probe = [cls.from_csr(s, policy, **impl_kw) for s in part.shards]
@@ -194,14 +196,8 @@ class DistMatrix:
             objs = [o.replace(interior=with_window(o.interior, w))
                     for o in objs]
             xw = max(o.interior.xw_rows for o in objs)
-            objs = [
-                o.replace(
-                    interior=o.interior.replace(xw_rows=xw, nnz=0,
-                                                start_row=0),
-                    boundary=o.boundary.replace(nnz=0, start_row=0),
-                )
-                for o in objs
-            ]
+            objs = [o.replace(interior=o.interior.replace(xw_rows=xw))
+                    for o in objs]
             self.perms = None
         else:
             raise NotImplementedError(

@@ -102,7 +102,7 @@ def test_dist_shard_meta_preserved():
     (round-1 VERDICT weak #9: normalization destroyed it entirely)."""
     size = 4
     shards = _gen_shards(3, 3, 2, size)
-    for fmt in ("sell", "dia", "bsell"):
+    for fmt in ("sell", "dia", "bsell", "bslab"):
         dm = build_distributed(shards, fmt=fmt)
         assert len(dm.shard_meta) == size
         for meta, s in zip(dm.shard_meta, shards):
@@ -110,6 +110,9 @@ def test_dist_shard_meta_preserved():
             assert meta["start_row"] == s.start_row
             assert meta["nr"] == s.nr
             assert meta["padding_ratio"] >= 1.0
+            # ADVICE r3: the bslab branch zeroed interior.nnz BEFORE the
+            # snapshot, recording n_elems/1 (tens of thousands) here
+            assert meta["padding_ratio"] < 1000.0
     assert sum(m["nnz"] for m in dm.shard_meta) == dm.part.total_nnz
 
 
