@@ -10,6 +10,9 @@ print precision, tests/test_reference_parity.py).
 
 The ``extra`` dict substantiates the roofline claim (VERDICT round 1 #4):
   stream_triad_GBps    in-situ HBM STREAM-triad measurement on this chip
+  stream_read_GBps     read-only stream ceiling — the physical-fraction
+                       denominator (SpMV is read-dominated; triad-
+                       normalized fractions exceeded 1.0 in r3)
   spmv_GBps            effective DIA SpMV bandwidth at 100^3, reference
                        byte model ((value+index) bytes per nonzero,
                        src/main.c:187-189); spmv200_GBps is the 200^3 rate
@@ -19,12 +22,16 @@ The ``extra`` dict substantiates the roofline claim (VERDICT round 1 #4):
                        (VERDICT round 2 #3). Effective credits bf16/i8
                        compression against the reference's 8 B/nnz model
                        and can legitimately exceed 1.0 x STREAM.
-  spmv_frac_of_stream          best PHYSICAL rate / measured STREAM
+  *_spread             run-to-run spread of the timing's t_hi trials
+  spmv_frac_of_stream          best PHYSICAL rate / read-only ceiling
                                (target >= 0.70, BASELINE.md north star)
-  spmv_effective_frac_of_stream  best effective rate / measured STREAM
+  spmv_effective_frac_of_stream  best effective rate / measured triad
   cg200_seconds        CG 150 iters on hpcg.par's 200^3 workload
-  setup100_seconds / setup200_seconds   analytic stencil->DIA build +
-                       transfer (the reference times setup, main.c:168-179)
+  setup*_seconds       cold setup; *_build_seconds is the warm (in-process
+                       jit cache) rebuild = build+transfer, and
+                       *_compile_seconds = cold - warm is XLA compile
+                       (the reference times setup, main.c:168-179)
+  {gmres,bicgstab,minres,cheb}100_*   solver-family chip numbers
 
 All timing syncs via scalar readbacks that depend on the full computation
 (block_until_ready can return early through this environment's TPU relay).
@@ -116,8 +123,51 @@ def measure_stream_triad(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
     return 3.0 * 4.0 * n_floats / dt / 1e9
 
 
+def measure_stream_read(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
+                        trials: int = 3) -> float:
+    """Read-only HBM roofline: s' = sum(a + s*eps) per iteration (the
+    carry-dependent add defeats loop-invariant hoisting of the sum while
+    staying read-dominated: 4 B read, 0 written per element). SpMV is a
+    read-dominated kernel, so its honest physical ceiling is this number,
+    not the triad (2 reads + 1 write) — on this chip reads stream ~15-20%
+    faster than the triad and a triad-normalized fraction can exceed 1.0
+    without any unit error (VERDICT r3 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def rsum(a, n):
+        def body(_, s):
+            return jnp.sum(a + s * jnp.float32(1e-30))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    a = jnp.ones(n_floats, jnp.float32)
+    for n in (iters, 3 * iters):
+        float(rsum(a, n))
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(rsum(a, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(iters), timed(3 * iters)
+    dt = (t_hi - t_lo) / (2 * iters)
+    if dt <= 0:
+        dt = t_hi / (3 * iters)
+    return 4.0 * n_floats / dt / 1e9
+
+
 def build_stencil_dia(n: int):
-    """Analytic stencil->DIA build (no CSR intermediate) + vectors."""
+    """Analytic stencil->DIA build (no CSR intermediate) + vectors.
+
+    Builds TWICE: the first (cold) call pays XLA compile on top of the
+    build, the second (warm, in-process jit cache) is pure build+transfer
+    — the split the reference's setup metric deserves (main.c:168-179;
+    VERDICT r3 next #3). Returns (A, b, xexact, {cold, build, compile})."""
     import jax
 
     from sparsebench_tpu.config import DTypePolicy
@@ -128,11 +178,18 @@ def build_stencil_dia(n: int):
     t0 = time.perf_counter()
     A, counts = DiaMatrix.from_stencil(n, n, n, policy=policy)
     jax.block_until_ready(A.data)
-    setup_s = time.perf_counter() - t0
-    log(f"{n}^3 setup (analytic dia build+transfer): {setup_s:.1f}s, "
+    cold_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    A, counts = DiaMatrix.from_stencil(n, n, n, policy=policy)
+    jax.block_until_ready(A.data)
+    build_s = time.perf_counter() - t1
+    setup = {"cold": cold_s, "build": build_s,
+             "compile": max(cold_s - build_s, 0.0)}
+    log(f"{n}^3 setup (analytic dia): cold {cold_s:.1f}s = compile "
+        f"{setup['compile']:.1f}s + build/transfer {build_s:.1f}s, "
         f"{A.nnz} nnz, impl={A.impl}")
     x0, b, xexact = init_vectors(row_lengths=counts, dtype=np.float32)
-    return A, b, xexact, setup_s
+    return A, b, xexact, setup
 
 
 def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
@@ -142,6 +199,13 @@ def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
     runs (bf16's attainable floor is ~0.02 = ~3 ulp)."""
     from sparsebench_tpu.solvers.cg import check_residual, solve_cg
 
+    # the validity line carries dtype + tolerance so a loosened bar is
+    # visible where it applies (VERDICT r3 next #8: a bf16 run printed
+    # max|x-1| 2.3e-2 as a bare "ok")
+    dt_name = {"float32": "f32", "float64": "f64",
+               "bfloat16": "bf16"}.get(str(np.dtype(b.dtype)),
+                                       str(np.dtype(b.dtype)))
+    tag = f"{variant}, {dt_name}, tol {diff_tol:g}"
     best, good = float("inf"), False
     for _ in range(attempts):
         res = solve_cg(A, b, itermax=itermax, eps=0.0, verbose=False,
@@ -154,7 +218,7 @@ def timed_cg(A, b, xexact, n: int, itermax: int = 150, attempts: int = 3,
         t = res.solve_seconds * itermax / max(res.iterations, 1)
         scaled = f" -> {t:.3f}s @{itermax}" if res.iterations != itermax \
             else ""
-        log(f"  cg {n}^3 [{variant}]: {res.solve_seconds:.3f}s "
+        log(f"  cg {n}^3 [{tag}]: {res.solve_seconds:.3f}s "
             f"({res.iterations} iters{scaled}, "
             f"final residual {res.final_normr:.2e}, max|x-1| {err:.2e}, "
             f"{'ok' if ok else 'INVALID'})")
@@ -171,16 +235,24 @@ def phys_gbps(A, dt: float, x_bytes: int = 4) -> float:
     return physical_spmv_bytes(A, x_bytes) / dt / 1e9
 
 
-def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
-    """Per-SpMV seconds from a fused data-dependent chain (A passed as a
-    jit argument: closures embed device arrays as HLO constants).
+def spmv_chain_stats(A, reps: int = 30, trials: int = 4,
+                     min_diff_s: float = 0.030):
+    """Per-SpMV (seconds, run-to-run spread) from a fused data-dependent
+    chain (A passed as a jit argument: closures embed device arrays as
+    HLO constants).
 
     DIFFERENTIAL timing: each dispatch through the axon relay carries a
     fixed ~tens-of-ms round trip (dispatch + scalar readback) that a
     naive total/reps inflates badly — at 100^3 it tripled the reported
     per-SpMV time (r2; CG's own per-iteration time exposed the lie).
     The loop bound is a TRACED scalar, so one compile serves both rep
-    counts, and (t(3*reps) - t(reps)) / (2*reps) cancels the offset."""
+    counts, and (t(3*reps) - t(reps)) / (2*reps) cancels the offset.
+
+    AUTO-SCALED reps: the differential must rise above relay jitter —
+    after a probe estimate, reps grows until 2*reps*dt >= min_diff_s
+    (sub-0.1 ms kernels at reps=30 produced phantom >roofline readings:
+    VERDICT r3 next #5). spread = (worst - best)/best over the t_hi
+    trials of the final measurement."""
     import jax
     import jax.numpy as jnp
 
@@ -205,19 +277,34 @@ def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
         float(sval)
 
     def timed(n):
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(trials):
             t0 = time.perf_counter()
             _, sval = chain(A, carry, n)
             float(sval)
-            best = min(best, time.perf_counter() - t0)
-        return best
+            el = time.perf_counter() - t0
+            best, worst = min(best, el), max(worst, el)
+        return best, worst
 
-    t_lo, t_hi = timed(reps), timed(3 * reps)
-    dt = (t_hi - t_lo) / (2 * reps)
-    if dt <= 0:  # relay jitter swamped the measurement; fall back
-        dt = t_hi / (3 * reps)
-    return dt
+    def differential(r):
+        (t_lo, _), (t_hi, t_hi_worst) = timed(r), timed(3 * r)
+        dt = (t_hi - t_lo) / (2 * r)
+        if dt <= 0:  # relay jitter swamped the measurement; fall back
+            dt = t_hi / (3 * r)
+        spread = (t_hi_worst - t_hi) / t_hi if t_hi > 0 else 0.0
+        return dt, spread
+
+    dt, spread = differential(reps)
+    if 2 * reps * dt < min_diff_s:  # too fast for this rep count
+        reps = max(reps, int(min_diff_s / max(2 * dt, 1e-9)) + 1)
+        float(chain(A, carry, 3 * reps)[1])  # warm the longer trip count
+        dt, spread = differential(reps)
+    return dt, spread
+
+
+def spmv_chain_time(A, reps: int = 30, trials: int = 4) -> float:
+    """Back-compat wrapper over spmv_chain_stats (seconds only)."""
+    return spmv_chain_stats(A, reps=reps, trials=trials)[0]
 
 
 class SectionSkipped(Exception):
@@ -250,16 +337,26 @@ def run_suite() -> int:
                 f"(SB_BENCH_DEADLINE={budget_s:.0f})"
             )
 
-    # -- 1. in-situ STREAM triad ceiling ------------------------------------
+    # -- 1. in-situ STREAM ceilings ------------------------------------------
+    # triad (2 reads + 1 write) for effective-rate continuity; read-only
+    # for the PHYSICAL fractions (SpMV is read-dominated, and reads
+    # stream faster than the triad — a triad-normalized physical fraction
+    # legitimately exceeded 1.0 in r3 and read as a unit error).
+    stream = roof = None
     try:
         stream = measure_stream_triad()
         extra["stream_triad_GBps"] = round(stream, 1)
         log(f"STREAM triad: {stream:.1f} GB/s "
             f"({100 * stream / NOMINAL_HBM_GBPS:.0f}% of nominal "
             f"{NOMINAL_HBM_GBPS:.0f})")
+        read_bw = measure_stream_read()
+        extra["stream_read_GBps"] = round(read_bw, 1)
+        roof = max(stream, read_bw)
+        log(f"STREAM read-only: {read_bw:.1f} GB/s "
+            f"(physical-fraction denominator = {roof:.1f})")
     except Exception as e:  # noqa: BLE001 — relay hazard, keep going
         log(f"STREAM measurement failed: {e!r}")
-        stream = None
+        roof = stream
 
     # -- 2. headline: CG 100^3 ----------------------------------------------
     # Both CG formulations are measured (mathematically identical
@@ -267,8 +364,10 @@ def run_suite() -> int:
     # dispatch per iteration, worth ~8% at this size (NOTES r3).
     best100 = None
     try:
-        A, b, xexact, setup_s = build_stencil_dia(100)
-        extra["setup100_seconds"] = round(setup_s, 1)
+        A, b, xexact, setup = build_stencil_dia(100)
+        extra["setup100_seconds"] = round(setup["cold"], 1)
+        extra["setup100_build_seconds"] = round(setup["build"], 1)
+        extra["setup100_compile_seconds"] = round(setup["compile"], 1)
         best100 = timed_cg(A, b, xexact, 100)
         if best100 is None:
             log("pallas results invalid; retrying with the XLA dia path")
@@ -288,17 +387,18 @@ def run_suite() -> int:
         from sparsebench_tpu.config import DTypePolicy
 
         policy = DTypePolicy.from_names("f32", "i32")
-        dt = spmv_chain_time(A)
+        # auto-scaled reps (spmv_chain_stats) keep the ~50 us kernel's
+        # differential above relay jitter; r3's fixed reps=30 printed a
+        # phantom 924 GB/s "physical" here (VERDICT r3 next #5)
+        dt, sp = spmv_chain_stats(A)
         model_bytes = A.nnz * (policy.value_bytes + policy.index_bytes)
         gbps = model_bytes / dt / 1e9
         pgbps = phys_gbps(A, dt)
-        # 100^3 keys are deliberately NOT *_phys_GBps: at this size the
-        # differential is ~50 us against ~ms relay jitter, and one noisy
-        # reading (1515 GB/s "physical" observed) would poison the
-        # roofline max below. Fractions come from 200^3-scale numbers.
         extra["spmv_GBps"] = round(gbps, 1)
-        extra["spmv100_phys_GBps_noisy"] = round(pgbps, 1)
-        log(f"spmv 100^3 dia: {dt * 1e3:.3f} ms, {gbps:.1f} GB/s effective "
+        extra["spmv100_phys_GBps"] = round(pgbps, 1)
+        extra["spmv100_spread"] = round(sp, 3)
+        log(f"spmv 100^3 dia: {dt * 1e3:.3f} ms (spread {sp:.1%}), "
+            f"{gbps:.1f} GB/s effective "
             f"(reference byte model), {pgbps:.1f} GB/s physical")
     except Exception as e:  # noqa: BLE001
         log(f"spmv bandwidth failed: {e!r}")
@@ -311,29 +411,34 @@ def run_suite() -> int:
     # roofline fraction is the PHYSICAL one (VERDICT r2 #3).
     try:
         check_deadline("cg200_dia", 300.0)
-        A2, b2, xexact2, setup2_s = build_stencil_dia(200)
-        extra["setup200_seconds"] = round(setup2_s, 1)
+        A2, b2, xexact2, setup2 = build_stencil_dia(200)
+        extra["setup200_seconds"] = round(setup2["cold"], 1)
+        extra["setup200_build_seconds"] = round(setup2["build"], 1)
+        extra["setup200_compile_seconds"] = round(setup2["compile"], 1)
         try:
             from sparsebench_tpu.config import DTypePolicy
 
             policy = DTypePolicy.from_names("f32", "i32")
-            dt2 = spmv_chain_time(A2, reps=20, trials=3)
+            dt2, sp2 = spmv_chain_stats(A2, reps=20, trials=3)
             gbps2 = A2.nnz * (policy.value_bytes + policy.index_bytes) / dt2 / 1e9
             pgbps2 = phys_gbps(A2, dt2)
             extra["spmv200_GBps"] = round(gbps2, 1)
             extra["spmv200_phys_GBps"] = round(pgbps2, 1)
-            log(f"spmv 200^3 dia: {dt2 * 1e3:.3f} ms, {gbps2:.1f} GB/s "
+            extra["spmv200_spread"] = round(sp2, 3)
+            log(f"spmv 200^3 dia: {dt2 * 1e3:.3f} ms (spread {sp2:.1%}), "
+                f"{gbps2:.1f} GB/s "
                 f"effective (reference byte model), {pgbps2:.1f} GB/s "
                 f"physical")
-            if stream:
-                best_phys = pgbps2  # 100^3 phys excluded: noise-prone
+            if roof:
+                best_phys = pgbps2
                 best_eff = max(gbps2, extra.get("spmv_GBps", 0.0))
-                extra["spmv_frac_of_stream"] = round(best_phys / stream, 3)
+                extra["spmv_frac_of_stream"] = round(best_phys / roof, 3)
                 extra["spmv_effective_frac_of_stream"] = round(
                     best_eff / stream, 3
                 )
-                log(f"best spmv physical/stream = {best_phys / stream:.2f} "
-                    f"(target >= {TARGET_FRACTION}); effective/stream = "
+                log(f"best spmv physical/read-roof = "
+                    f"{best_phys / roof:.2f} "
+                    f"(target >= {TARGET_FRACTION}); effective/triad = "
                     f"{best_eff / stream:.2f}")
         except Exception as e:  # noqa: BLE001
             log(f"spmv 200^3 failed: {e!r}")
@@ -362,22 +467,33 @@ def run_suite() -> int:
         Ab, counts_b = BslabMatrix.from_stencil(200, 200, 200, policy=policy)
         _jax.block_until_ready(Ab.vals_aff)
         setup_b = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        Ab, counts_b = BslabMatrix.from_stencil(200, 200, 200, policy=policy)
+        _jax.block_until_ready(Ab.vals_aff)
+        build_b = time.perf_counter() - t1
         extra["setup200_bslab_seconds"] = round(setup_b, 1)
-        log(f"200^3 bslab device build: {setup_b:.1f}s impl={Ab.impl} "
+        extra["setup200_bslab_build_seconds"] = round(build_b, 1)
+        extra["setup200_bslab_compile_seconds"] = round(
+            max(setup_b - build_b, 0.0), 1
+        )
+        log(f"200^3 bslab device build: cold {setup_b:.1f}s, warm "
+            f"{build_b:.1f}s, impl={Ab.impl} "
             f"sub={Ab.sub} s_aff={Ab.s_aff} W={Ab.w_blocks} "
             f"pad={Ab.padding_ratio:.2f}")
-        dtb = spmv_chain_time(Ab, reps=20, trials=3)
+        dtb, spb = spmv_chain_stats(Ab, reps=20, trials=3)
         gbps_b = Ab.nnz * (policy.value_bytes + policy.index_bytes) / dtb / 1e9
         pgbps_b = phys_gbps(Ab, dtb)
         extra["spmv200_bslab_GBps"] = round(gbps_b, 1)
         extra["spmv200_bslab_phys_GBps"] = round(pgbps_b, 1)
-        log(f"spmv 200^3 bslab: {dtb * 1e3:.3f} ms, {gbps_b:.1f} GB/s "
+        extra["spmv200_bslab_spread"] = round(spb, 3)
+        log(f"spmv 200^3 bslab: {dtb * 1e3:.3f} ms (spread {spb:.1%}), "
+            f"{gbps_b:.1f} GB/s "
             f"effective (reference byte model), {pgbps_b:.1f} GB/s physical")
-        if stream:
+        if roof:
             extra["spmv_general_phys_frac_of_stream"] = round(
-                pgbps_b / stream, 3
+                pgbps_b / roof, 3
             )
-            log(f"bslab physical/stream = {pgbps_b / stream:.2f} "
+            log(f"bslab physical/read-roof = {pgbps_b / roof:.2f} "
                 f"(general-format target >= {TARGET_FRACTION})")
         x0b, bb, xexact_b = init_vectors(row_lengths=counts_b,
                                          dtype=np.float32)
@@ -393,15 +509,17 @@ def run_suite() -> int:
             Af, _ = BslabMatrix.from_stencil(200, 200, 200, policy=policy,
                                              compress=False)
             _jax.block_until_ready(Af.vals_aff)
-            dtf = spmv_chain_time(Af, reps=15, trials=3)
+            dtf, spf = spmv_chain_stats(Af, reps=15, trials=3)
             pgf = phys_gbps(Af, dtf)
             extra["spmv200_bslab_f32_phys_GBps"] = round(pgf, 1)
-            if stream:
+            extra["spmv200_bslab_f32_spread"] = round(spf, 3)
+            if roof:
                 extra["spmv_general_f32_phys_frac_of_stream"] = round(
-                    pgf / stream, 3
+                    pgf / roof, 3
                 )
-            log(f"spmv 200^3 bslab f32: {dtf * 1e3:.3f} ms, {pgf:.1f} GB/s "
-                f"physical ({pgf / (stream or 1):.2f} of stream)")
+            log(f"spmv 200^3 bslab f32: {dtf * 1e3:.3f} ms (spread "
+                f"{spf:.1%}), {pgf:.1f} GB/s "
+                f"physical ({pgf / (roof or 1):.2f} of read-roof)")
             del Af
         except Exception as e:  # noqa: BLE001
             log(f"bslab f32 200^3 failed: {e!r}")
@@ -543,25 +661,37 @@ def run_suite() -> int:
                               policy=policy)
         _jax.block_until_ready(Ar.vals_gen)
         setup_r = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        Ar, nnz_r = rgl_bslab(n_rgl, band=512, deg=16.0, seed=1,
+                              policy=policy)
+        _jax.block_until_ready(Ar.vals_gen)
+        build_r = time.perf_counter() - t1
         extra["rgl_setup_seconds"] = round(setup_r, 1)
+        extra["rgl_build_seconds"] = round(build_r, 1)
+        extra["rgl_compile_seconds"] = round(max(setup_r - build_r, 0.0), 1)
         extra["rgl_nnz"] = nnz_r
-        log(f"RGL n={n_rgl} nnz={nnz_r}: device build {setup_r:.1f}s "
+        log(f"RGL n={n_rgl} nnz={nnz_r}: device build cold {setup_r:.1f}s, "
+            f"warm {build_r:.1f}s, "
             f"impl={Ar.impl} s_gen={Ar.s_gen} pad={Ar.padding_ratio:.2f}")
         yv = np.asarray(Ar.spmv(jnp.ones(n_rgl, jnp.float32)))
         if not (np.isfinite(yv).all() and np.abs(yv - 1.0).max() < 1e-2):
             log(f"RGL validation FAILED (max|A@1 - 1| = "
                 f"{np.abs(yv - 1.0).max():.2e})")
         else:
-            dtr = spmv_chain_time(Ar, reps=20, trials=3)
+            dtr, spr = spmv_chain_stats(Ar, reps=20, trials=3)
             gr = nnz_r * 8 / dtr / 1e9
             pgr = phys_gbps(Ar, dtr)
             extra["rgl_spmv_GBps"] = round(gr, 1)
             extra["rgl_spmv_phys_GBps"] = round(pgr, 1)
+            extra["rgl_spmv_spread"] = round(spr, 3)
+            if roof:
+                extra["rgl_phys_frac_of_stream"] = round(pgr / roof, 3)
             if stream:
-                extra["rgl_phys_frac_of_stream"] = round(pgr / stream, 3)
-            log(f"RGL spmv: {dtr * 1e3:.3f} ms, {gr:.1f} GB/s effective, "
-                f"{pgr:.1f} GB/s physical ({pgr / (stream or 1):.2f} of "
-                f"stream)")
+                extra["rgl_eff_frac_of_stream"] = round(gr / stream, 3)
+            log(f"RGL spmv: {dtr * 1e3:.3f} ms (spread {spr:.1%}), "
+                f"{gr:.1f} GB/s effective, "
+                f"{pgr:.1f} GB/s physical ({pgr / (roof or 1):.2f} of "
+                f"read-roof)")
             # CG against a NON-trivial manufactured solution: b = ones
             # converges in ~3 iterations (the solution is the constant
             # vector — a degenerate Krylov space). b = A @ xe with a
@@ -580,11 +710,73 @@ def run_suite() -> int:
     except Exception as e:  # noqa: BLE001
         log(f"RGL failed: {e!r}")
 
-    # headline roofline fraction: best PHYSICAL rate across formats
-    if stream:
+    # -- 8. solver family on chip (VERDICT r3 next #6) -----------------------
+    # GMRES(30) / BiCGStab / MINRES / Chebyshev at 100^3 — the framework
+    # ships them (the reference's GMRES/CHEBFD enums are empty,
+    # src/main.c:217-222), so it benches them: seconds (2nd run, warm),
+    # iterations, final residual, max|x-1|. Plus the .mtx ingest path:
+    # GMRES on the reference's klein band matrix (hpcgmm.par:5).
+    try:
+        check_deadline("solver_family", 420.0)
+        from sparsebench_tpu.solvers.bicgstab import solve_bicgstab
+        from sparsebench_tpu.solvers.chebyshev import solve_chebyshev
+        from sparsebench_tpu.solvers.gmres import solve_gmres
+        from sparsebench_tpu.solvers.minres import solve_minres
+
+        family = [
+            ("gmres", solve_gmres, {"restart": 30}),
+            ("bicgstab", solve_bicgstab, {}),
+            ("minres", solve_minres, {}),
+            ("cheb", solve_chebyshev, {}),
+        ]
+        for name, fn, kw in family:
+            try:
+                res = None
+                for _ in range(2):  # first run pays compile; report warm
+                    res = fn(A, b, itermax=150, eps=0.0, verbose=False,
+                             **kw)
+                err = float(np.abs(np.asarray(res.x, np.float64) - 1.0)
+                            .max())
+                extra[f"{name}100_seconds"] = round(res.solve_seconds, 4)
+                extra[f"{name}100_iters"] = int(res.iterations)
+                extra[f"{name}100_final_normr"] = float(
+                    f"{res.final_normr:.3e}")
+                extra[f"{name}100_diff"] = float(f"{err:.2e}")
+                log(f"  {name} 100^3 [f32]: {res.solve_seconds:.3f}s "
+                    f"({res.iterations} iters, final residual "
+                    f"{res.final_normr:.2e}, max|x-1| {err:.2e})")
+            except Exception as e:  # noqa: BLE001
+                log(f"{name} 100^3 failed: {e!r}")
+        try:  # .mtx ingest leg: klein band matrix via GMRES
+            from sparsebench_tpu.formats import from_csr
+            from sparsebench_tpu.host import HostCSR, read_mm
+
+            csr_k = HostCSR.from_coo(read_mm("data/matrix_band_klein.mtx"))
+            Ak = from_csr("bslab", csr_k, policy)
+            xk = np.linspace(0.5, 1.5, csr_k.nr).astype(np.float32)
+            bk = np.asarray(Ak.spmv(xk.astype(np.float32)))
+            rk = None
+            for _ in range(2):
+                rk = solve_gmres(Ak, bk, itermax=150, eps=0.0, restart=30,
+                                 verbose=False)
+            errk = float(np.abs(np.asarray(rk.x, np.float64) - xk).max())
+            extra["gmres_klein_seconds"] = round(rk.solve_seconds, 4)
+            extra["gmres_klein_final_normr"] = float(
+                f"{rk.final_normr:.3e}")
+            log(f"  gmres klein [f32]: {rk.solve_seconds:.3f}s "
+                f"({rk.iterations} iters, final residual "
+                f"{rk.final_normr:.2e}, max|x-xe| {errk:.2e})")
+        except Exception as e:  # noqa: BLE001
+            log(f"gmres klein failed: {e!r}")
+    except Exception as e:  # noqa: BLE001
+        log(f"solver family failed: {e!r}")
+
+    # headline roofline fraction: best PHYSICAL rate across formats,
+    # normalized by the read-only ceiling (SpMV is read-dominated)
+    if roof:
         phys = [v for k, v in extra.items() if k.endswith("_phys_GBps")]
         if phys:
-            extra["spmv_frac_of_stream"] = round(max(phys) / stream, 3)
+            extra["spmv_frac_of_stream"] = round(max(phys) / roof, 3)
 
     if best100 is None:
         return emit({"metric": "cg_stencil100cubed_150iter_solve_seconds",

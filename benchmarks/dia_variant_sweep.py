@@ -28,7 +28,7 @@ def main() -> int:
         if len(sys.argv) > 2
         else ["auto", "dbuf", "win", "win_carry", "win_gcarry"]
     )
-    A, b, xexact, setup_s = build_stencil_dia(n)
+    A, b, xexact, _setup = build_stencil_dia(n)
     eff_bytes = 8.0 * A.nnz  # reference byte model (4 B val + 4 B idx)
     y_ref = None
     for v in variants:
