@@ -1,0 +1,55 @@
+"""The hpcg.par head-to-head artifact pipeline (tools/hpcg_parity.py).
+
+The fast test drives the full tool (hi-precision reference build ->
+run -> our f64 solve -> delta table) at a small size; the slow one is
+the real BASELINE.md row-2 workload (200^3, 150 iters — ~4 min C side +
+f64 CPU solve), opt-in via SB_RUN_SLOW=1 since the default suite must
+stay quick (the per-round artifact is produced by running the tool
+directly; this test validates the identical code path).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+TOOL = pathlib.Path(__file__).parent.parent / "tools" / "hpcg_parity.py"
+
+
+def _run_tool(out, *size_args):
+    r = subprocess.run(
+        [sys.executable, str(TOOL), str(out), *map(str, size_args)],
+        capture_output=True, text=True, timeout=2700,
+        cwd=TOOL.parent.parent,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    return json.loads(out.read_text())
+
+
+def test_hpcg_parity_tool_small(tmp_path):
+    if not pathlib.Path("/root/reference").exists():
+        pytest.skip("reference source unavailable")
+    payload = _run_tool(tmp_path / "parity.json", 16, 16, 16, 10)
+    assert payload["pass_1e-10"], payload["max_rel_delta"]
+    assert payload["max_rel_delta"] < 1e-10
+    # every printed reference residual was matched (printFreq=1 at i=10)
+    iters = [r["iter"] for r in payload["rows"]]
+    assert iters[0] == 0 and len(iters) >= 10
+    # exact-solution diffs agree between the two implementations
+    d = payload["exact_solution_diff"]
+    assert abs(d["ref"] - d["ours"]) <= 1e-9 * max(abs(d["ref"]), 1e-30)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("SB_RUN_SLOW"),
+                    reason="full 200^3 head-to-head; set SB_RUN_SLOW=1")
+def test_hpcg_parity_full_200(tmp_path):
+    if not pathlib.Path("/root/reference").exists():
+        pytest.skip("reference source unavailable")
+    payload = _run_tool(tmp_path / "parity200.json")
+    assert payload["workload"].startswith("hpcg.par")
+    assert payload["max_rel_delta"] < 1e-8  # see artifact note on growth

@@ -11,7 +11,6 @@ Skipped when /root/reference or a C toolchain is unavailable.
 
 import pathlib
 import re
-import shutil
 import subprocess
 
 import numpy as np
@@ -30,44 +29,18 @@ REFERENCE = pathlib.Path("/root/reference")
 
 @pytest.fixture(scope="session")
 def reference_binary(tmp_path_factory):
-    if not REFERENCE.exists() or shutil.which("gcc") is None:
-        pytest.skip("reference source or gcc unavailable")
+    """Build logic shared with tools/hpcg_parity.py (tools/refbuild.py):
+    GCC, MPI off, serial MPI-IO shim, totalNr/totalNnz bug fix."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    from tools.refbuild import RefBuildError, build_reference
+
     build = tmp_path_factory.mktemp("refbuild")
-    shutil.copytree(REFERENCE, build, dirs_exist_ok=True)
-    cfg = build / "config.mk"
-    cfg.write_text(
-        cfg.read_text()
-        .replace("TOOLCHAIN ?= ICC", "TOOLCHAIN ?= GCC")
-        .replace("ENABLE_MPI ?= true", "ENABLE_MPI ?= false")
-    )
-    mk = build / "mk" / "include_GCC.mk"
-    mk.write_text(mk.read_text().replace("-std=c23", "-std=c2x"))
-    # matrixBinfile.c unconditionally includes mpi.h (no MPI in this
-    # image): drop in the serial MPI-IO shim so the reference's REAL .bmx
-    # write/read code runs and cross-validates our host/binfile.py
-    shutil.copy(
-        pathlib.Path(__file__).parent / "data" / "mpi_shim" / "mpi.h",
-        build / "src" / "mpi.h",
-    )
-    # Reference bug: the serial fallback of commDistributeMatrix
-    # (src/comm.c:405-411) never sets mLocal->totalNr/totalNnz (the MPI
-    # path does, comm.c:368-369), so serial `-c` writes a zero-size .bmx.
-    # Restore the MPI-path semantics so the real matrixBinfile.c code —
-    # the code under test here — sees a valid matrix.
-    comm_c = build / "src" / "comm.c"
-    comm_c.write_text(
-        comm_c.read_text().replace(
-            "  mLocal->entries  = m->entries;",
-            "  mLocal->entries  = m->entries;\n"
-            "  mLocal->totalNr  = m->nr;\n"
-            "  mLocal->totalNnz = m->nnz;",
-        )
-    )
-    r = subprocess.run(["make"], cwd=build, capture_output=True, text=True)
-    exe = build / "sparseBench-CRS-GCC"
-    if r.returncode != 0 or not exe.exists():
-        pytest.skip(f"reference build failed: {r.stderr[-400:]}")
-    return exe
+    try:
+        return build_reference(build)
+    except RefBuildError as e:
+        pytest.skip(str(e))
 
 
 def _run_reference(exe, args):
