@@ -28,21 +28,6 @@ from sparsebench_tpu.config import (
 from sparsebench_tpu.version import __version__
 
 
-def warn_sell_on_tpu(fmt: str) -> None:
-    """``--fmt sell`` keeps the reference SELL-C-sigma layout whose SpMV is
-    an XLA gather — ~1 GB/s on this TPU (NOTES.md), a silent 100x trap
-    next to the bsell Pallas kernel. Warn loudly (the layout stays
-    available for golden-parity work)."""
-    import jax
-
-    if fmt == "sell" and jax.default_backend() not in ("cpu",):
-        print(
-            "WARNING: --fmt sell runs SELL-C-sigma via XLA gather on TPU "
-            "(~1 GB/s measured); use --fmt bsell for the TPU fast path "
-            "(sell remains the reference-layout-parity format)",
-            file=sys.stderr,
-        )
-
 BANNER = r"""
    _____                             ____                  __       ______   ___  __  __
   / ___/____  ____ ______________   / __ )___  ____  _____/ /_     /_  __/  / _ \/ / / /
@@ -292,7 +277,8 @@ def main(argv: Optional[list] = None) -> int:
 
     print(print_parameter(param))  # reference printParameter (parameter.c:66-73)
     generated = param.filename in ("generate", "generate7P")
-    warn_sell_on_tpu(param.fmt)
+    # (--fmt sell needs no TPU warning since r4: serial TPU builds
+    # execute through the BslabMatrix bridge, formats/sell.py)
 
     # flag-value validation BEFORE the sharded dispatch below — these
     # must fail identically for serial and --shards runs (an invalid

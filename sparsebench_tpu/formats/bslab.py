@@ -262,6 +262,14 @@ class BslabMatrix:
     meta_gen: jnp.ndarray   # (n_tiles, s_gen, 1) int32 dbase
     vals_gen: jnp.ndarray   # (n_tiles, s_gen, sub, 128)
     lidx_gen: jnp.ndarray   # (n_tiles, s_gen, sub, 128) int8
+    # WIDE slices: overflow pool with per-element block delta (dblk int8
+    # < wide_k) on top of the lane index — see ops/bslab_pallas.py
+    # wide_body. Empty (s_wide == 0) except for quantile-cap builds
+    # (formats/rgl_build.py).
+    meta_wide: jnp.ndarray  # (n_tiles, s_wide, 1) int32 dbase at dblk == 0
+    vals_wide: jnp.ndarray  # (n_tiles, s_wide, sub, 128)
+    lidx_wide: jnp.ndarray  # (n_tiles, s_wide, sub, 128) int8
+    dblk_wide: jnp.ndarray  # (n_tiles, s_wide, sub, 128) int8
     wchunk: jnp.ndarray     # (n_tiles,) int32 covering-chunk index
     nr: int = struct.field(pytree_node=False)
     nc: int = struct.field(pytree_node=False)
@@ -269,6 +277,8 @@ class BslabMatrix:
     n_tiles: int = struct.field(pytree_node=False)
     s_aff: int = struct.field(pytree_node=False)
     s_gen: int = struct.field(pytree_node=False)
+    s_wide: int = struct.field(pytree_node=False)
+    wide_k: int = struct.field(pytree_node=False)    # dblk range
     sub: int = struct.field(pytree_node=False)       # slice height (groups)
     x_rows: int = struct.field(pytree_node=False)    # whole-x padded rows
     w_blocks: int = struct.field(pytree_node=False)
@@ -278,6 +288,16 @@ class BslabMatrix:
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
+
+    @staticmethod
+    def empty_wide(n_tiles: int, sub: int, store_dt):
+        """Zero-size wide-class arrays (the common no-overflow case)."""
+        return dict(
+            meta_wide=jnp.zeros((n_tiles, 0, 1), jnp.int32),
+            vals_wide=jnp.zeros((n_tiles, 0, sub, LANES), store_dt),
+            lidx_wide=jnp.zeros((n_tiles, 0, sub, LANES), jnp.int8),
+            dblk_wide=jnp.zeros((n_tiles, 0, sub, LANES), jnp.int8),
+        )
 
     @property
     def lead(self) -> int:
@@ -336,9 +356,11 @@ class BslabMatrix:
             meta_gen=jnp.asarray(meta_gen),
             vals_gen=jnp.asarray(vals_gen),
             lidx_gen=jnp.asarray(lidx_gen),
+            **cls.empty_wide(n_tiles, sub, vals_aff.dtype),
             wchunk=jnp.asarray(wchunk),
             nr=csr.nr, nc=csr.nc, nnz=csr.nnz,
-            n_tiles=n_tiles, s_aff=s_aff, s_gen=s_gen, sub=sub,
+            n_tiles=n_tiles, s_aff=s_aff, s_gen=s_gen, s_wide=0, wide_k=1,
+            sub=sub,
             x_rows=x_rows, w_blocks=w_blocks, xw_rows=xw_rows,
             n_elems=n_tiles * (s_aff + s_gen) * sub * LANES,
             impl=impl,
@@ -348,13 +370,16 @@ class BslabMatrix:
         )
 
     @staticmethod
-    def _resolve_impl(impl, policy, s_aff, s_gen, sub, x_rows) -> str:
+    def _resolve_impl(impl, policy, s_aff, s_gen, sub, x_rows,
+                      s_wide: int = 0) -> str:
         _check_impl(impl)  # all builders funnel here (incl. rgl_bslab)
         if impl != "auto":
             return impl
         if not (_backend_is_tpu() and policy.value.itemsize <= 4):
             return "xla"
-        slice_bytes = (s_aff + s_gen) * sub * LANES * (policy.value_bytes + 4)
+        slice_bytes = (
+            (s_aff + s_gen + s_wide) * sub * LANES * (policy.value_bytes + 4)
+        )
         whole_fits = (
             x_rows * LANES * policy.value_bytes + 2 * slice_bytes
             < _VMEM_BUDGET
@@ -446,9 +471,11 @@ class BslabMatrix:
             meta_gen=jnp.zeros((n_tiles, 0, 1), jnp.int32),
             vals_gen=jnp.zeros((n_tiles, 0, sub, LANES), store_dt),
             lidx_gen=jnp.zeros((n_tiles, 0, sub, LANES), jnp.int8),
+            **cls.empty_wide(n_tiles, sub, store_dt),
             wchunk=jnp.asarray(wchunk),
             nr=nr, nc=nr, nnz=nnz,
-            n_tiles=n_tiles, s_aff=s_aff, s_gen=0, sub=sub,
+            n_tiles=n_tiles, s_aff=s_aff, s_gen=0, s_wide=0, wide_k=1,
+            sub=sub,
             x_rows=x_rows, w_blocks=w_blocks, xw_rows=xw_rows,
             n_elems=n_tiles * s_aff * sub * LANES,
             impl=impl,
@@ -464,8 +491,11 @@ class BslabMatrix:
             xp = xp.at[lead_el : lead_el + x.shape[0]].set(x)
             y3 = bslab_spmv(
                 self.meta_aff, self.vals_aff, self.meta_gen, self.vals_gen,
-                self.lidx_gen, xp.reshape(self.x_rows, LANES),
-                s_aff=self.s_aff, s_gen=self.s_gen, sub=self.sub,
+                self.lidx_gen, self.meta_wide, self.vals_wide,
+                self.lidx_wide, self.dblk_wide,
+                xp.reshape(self.x_rows, LANES),
+                s_aff=self.s_aff, s_gen=self.s_gen, s_wide=self.s_wide,
+                wide_k=self.wide_k, sub=self.sub,
                 interpret=self.impl.endswith("interpret"),
             )
         elif self.impl in ("pallas_win", "pallas_win_interpret"):
@@ -475,9 +505,11 @@ class BslabMatrix:
             xp = xp.at[lead_el : lead_el + take_n].set(x[:take_n])
             y3 = bslab_spmv_win(
                 self.wchunk, self.meta_aff, self.vals_aff, self.meta_gen,
-                self.vals_gen, self.lidx_gen,
+                self.vals_gen, self.lidx_gen, self.meta_wide,
+                self.vals_wide, self.lidx_wide, self.dblk_wide,
                 xp.reshape(self.xw_rows, LANES),
-                s_aff=self.s_aff, s_gen=self.s_gen, sub=self.sub,
+                s_aff=self.s_aff, s_gen=self.s_gen, s_wide=self.s_wide,
+                wide_k=self.wide_k, sub=self.sub,
                 w_blocks=self.w_blocks,
                 interpret=self.impl.endswith("interpret"),
             )
@@ -512,6 +544,13 @@ class BslabMatrix:
             )
             g = take(xp, gcol.reshape(-1)).reshape(gcol.shape)
             acc = acc + (self.vals_gen.astype(x.dtype) * g).sum(axis=1)
+        if self.s_wide:
+            dbase = self.meta_wide[:, :, 0].astype(jnp.int32)
+            rowp = (dbase[:, :, None] + subs[None, None, :])[:, :, :, None]
+            rowp = rowp + self.dblk_wide.astype(jnp.int32)
+            gcol = rowp * LANES + self.lidx_wide.astype(jnp.int32)
+            g = take(xp, gcol.reshape(-1)).reshape(gcol.shape)
+            acc = acc + (self.vals_wide.astype(x.dtype) * g).sum(axis=1)
         return acc
 
     # ------------------------------------------------------------ protocol
@@ -543,6 +582,8 @@ def with_window(A: "BslabMatrix", w_blocks: int,
     meta = [np.asarray(A.meta_aff[:, :, 0])] if A.s_aff else []
     if A.s_gen:
         meta.append(np.asarray(A.meta_gen[:, :, 0]))
+    if A.s_wide:
+        meta.append(np.asarray(A.meta_wide[:, :, 0]))
     lo = np.min(np.concatenate([m.reshape(A.n_tiles, -1) for m in meta],
                                axis=1), axis=1)
     wchunk = (lo // w_blocks).astype(np.int32)

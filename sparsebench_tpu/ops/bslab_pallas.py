@@ -50,8 +50,23 @@ _UNROLL_LIMIT = 192
 
 
 def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
-                lg_ref, y_ref, *, s_aff: int, s_gen: int, sub: int):
+                lg_ref, meta_w_ref, vw_ref, lw_ref, dw_ref, y_ref, *,
+                s_aff: int, s_gen: int, s_wide: int, wide_k: int, sub: int):
     acc0 = jnp.zeros((sub, LANES), y_ref.dtype)
+
+    # WIDE tables are hoisted: every wide slice of a tile shares ONE
+    # dbase (the build anchors them all at the d_min block — a kernel
+    # contract), so the wide_k shifted (sub,128) tables cost one dynamic
+    # VMEM slice + static subslices per TILE, not per slice. The first
+    # implementation sliced dynamically inside the slice loop and the
+    # measured per-wide-slice cost was ~320 ns = 9 dynamic slices
+    # (chip r4) — 2.5x the whole-tile budget.
+    wide_tbls = None
+    if s_wide:
+        # sublane-aligned tall slab; builders extend x coverage to match
+        xw = get_slab(meta_w_ref[0, 0, 0] - base,
+                      sub + ((wide_k - 1 + 7) & ~7))
+        wide_tbls = [xw[k:k + sub] for k in range(wide_k)]
 
     def aff_body(p, acc):
         tbl = get_slab(meta_a_ref[0, p, 0] - base)
@@ -66,22 +81,47 @@ def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
         g = jnp.take_along_axis(tbl, idx, axis=1)
         return acc + vg_ref[0, p].astype(acc.dtype) * g
 
+    def wide_body(p, acc):
+        # WIDE slices relax the one-block-diagonal-per-slice constraint:
+        # each element carries a block delta dblk in [0, wide_k) on top
+        # of its lane index, gathered as wide_k shifted-slab lane-gathers
+        # fused by select (Mosaic's gather is single-vreg-per-dimension,
+        # so a true 2-D gather is unavailable). They hold the OVERFLOW
+        # tail of rows whose per-(row, d) entry count exceeds the
+        # quantile slice caps — the pool that lets irregular matrices
+        # (RGL) drop per-bucket capacity from the global max (pad 6.3x)
+        # to a quantile (VERDICT r3 next #1).
+        idx = lw_ref[0, p].astype(jnp.int32)
+        dblk = dw_ref[0, p].astype(jnp.int32)
+        g = jnp.zeros((sub, LANES), acc.dtype)
+        for k in range(wide_k):
+            g = jnp.where(
+                dblk == k,
+                jnp.take_along_axis(wide_tbls[k], idx, axis=1), g,
+            )
+        return acc + vw_ref[0, p].astype(acc.dtype) * g
+
     acc = acc0
-    if s_aff + s_gen <= _UNROLL_LIMIT:
+    if s_aff + s_gen + s_wide * wide_k <= _UNROLL_LIMIT:
         for p in range(s_aff):
             acc = aff_body(p, acc)
         for p in range(s_gen):
             acc = gen_body(p, acc)
+        for p in range(s_wide):
+            acc = wide_body(p, acc)
     else:
         if s_aff:
             acc = jax.lax.fori_loop(0, s_aff, aff_body, acc)
         if s_gen:
             acc = jax.lax.fori_loop(0, s_gen, gen_body, acc)
+        if s_wide:
+            acc = jax.lax.fori_loop(0, s_wide, wide_body, acc)
     y_ref[0] = acc
 
 
-def _specs(s_aff: int, s_gen: int, sub: int):
+def _specs(s_aff: int, s_gen: int, s_wide: int, sub: int):
     meta_a = vals_a = meta_g = vals_g = lidx_g = None
+    meta_w = vals_w = lidx_w = dblk_w = None
     if s_aff:
         meta_a = pl.BlockSpec((1, s_aff, 2), lambda t: (t, 0, 0),
                               memory_space=pltpu.SMEM)
@@ -100,7 +140,20 @@ def _specs(s_aff: int, s_gen: int, sub: int):
         lidx_g = pl.BlockSpec((1, s_gen, sub, LANES),
                               lambda t: (t, 0, 0, 0),
                               memory_space=pltpu.VMEM)
-    return meta_a, vals_a, meta_g, vals_g, lidx_g
+    if s_wide:
+        meta_w = pl.BlockSpec((1, s_wide, 1), lambda t: (t, 0, 0),
+                              memory_space=pltpu.SMEM)
+        vals_w = pl.BlockSpec((1, s_wide, sub, LANES),
+                              lambda t: (t, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        lidx_w = pl.BlockSpec((1, s_wide, sub, LANES),
+                              lambda t: (t, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dblk_w = pl.BlockSpec((1, s_wide, sub, LANES),
+                              lambda t: (t, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return (meta_a, vals_a, meta_g, vals_g, lidx_g,
+            meta_w, vals_w, lidx_w, dblk_w)
 
 
 class _NullRef:
@@ -110,17 +163,20 @@ class _NullRef:
         raise IndexError("empty slice class")
 
 
-def _pack(args, s_aff, s_gen):
-    meta_a, vals_a, meta_g, vals_g, lidx_g = args
+def _pack(args, s_aff, s_gen, s_wide):
+    meta_a, vals_a, meta_g, vals_g, lidx_g, meta_w, vals_w, lidx_w, \
+        dblk_w = args
     out = []
     if s_aff:
         out += [meta_a, vals_a]
     if s_gen:
         out += [meta_g, vals_g, lidx_g]
+    if s_wide:
+        out += [meta_w, vals_w, lidx_w, dblk_w]
     return out
 
 
-def _unpack(refs, s_aff, s_gen):
+def _unpack(refs, s_aff, s_gen, s_wide):
     refs = list(refs)
     null = _NullRef()
     meta_a = refs.pop(0) if s_aff else null
@@ -128,24 +184,32 @@ def _unpack(refs, s_aff, s_gen):
     meta_g = refs.pop(0) if s_gen else null
     vals_g = refs.pop(0) if s_gen else null
     lidx_g = refs.pop(0) if s_gen else null
-    return meta_a, vals_a, meta_g, vals_g, lidx_g, refs
+    meta_w = refs.pop(0) if s_wide else null
+    vals_w = refs.pop(0) if s_wide else null
+    lidx_w = refs.pop(0) if s_wide else null
+    dblk_w = refs.pop(0) if s_wide else null
+    return (meta_a, vals_a, meta_g, vals_g, lidx_g,
+            meta_w, vals_w, lidx_w, dblk_w, refs)
 
 
-def _kernel_whole(*refs, s_aff: int, s_gen: int, sub: int):
-    meta_a, vals_a, meta_g, vals_g, lidx_g, rest = _unpack(
-        refs[:-1], s_aff, s_gen
-    )
+def _kernel_whole(*refs, s_aff: int, s_gen: int, s_wide: int, wide_k: int,
+                  sub: int):
+    (meta_a, vals_a, meta_g, vals_g, lidx_g, meta_w, vals_w, lidx_w,
+     dblk_w, rest) = _unpack(refs[:-1], s_aff, s_gen, s_wide)
     x_ref = rest[0]
     y_ref = refs[-1]
     _accumulate(
-        lambda b: x_ref[pl.ds(b, sub), :], jnp.int32(0),
-        meta_a, vals_a, meta_g, vals_g, lidx_g, y_ref,
-        s_aff=s_aff, s_gen=s_gen, sub=sub,
+        lambda b, h=sub: x_ref[pl.ds(b, h), :], jnp.int32(0),
+        meta_a, vals_a, meta_g, vals_g, lidx_g,
+        meta_w, vals_w, lidx_w, dblk_w, y_ref,
+        s_aff=s_aff, s_gen=s_gen, s_wide=s_wide, wide_k=wide_k, sub=sub,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("s_aff", "s_gen", "sub", "interpret")
+    jax.jit,
+    static_argnames=("s_aff", "s_gen", "s_wide", "wide_k", "sub",
+                     "interpret"),
 )
 def bslab_spmv(
     meta_aff,   # (n_tiles, s_aff, 2) int32: [dbase (padded rows), r]
@@ -153,22 +217,31 @@ def bslab_spmv(
     meta_gen,   # (n_tiles, s_gen, 1) int32: dbase
     vals_gen,   # (n_tiles, s_gen, sub, 128)
     lidx_gen,   # (n_tiles, s_gen, sub, 128) int8
+    meta_wide,  # (n_tiles, s_wide, 1) int32: dbase of dblk == 0
+    vals_wide,  # (n_tiles, s_wide, sub, 128)
+    lidx_wide,  # (n_tiles, s_wide, sub, 128) int8
+    dblk_wide,  # (n_tiles, s_wide, sub, 128) int8 block delta < wide_k
     x2d,        # (x_rows, 128) padded: LEAD zero rows, data, trailing pad
     s_aff: int,
     s_gen: int,
     sub: int,
+    s_wide: int = 0,
+    wide_k: int = 1,
     interpret: bool = False,
 ):
     """Whole-x-in-VMEM slab SpMV. Returns y as (n_tiles, sub, 128)."""
-    n_tiles = (vals_aff if s_aff else vals_gen).shape[0]
-    specs = _specs(s_aff, s_gen, sub)
-    in_specs = _pack(specs, s_aff, s_gen) + [
+    n_tiles = (vals_aff if s_aff else
+               (vals_gen if s_gen else vals_wide)).shape[0]
+    specs = _specs(s_aff, s_gen, s_wide, sub)
+    in_specs = _pack(specs, s_aff, s_gen, s_wide) + [
         pl.BlockSpec(memory_space=pltpu.VMEM)
     ]
-    args = _pack((meta_aff, vals_aff, meta_gen, vals_gen, lidx_gen),
-                 s_aff, s_gen) + [x2d]
+    args = _pack((meta_aff, vals_aff, meta_gen, vals_gen, lidx_gen,
+                  meta_wide, vals_wide, lidx_wide, dblk_wide),
+                 s_aff, s_gen, s_wide) + [x2d]
     return pl.pallas_call(
-        functools.partial(_kernel_whole, s_aff=s_aff, s_gen=s_gen, sub=sub),
+        functools.partial(_kernel_whole, s_aff=s_aff, s_gen=s_gen,
+                          s_wide=s_wide, wide_k=wide_k, sub=sub),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, sub, LANES), lambda t: (t, 0, 0),
@@ -178,11 +251,11 @@ def bslab_spmv(
     )(*args)
 
 
-def _kernel_win(*refs, s_aff: int, s_gen: int, sub: int, w_blocks: int):
+def _kernel_win(*refs, s_aff: int, s_gen: int, s_wide: int, wide_k: int,
+                sub: int, w_blocks: int):
     wchunk_ref = refs[0]
-    meta_a, vals_a, meta_g, vals_g, lidx_g, rest = _unpack(
-        refs[1:-4], s_aff, s_gen
-    )
+    (meta_a, vals_a, meta_g, vals_g, lidx_g, meta_w, vals_w, lidx_w,
+     dblk_w, rest) = _unpack(refs[1:-4], s_aff, s_gen, s_wide)
     x_hbm = rest[0]
     y_ref, xbuf, sem, prev_ref = refs[-4:]
     t = pl.program_id(0)
@@ -199,15 +272,17 @@ def _kernel_win(*refs, s_aff: int, s_gen: int, sub: int, w_blocks: int):
     prev_ref[0] = c
 
     _accumulate(
-        lambda b: xbuf[pl.ds(b, sub), :], c * w_blocks,
-        meta_a, vals_a, meta_g, vals_g, lidx_g, y_ref,
-        s_aff=s_aff, s_gen=s_gen, sub=sub,
+        lambda b, h=sub: xbuf[pl.ds(b, h), :], c * w_blocks,
+        meta_a, vals_a, meta_g, vals_g, lidx_g,
+        meta_w, vals_w, lidx_w, dblk_w, y_ref,
+        s_aff=s_aff, s_gen=s_gen, s_wide=s_wide, wide_k=wide_k, sub=sub,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("s_aff", "s_gen", "sub", "w_blocks", "interpret"),
+    static_argnames=("s_aff", "s_gen", "s_wide", "wide_k", "sub",
+                     "w_blocks", "interpret"),
 )
 def bslab_spmv_win(
     wchunk,     # (n_tiles,) int32 per-tile covering-chunk index
@@ -216,26 +291,34 @@ def bslab_spmv_win(
     meta_gen,
     vals_gen,
     lidx_gen,
+    meta_wide,
+    vals_wide,
+    lidx_wide,
+    dblk_wide,
     x2d,        # ((max wchunk + 2) * W, 128): padded x in HBM
     s_aff: int,
     s_gen: int,
     sub: int,
     w_blocks: int,
+    s_wide: int = 0,
+    wide_k: int = 1,
     interpret: bool = False,
 ):
     """Chunk-resident windowed slab SpMV (win2 design, see module doc)."""
-    n_tiles = (vals_aff if s_aff else vals_gen).shape[0]
-    specs = _specs(s_aff, s_gen, sub)
+    n_tiles = (vals_aff if s_aff else
+               (vals_gen if s_gen else vals_wide)).shape[0]
+    specs = _specs(s_aff, s_gen, s_wide, sub)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + _pack(
-        specs, s_aff, s_gen
+        specs, s_aff, s_gen, s_wide
     ) + [pl.BlockSpec(memory_space=pltpu.HBM)]
     args = [wchunk] + _pack(
-        (meta_aff, vals_aff, meta_gen, vals_gen, lidx_gen), s_aff, s_gen
+        (meta_aff, vals_aff, meta_gen, vals_gen, lidx_gen,
+         meta_wide, vals_wide, lidx_wide, dblk_wide), s_aff, s_gen, s_wide
     ) + [x2d]
     return pl.pallas_call(
         functools.partial(
-            _kernel_win, s_aff=s_aff, s_gen=s_gen, sub=sub,
-            w_blocks=w_blocks,
+            _kernel_win, s_aff=s_aff, s_gen=s_gen, s_wide=s_wide,
+            wide_k=wide_k, sub=sub, w_blocks=w_blocks,
         ),
         grid=(n_tiles,),
         in_specs=in_specs,

@@ -90,3 +90,80 @@ def test_rgl_impl_validation():
     with pytest.raises(ValueError, match="unknown bslab impl"):
         rgl_bslab(256, band=16, deg=4.0, seed=1, policy=F32, sub=8,
                   impl="palas")
+
+
+# ------------------------------------------------- wide-slice overflow pool
+
+
+def test_rgl_wide_forced_caps_matches_oracle_xla():
+    """force_caps=1 per bucket pushes most entries into WIDE slices —
+    maximal exercise of the per-element block-delta path (XLA impl)."""
+    n, band = 700, 96
+    csr = rgl_csr(n, band=band, deg=8.0, seed=5)
+    nD = 2 * ((band + 127) // 128) + 1
+    A, nnz = rgl_bslab(n, band=band, deg=8.0, seed=5, policy=F32, sub=8,
+                       impl="xla", force_caps=(1,) * nD)
+    assert nnz == csr.nnz
+    assert A.s_wide > 0 and A.wide_k == nD
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    y = np.asarray(A.spmv(jnp.asarray(x)))
+    want = csr.spmv(x.astype(np.float64))
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-3
+
+
+def test_rgl_wide_forced_caps_interpret_kernel():
+    """Same layout through the Pallas windowed kernel (interpret mode):
+    the wide_body K-way shifted-slab gather must agree with the oracle."""
+    n, band = 900, 96
+    csr = rgl_csr(n, band=band, deg=6.0, seed=2)
+    nD = 2 * ((band + 127) // 128) + 1
+    A, _ = rgl_bslab(n, band=band, deg=6.0, seed=2, policy=F32, sub=8,
+                     impl="pallas_win_interpret", force_caps=(2,) * nD)
+    assert A.s_wide > 0
+    x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+    y = np.asarray(jax.jit(lambda A, x: A.spmv(x))(A, jnp.asarray(x)))
+    want = csr.spmv(x.astype(np.float64))
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-3
+
+
+def test_rgl_wide_whole_x_interpret_kernel():
+    """Whole-x-in-VMEM kernel variant with wide slices."""
+    n, band = 700, 96
+    csr = rgl_csr(n, band=band, deg=8.0, seed=7)
+    nD = 2 * ((band + 127) // 128) + 1
+    A, _ = rgl_bslab(n, band=band, deg=8.0, seed=7, policy=F32, sub=8,
+                     impl="pallas_interpret", force_caps=(1,) * nD)
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    y = np.asarray(A.spmv(jnp.asarray(x)))
+    want = csr.spmv(x.astype(np.float64))
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-3
+
+
+def test_rgl_tail_auto_reduces_padding_and_matches():
+    """The bytes-objective quantile+wide build must (a) agree with the
+    exact-cap build's SpMV and (b) never store MORE than it (VERDICT r3
+    next #1; the "time" default may legitimately keep exact caps — the
+    gather wall, rgl_build._kernel_cost)."""
+    n, band = 4096, 128
+    At, _ = rgl_bslab(n, band=band, deg=12.0, seed=9, policy=F32, sub=8,
+                      impl="xla", tail=True, objective="bytes")
+    Ax, _ = rgl_bslab(n, band=band, deg=12.0, seed=9, policy=F32, sub=8,
+                      impl="xla", tail=False)
+    assert Ax.s_wide == 0
+    x = np.random.default_rng(4).standard_normal(n).astype(np.float32)
+    yt = np.asarray(At.spmv(jnp.asarray(x)))
+    yx = np.asarray(Ax.spmv(jnp.asarray(x)))
+    assert np.abs(yt - yx).max() <= 1e-5 * np.abs(yx).max()
+    assert At.n_elems <= Ax.n_elems
+
+
+def test_rgl_wide_cg_converges():
+    from sparsebench_tpu.solvers.cg import check_residual, solve_cg
+
+    n, nD = 1200, 3
+    A, _ = rgl_bslab(n, band=128, deg=8.0, seed=4, policy=F32, sub=8,
+                     impl="xla", force_caps=(1,) * nD)
+    assert A.s_wide > 0
+    b = np.ones(n, dtype=np.float32)
+    res = solve_cg(A, b, itermax=300, eps=1e-7, verbose=False)
+    assert check_residual(res.x, np.ones(n)) < 1e-4
