@@ -22,6 +22,8 @@ class MeshCommInfo:
     profiler.c:47-124): per-shard communication volumes from the exchange
     plan. One host clock drives the mesh, so per-shard walltimes coincide."""
 
+    single_clock = True  # profiler report prints the min==max caveat
+
     def __init__(self, plan, policy: DTypePolicy):
         self.size = plan.size
         self.plan = plan

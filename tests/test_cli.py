@@ -352,3 +352,52 @@ def test_graft_entry_single_and_multi():
     x, hist = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(hist)[0])
     ge.dryrun_multichip(8)
+
+
+def test_sharded_rgl_cli(capsys):
+    """--shards x generateRGL (VERDICT r3 next #7): the irregular matrix
+    through the any-matrix partition path — non-ring offsets, uneven
+    halos — with the allgather exchange backend, solved to the exact
+    x == 1 solution."""
+    rc = run_cli(["-t", "cg", "-m", "generateRGL", "-x", "12", "-y", "10",
+                  "-z", "10", "--band", "96", "--deg", "8", "-i", "60",
+                  "-e", "1e-9", "--shards", "4", "--fmt", "bslab",
+                  "--exchange", "allgather"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Partition: 4 shards" in out
+    assert "Difference between computed and exact  = 0.000" in out
+
+
+def test_sharded_rgl_matches_serial(capsys):
+    """Sharded RGL CG must reproduce the serial device-built RGL solve
+    (same spec, same iterates up to reduction order)."""
+    import jax.numpy as jnp
+
+    from sparsebench_tpu.formats.rgl_build import rgl_bslab
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.host.rgl import rgl_csr
+    from sparsebench_tpu.parallel.dist import build_distributed, dist_solve_cg
+    from sparsebench_tpu.parallel.partition import slice_coo_rows
+    from sparsebench_tpu.host import HostCSR
+    from sparsebench_tpu.host.coo import COOMatrix
+    from sparsebench_tpu.solvers.cg import solve_cg
+
+    n, band, deg, seed = 1100, 96, 8.0, 11
+    policy = DTypePolicy.from_names("f64", "i32")
+    csr = rgl_csr(n, band=band, deg=deg, seed=seed)
+    rows = np.repeat(np.arange(csr.nr, dtype=np.int64), csr.row_lengths)
+    coo = COOMatrix(row=rows, col=csr.col, val=csr.val, nr=n, nc=n)
+    shards = [HostCSR.from_coo(slice_coo_rows(coo, r, 4)) for r in range(4)]
+    dm = build_distributed(shards, fmt="bslab", policy=policy,
+                           exchange_backend="allgather")
+    b = np.ones(n)
+    res_d = dist_solve_cg(dm, b, itermax=50, eps=0.0, verbose=False)
+    # serial oracle: the on-device builder of the same spec
+    A, _ = rgl_bslab(n, band=band, deg=deg, seed=seed, policy=policy,
+                     sub=8, impl="xla")
+    res_s = solve_cg(A, b, itermax=50, eps=0.0, verbose=False)
+    np.testing.assert_allclose(res_d.x, res_s.x, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        res_d.residual_history, res_s.residual_history, rtol=1e-8
+    )
