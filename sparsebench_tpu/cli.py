@@ -389,7 +389,8 @@ def main(argv: Optional[list] = None) -> int:
         total_nr, model_nnz = n, nnz
         print(f"RGL: n={n} band={param.band} deg~{param.deg} seed="
               f"{param.seed} nnz={nnz} padding={A.padding_ratio:.2f}")
-    elif generated and param.fmt in ("auto", "bslab", "dia", "stencil"):
+    elif generated and param.fmt in ("auto", "bslab", "dia", "stencil",
+                                     "sell"):
         # Fast path: analytic ON-DEVICE stencil build, no CSR intermediate
         # and no host->device transfer. auto picks dia at every size since
         # the r3 grid-padding fix (measured CG x150 on the chip, NOTES.md:
@@ -399,6 +400,15 @@ def main(argv: Optional[list] = None) -> int:
         pick = param.fmt
         if pick == "auto":
             pick = "dia"
+        if pick == "sell":
+            # the SELL TPU bridge (formats/sell.py) extended to the
+            # generated problem: at 200^3 a host SELL build would need a
+            # multi-hundred-MB upload, so execution lowers onto the
+            # analytic device bslab build; the SELL layout itself stays
+            # golden-specced by formats/scs_host.py + tests
+            print("sell: generated problem bridged to the bslab device "
+                  "build (SELL layout remains the ingest/golden format)")
+            pick = "bslab"
         if pick == "stencil":
             from sparsebench_tpu.formats.stencil import StencilOperator
 
