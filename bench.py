@@ -351,9 +351,17 @@ def run_suite() -> int:
             f"{NOMINAL_HBM_GBPS:.0f})")
         read_bw = measure_stream_read()
         extra["stream_read_GBps"] = round(read_bw, 1)
-        roof = max(stream, read_bw)
+        # Physical fractions normalize by the NOMINAL pin bandwidth (819,
+        # v5e datasheet) unless a measurement exceeds it: the measured
+        # ceilings are LOWER bounds of achievable (XLA read 774, raw
+        # double-buffered DMA 755-775 via ops/memroof.py), and the DIA
+        # kernel measures 790-798 — above every measured ceiling, under
+        # nominal. Only an upper-bound denominator keeps the <= 1.0
+        # invariant honest (VERDICT r3 next #5).
+        roof = max(stream, read_bw, NOMINAL_HBM_GBPS)
         log(f"STREAM read-only: {read_bw:.1f} GB/s "
-            f"(physical-fraction denominator = {roof:.1f})")
+            f"(physical-fraction denominator = {roof:.1f} "
+            f"[max incl. nominal])")
     except Exception as e:  # noqa: BLE001 — relay hazard, keep going
         log(f"STREAM measurement failed: {e!r}")
         roof = stream
@@ -578,10 +586,12 @@ def run_suite() -> int:
                 f"{dts * 1e3:.3f} ms "
                 f"({vec_bytes / dts / 1e9:.0f} GB/s vectors-only)")
             best_s = None
-            for var in ("standard", "cs"):
+            for var in ("standard", "cs", "fused"):
                 t = timed_cg(As, bs, xes, n, attempts=2, variant=var)
                 if t is not None and (best_s is None or t < best_s):
                     best_s = t
+                if var == "fused" and t is not None:
+                    extra[f"cg{n}_fused_seconds"] = round(t, 4)
             if best_s is None:
                 continue
             extra[f"cg{n}_stencilfree_seconds"] = round(best_s, 4)

@@ -373,6 +373,12 @@ def rgl_bslab(
     hist = np.asarray(
         _probe_hist(n, band, sub, n_tiles, nD, d_min, thresh, seed)
     )
+    if hist[:, -1].any():
+        raise ValueError(
+            f"per-(row, d) entry counts reached the histogram clamp "
+            f"({_HIST_CAP - 1}); this deg/band combination is outside the "
+            f"layout's design range — raise rgl_build._HIST_CAP"
+        )
     caps_max = [
         max(1, int(np.nonzero(hist[d])[0].max()) if hist[d].any() else 1)
         for d in range(nD)

@@ -217,6 +217,25 @@ class StencilOperator:
             interpret=jax.default_backend() in ("cpu",),
         )
 
+    # -------------------------------------------------- fused CG stage A
+    @property
+    def supports_fused_pw(self) -> bool:
+        """cg_fused_loop (variant 'fused'): p = r + beta*p, w = A p and
+        delta = p.w in one kernel pass."""
+        return self.impl == "pallas"
+
+    def axpy_spmv_dots(self, r: jnp.ndarray, p: jnp.ndarray, beta):
+        import jax
+
+        from sparsebench_tpu.ops.stencil_pallas import (
+            stencil_axpy_apply_dots_pallas,
+        )
+
+        return stencil_axpy_apply_dots_pallas(
+            r, p, beta, self.nx, self.ny, self.nz, use_7pt=self.use_7pt,
+            interpret=jax.default_backend() in ("cpu",),
+        )
+
     # ------------------------------------------------------------ logical
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.impl == "pallas":

@@ -61,45 +61,25 @@ def pad_dims(nx: int, ny: int, nz: int) -> Tuple[int, int]:
 
 
 def choose_tz(nz: int, plane_bytes: int,
-              budget: int = 4 * 1024 * 1024) -> int:
-    """Largest divisor of nz with a (tz+2)-plane window under ``budget``."""
+              budget: int = 12 * 1024 * 1024) -> int:
+    """Largest divisor of nz whose DOUBLE-BUFFERED footprint — two
+    (tz+2)-plane x windows + two tz-plane y buffers + the zero plane,
+    (4*tz + 5) planes total — fits ``budget`` (v5e scoped VMEM is
+    ~16 MB; headroom for Mosaic spills)."""
     best = 1
     for tz in range(1, nz + 1):
-        if nz % tz == 0 and (tz + 2) * plane_bytes <= budget and tz <= 64:
+        if nz % tz == 0 and (4 * tz + 5) * plane_bytes <= budget \
+                and tz <= 64:
             best = tz
     return best
 
 
-def _stencil_kernel(
-    x_hbm, *rest,
-    nx: int, ny: int, nz: int, nxp: int, nyp: int, tz: int, use_7pt: bool,
-    with_dots: bool = False,
-):
-    if with_dots:
-        (y_hbm, dots_ref, xwin, ywin, zplane, sem_in, sem_out,
-         sem_z) = rest
-    else:
-        y_hbm, xwin, ywin, zplane, sem_in, sem_out, sem_z = rest
-    a = pl.program_id(0)
-    n_tiles = nz // tz
-    w_rows = (tz + 2) * nyp
-
-    cp_in = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(a * tz * nyp, w_rows), :], xwin, sem_in
-    )
-    cp_in.start()
-    cp_in.wait()
-
-    v = xwin[:, :]
-    store_dt = v.dtype
-    # Mosaic has no sub-32-bit rotate ("tpu.dynamic_rotate ... not
-    # implemented: Rotate with non-32-bit data", v5e, observed with bf16
-    # under --refine): upcast IN-REGISTER after the DMA — the HBM reads,
-    # VMEM window, and output store all stay bf16, so the bandwidth win
-    # is untouched; only the VPU roll/add stages widen (same discipline
-    # as the DIA kernels' bf16-x-as-f32 fix, formats/dia.py).
-    if store_dt.itemsize < 4:
-        v = v.astype(jnp.float32)
+def _apply_window(v, *, nx: int, ny: int, nxp: int, nyp: int, tz: int,
+                  use_7pt: bool):
+    """The separable 27/7-pt apply on one (tz+2)-plane window ``v`` (in
+    compute dtype). Returns (vc, y_masked): the interior slice of v and
+    the masked interior result — shared by the plain apply kernel and
+    the fused axpy+apply kernel."""
     dt = v.dtype
 
     def sum_x(t):  # lane rolls; pad lanes are zero so wraps carry zeros
@@ -142,7 +122,75 @@ def _stencil_kernel(
     y_masked = jnp.where(
         (pos_c < ny) & (lane < nx), y, jnp.asarray(0, dt)
     )
-    ywin[:, :] = y_masked.astype(store_dt)
+    return vc, y_masked
+
+
+def _stencil_kernel(
+    x_hbm, *rest,
+    nx: int, ny: int, nz: int, nxp: int, nyp: int, tz: int, use_7pt: bool,
+    with_dots: bool = False,
+):
+    if with_dots:
+        (y_hbm, dots_ref, xwin, ywin, zplane, sem_in, sem_out,
+         sem_z) = rest
+    else:
+        y_hbm, xwin, ywin, zplane, sem_in, sem_out, sem_z = rest
+    a = pl.program_id(0)
+    n_tiles = nz // tz
+    w_rows = (tz + 2) * nyp
+    # slot strides rounded to 16 rows so bf16 (16,128) tiling stays
+    # slice-aligned (the dia dbuf scratch-alignment lesson)
+    xstride = (w_rows + 15) & ~15
+    ystride = (tz * nyp + 15) & ~15
+
+    # DOUBLE-BUFFERED pipeline (r4): the r3 kernel serialized
+    # DMA-in -> compute -> DMA-out per tile and measured 246 GB/s
+    # vectors-only at 200^3 (2.7x off roofline, exactly the
+    # serialization factor); tile a+1's input DMA and tile a-1's output
+    # DMA now overlap tile a's compute (guide 'Double Buffering'; the
+    # TPU grid is sequential so 2-slot scratch carries across steps).
+    def in_dma(slot, idx):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(idx * tz * nyp, w_rows), :],
+            xwin.at[pl.ds(slot * xstride, w_rows), :],
+            sem_in.at[slot],
+        )
+
+    def out_dma(slot, idx):
+        return pltpu.make_async_copy(
+            ywin.at[pl.ds(slot * ystride, tz * nyp), :],
+            y_hbm.at[pl.ds((1 + idx * tz) * nyp, tz * nyp), :],
+            sem_out.at[slot],
+        )
+
+    @pl.when(a == 0)
+    def _():
+        in_dma(0, 0).start()
+
+    @pl.when(a + 1 < n_tiles)
+    def _():
+        in_dma((a + 1) % 2, a + 1).start()
+
+    in_dma(a % 2, a).wait()
+
+    v = xwin[pl.ds((a % 2) * xstride, w_rows), :]
+    store_dt = v.dtype
+    # Mosaic has no sub-32-bit rotate ("tpu.dynamic_rotate ... not
+    # implemented: Rotate with non-32-bit data", v5e, observed with bf16
+    # under --refine): upcast IN-REGISTER after the DMA — the HBM reads,
+    # VMEM window, and output store all stay bf16, so the bandwidth win
+    # is untouched; only the VPU roll/add stages widen (same discipline
+    # as the DIA kernels' bf16-x-as-f32 fix, formats/dia.py).
+    if store_dt.itemsize < 4:
+        v = v.astype(jnp.float32)
+    vc, y_masked = _apply_window(v, nx=nx, ny=ny, nxp=nxp, nyp=nyp, tz=tz,
+                                 use_7pt=use_7pt)
+    # the ywin slot frees once ITS previous output DMA (tile a-2) lands
+    @pl.when(a >= 2)
+    def _():
+        out_dma(a % 2, a - 2).wait()
+
+    ywin[pl.ds((a % 2) * ystride, tz * nyp), :] = y_masked.astype(store_dt)
     if with_dots:
         # free CG dot products: the kernel already holds u (the spmv
         # input, interior slice vc) and w = A u (y_masked); the padded
@@ -152,11 +200,19 @@ def _stencil_kernel(
         dots_ref[a, 0] = jnp.sum(vc.astype(acc) * vc.astype(acc))
         dots_ref[a, 1] = jnp.sum(y_masked.astype(acc) * vc.astype(acc))
 
-    cp_out = pltpu.make_async_copy(
-        ywin, y_hbm.at[pl.ds((1 + a * tz) * nyp, tz * nyp), :], sem_out
-    )
-    cp_out.start()
-    cp_out.wait()
+    out_dma(a % 2, a).start()
+
+    # drain both in-flight output DMAs at the last tile
+    last = n_tiles - 1
+
+    @pl.when(a == last)
+    def _():
+        out_dma(last % 2, last).wait()
+
+    if n_tiles > 1:
+        @pl.when(a == last)
+        def _():
+            out_dma((last - 1) % 2, last - 1).wait()
 
     # the two output halo planes belong to no tile: edge tiles zero them
     @pl.when(a == 0)
@@ -216,11 +272,13 @@ def _apply_call(xpad, nx, ny, nz, use_7pt, tz, interpret, with_dots):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM(((tz + 2) * nyp, nxp), xpad.dtype),
-            pltpu.VMEM((tz * nyp, nxp), xpad.dtype),
+            # 2-slot double buffers (16-row-aligned slot strides)
+            pltpu.VMEM((2 * (((tz + 2) * nyp + 15) & ~15), nxp),
+                       xpad.dtype),
+            pltpu.VMEM((2 * ((tz * nyp + 15) & ~15), nxp), xpad.dtype),
             pltpu.VMEM((nyp, nxp), xpad.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -260,3 +318,201 @@ def stencil_apply_dots_pallas(
     y2d, parts = _apply_call(xpad, nx, ny, nz, use_7pt, tz, interpret,
                              True)
     return y2d.reshape(-1), jnp.sum(parts, axis=0)
+
+
+# --------------------------------------------------------------------------
+# Fused CG "stage A": p = r + beta*p, w = A p, delta-partials = p.w — the
+# three memory passes of standard CG's front half in ONE kernel.
+# --------------------------------------------------------------------------
+
+
+def choose_tz_axpy(nz: int, plane_bytes: int,
+                   budget: int = 12 * 1024 * 1024) -> int:
+    """Largest divisor of nz whose fused-kernel footprint — two
+    double-buffered (tz+2)-plane input windows (r, p) + two SINGLE-slot
+    tz-plane output buffers (p_new, w; a ~3 us out-DMA always lands
+    within the next tile's ~10 us in-wait + compute, so the second slot
+    bought nothing while halving tz) + the zero plane, (6*tz + 9) planes
+    — fits ``budget``. tz=8 instead of 5 at 200^3: fewer, larger DMAs
+    (measured stage A 0.48 ms at tz=5 vs the 0.27 ms traffic bound —
+    per-DMA issue cost dominates at small tiles)."""
+    best = 1
+    for tz in range(1, nz + 1):
+        if nz % tz == 0 and (6 * tz + 9) * plane_bytes <= budget \
+                and tz <= 64:
+            best = tz
+    return best
+
+
+def _axpy_apply_kernel(
+    r_hbm, p_hbm, beta_ref, pn_hbm, w_hbm, dots_ref,
+    rwin, pwin, pnbuf, wbuf, zplane,
+    sem_r, sem_p, sem_pn, sem_w, sem_z, *,
+    nx: int, ny: int, nz: int, nxp: int, nyp: int, tz: int, use_7pt: bool,
+):
+    """Per tile: DMA the r and p windows, form p_new = r + beta*p
+    IN-REGISTER (the window's halo planes are recomputed locally — free
+    compute instead of an extra stream), apply the stencil to p_new,
+    store the p_new interior + w tiles, and emit the delta = p_new.w
+    partial. Everything double-buffered like _stencil_kernel.
+
+    CG's stage B (x += alpha p, r -= alpha w, rtrans = r.r) stays in XLA
+    — it fuses to one elementwise+reduction pass on its own (the r3
+    all-axpy Pallas kernel measured SLOWER than XLA's fusion, NOTES r3;
+    only the stage-A fusion has traffic XLA cannot eliminate, because
+    the apply is an opaque custom call to it)."""
+    a = pl.program_id(0)
+    n_tiles = nz // tz
+    w_rows = (tz + 2) * nyp
+    xstride = (w_rows + 15) & ~15
+    ystride = (tz * nyp + 15) & ~15
+
+    def in_dma(buf, hbm, sem, slot, idx):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(idx * tz * nyp, w_rows), :],
+            buf.at[pl.ds(slot * xstride, w_rows), :],
+            sem.at[slot],
+        )
+
+    def out_dma(buf, hbm, sem, slot, idx):
+        return pltpu.make_async_copy(
+            buf.at[pl.ds(slot * ystride, tz * nyp), :],
+            hbm.at[pl.ds((1 + idx * tz) * nyp, tz * nyp), :],
+            sem.at[slot],
+        )
+
+    @pl.when(a == 0)
+    def _():
+        in_dma(rwin, r_hbm, sem_r, 0, 0).start()
+        in_dma(pwin, p_hbm, sem_p, 0, 0).start()
+
+    @pl.when(a + 1 < n_tiles)
+    def _():
+        in_dma(rwin, r_hbm, sem_r, (a + 1) % 2, a + 1).start()
+        in_dma(pwin, p_hbm, sem_p, (a + 1) % 2, a + 1).start()
+
+    in_dma(rwin, r_hbm, sem_r, a % 2, a).wait()
+    in_dma(pwin, p_hbm, sem_p, a % 2, a).wait()
+
+    rv = rwin[pl.ds((a % 2) * xstride, w_rows), :]
+    pv = pwin[pl.ds((a % 2) * xstride, w_rows), :]
+    store_dt = rv.dtype
+    if store_dt.itemsize < 4:  # see _stencil_kernel: no sub-32-bit rotate
+        rv = rv.astype(jnp.float32)
+        pv = pv.astype(jnp.float32)
+    beta = beta_ref[0].astype(rv.dtype)
+    pn = rv + beta * pv  # pads stay zero: r and p pads are zero
+    pnc, y_masked = _apply_window(pn, nx=nx, ny=ny, nxp=nxp, nyp=nyp,
+                                  tz=tz, use_7pt=use_7pt)
+
+    @pl.when(a >= 1)
+    def _():
+        out_dma(pnbuf, pn_hbm, sem_pn, 0, a - 1).wait()
+        out_dma(wbuf, w_hbm, sem_w, 0, a - 1).wait()
+
+    pnbuf[pl.ds(0, tz * nyp), :] = pnc.astype(store_dt)
+    wbuf[pl.ds(0, tz * nyp), :] = y_masked.astype(store_dt)
+    # delta partial at the vectors' compute width: an f32 partial under
+    # f64 vectors shifted alpha by ~1e-7 relative and broke iterate
+    # parity with standard CG (CPU f64 parity tests)
+    acc = dots_ref.dtype
+    dots_ref[a, 0] = jnp.sum(y_masked.astype(acc) * pnc.astype(acc))
+    out_dma(pnbuf, pn_hbm, sem_pn, 0, a).start()
+    out_dma(wbuf, w_hbm, sem_w, 0, a).start()
+
+    last = n_tiles - 1
+
+    @pl.when(a == last)
+    def _():
+        out_dma(pnbuf, pn_hbm, sem_pn, 0, last).wait()
+        out_dma(wbuf, w_hbm, sem_w, 0, last).wait()
+
+    # zero the output halo planes of BOTH outputs (fresh buffers; the
+    # padded-space contract is pad == 0 — p_new feeds the next apply)
+    @pl.when(a == 0)
+    def _():
+        zplane[:, :] = jnp.zeros((nyp, nxp), store_dt)
+        for hbm, sem in ((pn_hbm, sem_z), (w_hbm, sem_z)):
+            cp = pltpu.make_async_copy(
+                zplane, hbm.at[pl.ds(0, nyp), :], sem
+            )
+            cp.start()
+            cp.wait()
+
+    @pl.when(a == n_tiles - 1)
+    def _():
+        zplane[:, :] = jnp.zeros((nyp, nxp), store_dt)
+        for hbm, sem in ((pn_hbm, sem_z), (w_hbm, sem_z)):
+            cp = pltpu.make_async_copy(
+                zplane, hbm.at[pl.ds((1 + nz) * nyp, nyp), :], sem
+            )
+            cp.start()
+            cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "nz", "use_7pt", "tz", "interpret"),
+)
+def stencil_axpy_apply_dots_pallas(
+    rpad: jnp.ndarray,   # flat (nz+2)*nyp*nxp padded residual
+    ppad: jnp.ndarray,   # flat padded search direction
+    beta: jnp.ndarray,   # scalar
+    nx: int, ny: int, nz: int,
+    use_7pt: bool = False,
+    tz: int = 0,
+    interpret: bool = False,
+):
+    """(p_new, w, delta): p_new = rpad + beta*ppad, w = A p_new,
+    delta = p_new.w — CG stage A in one fused pass (cg_fused_loop)."""
+    nxp, nyp = pad_dims(nx, ny, nz)
+    plane = nyp * nxp
+    assert rpad.shape == ppad.shape and rpad.shape[0] == (nz + 2) * plane
+    tz = tz or choose_tz_axpy(nz, plane * max(rpad.dtype.itemsize, 4))
+    grid = nz // tz
+    kernel = functools.partial(
+        _axpy_apply_kernel, nx=nx, ny=ny, nz=nz, nxp=nxp, nyp=nyp, tz=tz,
+        use_7pt=use_7pt,
+    )
+    r2d = rpad.reshape(-1, nxp)
+    p2d = ppad.reshape(-1, nxp)
+    # beta at the vectors' compute width: f64 vectors (CPU parity runs)
+    # must not round beta through f32 — it changes iterates above the
+    # history-parity tolerance; sub-32-bit vectors compute in f32
+    beta_dt = jnp.float64 if r2d.dtype == jnp.float64 else jnp.float32
+    beta1 = jnp.asarray(beta, beta_dt).reshape(1)
+    xs = ((tz + 2) * nyp + 15) & ~15
+    ys = (tz * nyp + 15) & ~15
+    pn2d, w2d, parts = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(r2d.shape, r2d.dtype),
+            jax.ShapeDtypeStruct(r2d.shape, r2d.dtype),
+            jax.ShapeDtypeStruct((grid, 1), beta_dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * xs, nxp), r2d.dtype),
+            pltpu.VMEM((2 * xs, nxp), r2d.dtype),
+            pltpu.VMEM((ys, nxp), r2d.dtype),
+            pltpu.VMEM((ys, nxp), r2d.dtype),
+            pltpu.VMEM((nyp, nxp), r2d.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(r2d, p2d, beta1)
+    return pn2d.reshape(-1), w2d.reshape(-1), jnp.sum(parts)

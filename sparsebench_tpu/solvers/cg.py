@@ -412,10 +412,92 @@ def resolve_cg_loop(variant: str, sstep: int = 4):
         from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
 
         return cg_pipe_loop
+    if variant == "fused":
+        return cg_fused_loop
     raise ValueError(
-        "variant must be 'standard', 'cs', 'sstep' or 'pipe', "
+        "variant must be 'standard', 'cs', 'sstep', 'pipe' or 'fused', "
         f"got {variant!r}"
     )
+
+
+def cg_fused_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    inv_diag=None,
+    precond=None,
+):
+    """Standard-CG iterates with the front half of each iteration fused
+    into ONE kernel pass (variant 'fused', r4): the operator's
+    ``axpy_spmv_dots(r, p, beta) -> (p_new, w, delta)`` computes
+    p = r + beta*p, w = A p and delta = p.w in one sweep — the p-update
+    stream, the apply and the p.w dot no longer make separate trips
+    through HBM (ops/stencil_pallas.py stencil_axpy_apply_dots_pallas;
+    the window's halo planes are recomputed in-register, trading free
+    VPU adds for a full vector stream). The back half (x += alpha p,
+    r -= alpha w, rtrans = r.r) stays in XLA, which fuses it to one
+    elementwise+reduction pass on its own. Per iteration: ~10 vector
+    passes instead of standard CG's ~14.
+
+    Same Krylov iterates as cg_loop; serial-only (the stage-A kernel has
+    no halo-exchange seam), unpreconditioned."""
+    if inv_diag is not None or precond is not None:
+        raise ValueError(
+            "variant 'fused' is unpreconditioned; use 'standard'/'cs' "
+            "with inv_diag/precond"
+        )
+    if not getattr(A, "supports_fused_pw", False):
+        raise ValueError(
+            "variant 'fused' needs a format with axpy_spmv_dots "
+            "(the Pallas stencil operator); use --fmt stencil or another "
+            "cg variant"
+        )
+    nr = b.shape[0]
+    vdt = b.dtype
+    sdt = default_acc_dtype(vdt, acc_dtype)
+    spmv, dot, _widen = _make_helpers(A, nr, A.nc, vdt, sdt, exchange,
+                                      allsum)
+
+    r0 = b - spmv(x0)
+    rtrans0 = dot(r0, r0)
+    normr0 = jnp.sqrt(rtrans0)
+    hist0 = jnp.full(itermax, jnp.nan, dtype=sdt).at[0].set(normr0)
+    state = (jnp.asarray(1), x0, jnp.zeros_like(b), r0, rtrans0, rtrans0,
+             normr0, hist0, jnp.asarray(False))
+
+    def cond(state):
+        k, _x, _p, _r, _rt, _rtp, normr, _hist, done = state
+        return jnp.logical_and(
+            jnp.logical_and(k < itermax, normr > eps),
+            jnp.logical_not(done),
+        )
+
+    def body(state):
+        k, x, p, r, rtrans, rtrans_prev, _normr, hist, done = state
+        normr = jnp.sqrt(rtrans)
+        hist = hist.at[k].set(normr)
+        beta = jnp.where(k == 1, jnp.zeros((), sdt),
+                         safe_div(rtrans, rtrans_prev))
+        # stage A: ONE kernel — p, w = A p, delta partials (the wrapper
+        # casts beta to the widest kernel-supported scalar dtype)
+        p, w, dpart = A.axpy_spmv_dots(r, p, beta)
+        pAp = allsum(dpart.astype(sdt))
+        breakdown = pAp <= rtrans * 1e-30
+        alpha = jnp.where(breakdown, 0, safe_div(rtrans, pAp)).astype(vdt)
+        # stage B: XLA-fused elementwise + reduction
+        x = x + alpha * p
+        r = r - alpha * w
+        new_rtrans = dot(r, r)
+        return (k + 1, x, p, r, new_rtrans, rtrans, normr, hist,
+                breakdown)
+
+    k, x, *_rest, hist, _done = jax.lax.while_loop(cond, body, state)
+    return x, k, hist
 
 
 def cg_loop(

@@ -245,3 +245,53 @@ def test_rcm_numpy_fallback_matches_scipy_quality():
     assert sorted(perm) == list(range(scrambled.nr))
     restored = permute_csr(scrambled, perm)
     assert bandwidth(restored) < bandwidth(scrambled) / 2
+
+
+def test_cg_fused_variant_matches_standard():
+    """variant='fused' (one-kernel stage A: p-update + apply + p.w dot,
+    ops/stencil_pallas.py) must reproduce standard CG's iterates."""
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.formats.stencil import StencilOperator
+
+    policy = DTypePolicy.from_names("f64", "i32")
+    A, counts = StencilOperator.from_stencil(10, 9, 8, policy=policy,
+                                             impl="pallas")
+    _, b, xexact = init_vectors(row_lengths=np.asarray(counts),
+                                dtype=np.float64)
+    res_std = solve_cg(A, b, itermax=25, eps=0.0, verbose=False)
+    res_f = solve_cg(A, b, itermax=25, eps=0.0, verbose=False,
+                     variant="fused")
+    np.testing.assert_allclose(
+        res_f.residual_history, res_std.residual_history, rtol=1e-9
+    )
+    np.testing.assert_allclose(res_f.x, res_std.x, rtol=1e-9, atol=1e-12)
+    assert np.abs(res_f.x - xexact).max() < 1e-3
+
+
+def test_cg_fused_variant_7pt_and_eps_exit():
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.formats.stencil import StencilOperator
+
+    policy = DTypePolicy.from_names("f64", "i32")
+    A, counts = StencilOperator.from_stencil(8, 8, 8, use_7pt=True,
+                                             policy=policy, impl="pallas")
+    _, b, _ = init_vectors(row_lengths=np.asarray(counts),
+                           dtype=np.float64)
+    res_std = solve_cg(A, b, itermax=40, eps=1e-8, verbose=False)
+    res_f = solve_cg(A, b, itermax=40, eps=1e-8, verbose=False,
+                     variant="fused")
+    assert res_f.iterations == res_std.iterations
+    np.testing.assert_allclose(
+        res_f.residual_history[: res_f.iterations],
+        res_std.residual_history[: res_std.iterations], rtol=1e-9,
+    )
+
+
+def test_cg_fused_variant_rejects_unsupported():
+    import pytest
+
+    csr = generate_stencil(4, 4, 4)
+    A = from_csr("crs", csr)
+    _, b, _ = init_vectors(csr)
+    with pytest.raises(ValueError, match="fused"):
+        solve_cg(A, b, itermax=5, verbose=False, variant="fused")
