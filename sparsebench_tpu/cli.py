@@ -247,6 +247,16 @@ def main(argv: Optional[list] = None) -> int:
         write_bin_matrix(args.convert)
         return 0
 
+    # FIRST jax-touching step: a multi-shard run with virtual host devices
+    # requested must land on the cpu platform even where sitecustomize pins
+    # the env to the single real TPU (same rule as
+    # __graft_entry__.dryrun_multichip). Every helper below — ensure_x64,
+    # the relay-deadline arm, the banner — initializes the backend, which
+    # freezes the platform list.
+    from sparsebench_tpu.parallel.driver import _maybe_force_cpu_mesh
+
+    _maybe_force_cpu_mesh(param.shards or 0)
+
     policy = DTypePolicy.from_names(param.dtype, param.index_dtype)
     policy.ensure_x64()
     from sparsebench_tpu.utils import (

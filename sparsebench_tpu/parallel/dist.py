@@ -607,6 +607,10 @@ def dist_solve_gmres(
         )
     )
 
+    # warm-up compile outside the timed section (solve_gmres convention)
+    _w = cycle(dm.A, b_stacked, x_stacked, md_stacked)
+    float(_w[1])
+
     hist = []
     iters = 0
     normr = np.inf
@@ -615,17 +619,19 @@ def dist_solve_gmres(
     while iters < itermax:
         x_new, normr_dev, k_dev, brk_dev = cycle(dm.A, b_stacked, x_stacked,
                                                  md_stacked)
-        if bool(brk_dev):
+        # one batched readback for the control scalars (see solve_gmres)
+        normr_h, k_h, brk_h = jax.device_get((normr_dev, k_dev, brk_dev))
+        if bool(brk_h):
             broke_down = True  # keep the last good iterate
             break
         x_stacked = x_new
-        normr = float(normr_dev)
+        normr = float(normr_h)
         hist.append(normr)
-        iters += int(k_dev)
+        iters += int(k_h)
         if verbose:
             print(f"GMRES cycle {len(hist)}: iterations = {iters} "
                   f"Residual = {normr:E}")
-        if normr <= eps or not np.isfinite(normr) or int(k_dev) < m:
+        if normr <= eps or not np.isfinite(normr) or int(k_h) < m:
             break
     t1 = time.perf_counter()
     return GMRESResult(

@@ -121,12 +121,39 @@ def _csr_to_coo(csr):
                      nc=csr.nc)
 
 
+def _maybe_force_cpu_mesh(size: int) -> None:
+    """Honor XLA's virtual-CPU-device request for multi-shard CLI runs.
+
+    The axon environment pins JAX to the single real TPU via
+    sitecustomize, so ``JAX_PLATFORMS=cpu
+    XLA_FLAGS=--xla_force_host_platform_device_count=N`` alone never
+    reaches the CLI (same issue __graft_entry__.dryrun_multichip solves
+    for the driver). If the user asked for more shards than real devices
+    AND requested virtual host devices, switch to the cpu platform before
+    the backend is frozen by the first jax.devices() call."""
+    import os
+
+    import jax
+
+    if size <= 1 or "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        return
+    try:
+        # Must run BEFORE any jax.devices() call — the backend list freezes
+        # on first query (same ordering rule as __graft_entry__).
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # backend already frozen: keep whatever is live
+        pass
+
+
 def run_distributed(param: Parameter, policy: DTypePolicy, args) -> int:
     import jax
 
     from sparsebench_tpu.solvers.cg import check_residual
 
     size = param.shards
+    _maybe_force_cpu_mesh(size)
     if len(jax.devices()) < size:
         raise SystemExit(
             f"--shards {size} needs {size} devices, have {len(jax.devices())} "

@@ -613,6 +613,9 @@ def run_distributed_stencil(param, policy: DTypePolicy, args) -> int:
                 "--fmt stencil streams no matrix"
             )
     size = param.shards
+    from sparsebench_tpu.parallel.driver import _maybe_force_cpu_mesh
+
+    _maybe_force_cpu_mesh(size)
     if len(jax.devices()) < size:
         raise SystemExit(
             f"--shards {size} needs {size} devices, have {len(jax.devices())}"
