@@ -221,10 +221,10 @@ def solve_bicgstab(
     else:
         b_in, x0_in = b, x0
 
-    loop = jax.jit(
-        partial(bicgstab_loop, itermax=itermax, exchange=exchange,
-                allsum=allsum, acc_dtype=acc_dtype, precond=precond)
-    )
+    from sparsebench_tpu.solvers._jitcache import jit_loop
+
+    loop = jit_loop(bicgstab_loop, itermax=itermax, exchange=exchange,
+                    allsum=allsum, acc_dtype=acc_dtype, precond=precond)
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)
     x_dev, k_dev, hist_dev = loop(A, b_in, x0_in, eps=eps_arr,
                                   inv_diag=inv_diag)

@@ -32,13 +32,14 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sparsebench_tpu.solvers._jitcache import jit_loop
 from sparsebench_tpu.solvers.precond import resolve_apply_m
 
 _identity = lambda v: v  # noqa: E731
@@ -393,6 +394,15 @@ def cg_cs_loop(
     return x, k, hist
 
 
+@lru_cache(maxsize=None)
+def _sstep_loop_for(s: int):
+    # cached so resolve_cg_loop returns the SAME callable object for a
+    # given basis size — the solver jit cache (_jitcache.py) keys on it
+    from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
+
+    return partial(cg_sstep_loop, s=s)
+
+
 def resolve_cg_loop(variant: str, sstep: int = 4):
     """Map a CG variant name to its loop function — the ONE place the
     variant vocabulary lives, shared by the serial and distributed
@@ -405,9 +415,7 @@ def resolve_cg_loop(variant: str, sstep: int = 4):
     if variant == "cs":
         return cg_cs_loop
     if variant == "sstep":
-        from sparsebench_tpu.solvers.cg_sstep import cg_sstep_loop
-
-        return partial(cg_sstep_loop, s=sstep)
+        return _sstep_loop_for(sstep)
     if variant == "pipe":
         from sparsebench_tpu.solvers.cg_pipe import cg_pipe_loop
 
@@ -580,11 +588,8 @@ def solve_cg(
     # precond is entirely static (python floats + int) — it rides the
     # partial closure, not the traced arguments
     extra = {"precond": precond} if precond is not None else {}
-    loop = jax.jit(
-        partial(loop_fn, itermax=itermax, exchange=exchange, allsum=allsum,
-                acc_dtype=acc_dtype, **extra),
-        static_argnames=(),
-    )
+    loop = jit_loop(loop_fn, itermax=itermax, exchange=exchange,
+                    allsum=allsum, acc_dtype=acc_dtype, **extra)
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)
 
     # warm-up compile outside the timed section (the reference's compile cost

@@ -152,10 +152,10 @@ def estimate_bounds(
         v0 = permute(v0)
         if inv_diag is not None:
             inv_diag = permute(inv_diag)
-    fn = jax.jit(
-        partial(lanczos_tridiag, steps=min(steps, nr), exchange=exchange,
-                allsum=allsum)
-    )
+    from sparsebench_tpu.solvers._jitcache import jit_loop
+
+    fn = jit_loop(lanczos_tridiag, steps=min(steps, nr), exchange=exchange,
+                  allsum=allsum)
     alphas, betas, count = fn(A, v0, inv_diag=inv_diag)
     return bounds_from_tridiag(alphas, betas, int(count), mode=mode)
 
@@ -270,10 +270,10 @@ def solve_chebyshev(
     if verbose:
         print(f"Chebyshev bounds: lmin = {lmin:.4e} lmax = {lmax:.4e}")
 
-    loop = jax.jit(
-        partial(cheby_loop, itermax=itermax, lmin=lmin, lmax=lmax,
-                exchange=exchange, allsum=allsum)
-    )
+    from sparsebench_tpu.solvers._jitcache import jit_loop
+
+    loop = jit_loop(cheby_loop, itermax=itermax, lmin=float(lmin),
+                    lmax=float(lmax), exchange=exchange, allsum=allsum)
     eps_arr = jnp.asarray(eps, b.dtype)
     x_dev, k_dev, h_dev = loop(A, b_in, x0_in, eps=eps_arr,
                                inv_diag=inv_diag)

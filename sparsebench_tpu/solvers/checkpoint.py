@@ -67,14 +67,12 @@ def solve_cg_checkpointed(
     permuted = getattr(A, "permuted_output", False)
     b_in = A.permute_vector(b) if permuted else b
 
-    init = jax.jit(
-        partial(cg_init, itermax=itermax, exchange=exchange, allsum=allsum,
-                acc_dtype=acc_dtype)
-    )
-    run = jax.jit(
-        partial(cg_run, exchange=exchange, allsum=allsum, acc_dtype=acc_dtype),
-        static_argnames=("k_end",),
-    )
+    from sparsebench_tpu.solvers._jitcache import jit_loop
+
+    init = jit_loop(cg_init, itermax=itermax, exchange=exchange,
+                    allsum=allsum, acc_dtype=acc_dtype)
+    run = jit_loop(cg_run, _static_argnames=("k_end",), exchange=exchange,
+                   allsum=allsum, acc_dtype=acc_dtype)
 
     if os.path.exists(checkpoint_path):
         state = load_state(checkpoint_path)

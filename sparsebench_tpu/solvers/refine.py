@@ -205,11 +205,12 @@ def solve_cg_refine(
     else:
         b_in, x0_in = b, x0
 
-    loop = jax.jit(
-        partial(cg_refine_loop, outer_max=outer_max,
-                inner_iters=inner_iters, exchange=exchange, allsum=allsum,
-                acc_dtype=acc_dtype, inner_eps_factor=inner_eps_factor)
-    )
+    from sparsebench_tpu.solvers._jitcache import jit_loop
+
+    loop = jit_loop(cg_refine_loop, outer_max=outer_max,
+                    inner_iters=inner_iters, exchange=exchange,
+                    allsum=allsum, acc_dtype=acc_dtype,
+                    inner_eps_factor=inner_eps_factor)
     eps_arr = jnp.asarray(eps, dtype=acc_dtype or b.dtype)
 
     # warm-up compile outside the timed section (see solve_cg)
