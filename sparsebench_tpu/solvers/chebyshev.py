@@ -108,20 +108,25 @@ def bounds_from_tridiag(
 ) -> Tuple[float, float]:
     """Host-side tridiagonal eigensolve + defensive margins.
 
-    ``mode="solver"``: wide additive margins — for the standalone
-    Chebyshev SOLVER an interval that over-covers the spectrum only slows
-    convergence, while under-covering diverges, so err hard toward wide.
+    Margins are MULTIPLICATIVE on both ends and asymmetric because the
+    risks are asymmetric. For an SPD operator, eigenvalues BELOW lmin are
+    safe for both uses: the scaled Chebyshev polynomial satisfies
+    |p_k(x)| = T_k((theta-x)/delta) / T_k(theta/delta) < 1 for all
+    x in (0, lmin) (the argument is in (1, theta/delta) where T_k is
+    increasing), so those modes still contract — just slower than the
+    bound — and in preconditioner form 1 - q(x) stays in (0, 1) (M stays
+    SPD). Eigenvalues ABOVE lmax flip the polynomial's sign for even
+    degrees (solver amplifies those modes; preconditioned M goes
+    indefinite and CG breaks), so only lmax gets a cushion against
+    Lanczos' underestimate of the top Ritz value.
 
-    ``mode="precond"``: tight multiplicative margins — a polynomial
-    PRECONDITIONER's clustering quality is exactly the tightness of
-    [lmin, lmax] (the solver margins collapse the preconditioned condition
-    number back to the raw one, measured: 27-pt 16^3 PCG-cheb(2) 19 iters
-    with tight bounds vs 400+ with solver margins). Asymmetric because the
-    risks are asymmetric: eigenvalues BELOW lmin keep 1 - q(x) in (0, 1)
-    (M stays SPD, those modes just decluster), so lmin only shrinks 0.9x;
-    eigenvalues ABOVE the interval flip the polynomial's sign for even
-    degrees (M indefinite, CG breaks), so lmax gets the bigger 1.1x
-    cushion against Lanczos' underestimate of the top Ritz value."""
+    A previous revision used additive solver margins
+    (lmin - 0.1*(lmax - lmin), floored at 1e-8*lmax). For any matrix with
+    lmin << lmax — every stencil problem here — the subtraction went
+    negative and the floor produced an interval of effective condition
+    ~1e8: the iteration contracted by (1 - 2e-4)/iter, i.e. stagnated
+    (measured 48^3: residual 1229 -> 922 after 150 iters; with
+    multiplicative margins 1229 -> 9.9e-3 in the same 150)."""
     alphas = np.asarray(alphas, dtype=np.float64)[:count]
     betas = np.asarray(betas, dtype=np.float64)[:count]
     T = np.diag(alphas)
@@ -131,9 +136,10 @@ def bounds_from_tridiag(
     lmin, lmax = float(ev[0]), float(ev[-1])
     if mode == "precond":
         return max(lmin * 0.9, 1e-10 * lmax), lmax * 1.1
-    # Lanczos underestimates the spread on few steps; widen defensively.
-    spread = max(lmax - lmin, 1e-30)
-    return max(lmin - 0.1 * spread, 1e-8 * lmax), lmax * 1.05
+    # Solver mode: Lanczos' lowest Ritz value overestimates the true
+    # lmin on few steps, so take a bigger haircut below (still safe per
+    # the contraction argument above); 1.05x above covers the top end.
+    return max(lmin * 0.5, 1e-10 * lmax), lmax * 1.05
 
 
 def estimate_bounds(

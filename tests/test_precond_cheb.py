@@ -47,13 +47,18 @@ def test_spectral_map_positive(degree):
 
 
 def test_precond_bounds_mode_tight():
-    """mode='precond' keeps the Ritz lmin (x0.9) instead of the solver
-    mode's additive widening that collapses it toward zero."""
+    """Both modes take MULTIPLICATIVE haircuts on the Ritz lmin (0.9x
+    precond, 0.5x solver) — neither may collapse it toward zero, which is
+    what the old additive solver widening (lmin - 0.1*spread, floored at
+    1e-8*lmax) did for any lmin << lmax, stalling the standalone solver
+    at effective condition ~1e8."""
     alphas = np.array([2.0, 20.0, 38.0])
     betas = np.array([0.5, 0.5, 0.0])
     ls, us = bounds_from_tridiag(alphas, betas, 3, mode="solver")
     lp, up = bounds_from_tridiag(alphas, betas, 3, mode="precond")
-    assert lp > ls * 10  # solver mode collapses lmin; precond keeps it
+    ritz_lmin = 2.0 - 0.5  # < ev[0] of this tridiagonal < alphas[0]
+    assert lp > ls > 0.25 * ritz_lmin  # no collapse in either mode
+    assert lp == pytest.approx(ls * 0.9 / 0.5)  # 0.9x vs 0.5x haircut
     assert up > us > 0
 
 

@@ -92,6 +92,24 @@ def test_gmres_jacobi_solution_correct():
 
 # ------------------------------------------------------------ Chebyshev
 
+def test_cheby_converges_when_lmin_much_below_lmax():
+    """Regression: a problem large enough that the Ritz lmin << lmax.
+    The old additive solver margin (lmin - 0.1*spread, floored at
+    1e-8*lmax) produced an interval of effective condition ~1e8 here and
+    the standalone solver STAGNATED (24^3 was enough to trigger it; at
+    the benched 100^3 the residual sat at 1.8e+03 after 150 iters).
+    Multiplicative margins must recover full convergence."""
+    csr = generate_stencil(24, 24, 24)
+    A = from_csr("crs", csr)
+    counts = np.diff(csr.row_ptr)
+    b = (27.0 - (counts - 1)).astype(np.float64)
+    res = solve_chebyshev(A, b, itermax=150, eps=0.0, verbose=False)
+    lmin, lmax = res.bounds
+    assert lmin > 1e-3 * lmax  # margin no longer collapses the interval
+    assert res.final_normr < 1e-8 * res.residual_history[0]
+    assert np.abs(np.asarray(res.x) - 1.0).max() < 1e-6
+
+
 def test_cheby_identity_precond_matches_plain():
     csr = generate_stencil(5, 5, 5)
     A = from_csr("crs", csr)
