@@ -542,6 +542,47 @@ class BsellMatrix:
         return self.n_elems / max(self.nnz, 1)
 
 
+def with_window(A: "BsellMatrix", w_blocks: int) -> "BsellMatrix":
+    """Re-express the window-relative block table with a FORCED chunk size
+    so distributed shard builds share a treedef (the BSLAB analog is
+    bslab.with_window; here the block ids are RELATIVE to win_base, so the
+    table itself shifts).
+
+    Safety bound: _build_arrays only guarantees stored relative ids lie in
+    [0, 2W) — absolute ids in [win_base, win_base + 2W) — and padding
+    slices sit at relative 0. Re-anchoring tile t at
+    base' = (win_base // W') * W' keeps every id in [0, 2W') iff
+    W' >= 2W - 8 (worst case: win_base' = win_base - (W' - 8), content up
+    to win_base + 2W - 1). Callers needing to unify mismatched shards pick
+    the target accordingly (see parallel/dist.py _unify_window_statics);
+    W' == W is the no-op fast path."""
+    if w_blocks == A.w_blocks:
+        return A
+    if w_blocks < 2 * A.w_blocks - 8 or w_blocks % 8:
+        raise ValueError(
+            f"forced w_blocks {w_blocks} cannot re-anchor a W={A.w_blocks} "
+            f"window (need a multiple of 8 >= {2 * A.w_blocks - 8})"
+        )
+    win_base = np.asarray(A.win_base)[:, 0, 0].astype(np.int64)  # (n_tiles,)
+    wchunk_new = win_base // w_blocks
+    shift = (win_base - wchunk_new * w_blocks).astype(np.int32)
+    base_new = (wchunk_new * w_blocks).astype(np.int32)
+    xw_rows = int(wchunk_new.max() + 2) * w_blocks if wchunk_new.size else (
+        2 * w_blocks
+    )
+    return A.replace(
+        blocks=jnp.asarray(np.asarray(A.blocks) + shift[:, None, None]),
+        win_base=jnp.asarray(
+            np.broadcast_to(
+                base_new[:, None, None], (A.n_tiles, 1, SUBLANES)
+            ).copy()
+        ),
+        wchunk=jnp.asarray(wchunk_new.astype(np.int32)),
+        w_blocks=w_blocks,
+        xw_rows=xw_rows,
+    )
+
+
 def _self_check(obj: "BsellMatrix", csr: HostCSR) -> bool:
     """One compiled spmv against host row sums (A @ 1); falls back to the
     XLA path on mismatch (same guard as formats/dia.py)."""

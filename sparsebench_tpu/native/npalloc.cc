@@ -68,7 +68,6 @@ struct PoolHeader {
   PoolSeg free_segs[kMaxFreeSegs];
 };
 
-std::mutex g_mu;
 int g_fd = -1;
 PoolHeader* g_hdr = nullptr;  // mapped MAP_SHARED at install
 
@@ -76,10 +75,19 @@ struct Block {
   uint64_t off;   // file offset, or UINT64_MAX for anonymous
   size_t size;    // rounded size
 };
-// in-process caches (all under g_mu)
-std::multimap<size_t, void*> g_free;    // freed blocks by rounded size
-std::map<void*, Block> g_blocks;        // every pool block ever claimed
-std::map<void*, size_t> g_live;         // live blocks -> requested size
+// In-process caches (all under g_mu), deliberately LEAKED: pool_shutdown
+// runs from .fini_array, i.e. AFTER __cxa_atexit static destructors, so
+// ordinary globals would already be destroyed when it iterates g_blocks
+// (observed: exit spun forever in _Rb_tree_increment walking the freed
+// rb-tree once the pool held >1 segment). Allocator state must outlive
+// every client, including exit-time frees — never destroy it.
+std::mutex& g_mu = *new std::mutex;
+std::multimap<size_t, void*>& g_free =
+    *new std::multimap<size_t, void*>();        // freed blocks by size
+std::map<void*, Block>& g_blocks =
+    *new std::map<void*, Block>();              // every block ever claimed
+std::map<void*, size_t>& g_live =
+    *new std::map<void*, size_t>();             // live -> requested size
 size_t g_cached = 0;
 size_t g_cap = 24ull << 30;
 

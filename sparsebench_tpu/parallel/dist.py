@@ -72,6 +72,46 @@ def _pad_stack_leaves(objs):
     return jax.tree_util.tree_unflatten(treedef, stacked)
 
 
+def _unify_window_statics(bsells):
+    """Equalize the BSELL window statics (w_blocks, xw_rows, impl) across
+    shard blocks so the stacked pytrees share one treedef.
+
+    The slice count is already forced at build time (min_s_max) and
+    nr/nc/nc_pad match by partition construction, but the x-window plan is
+    data-dependent: edge shards see a narrower column span than interior
+    shards (measured 24^3 x 4 shards: boundary xw_rows 120 vs 128), which
+    made _pad_stack_leaves reject the stack. xw_rows only pads x further,
+    so it lifts by replace; a w_blocks mismatch re-anchors the relative
+    block tables via bsell.with_window (target 2*W_max - 8 when W_max
+    itself cannot absorb the widest shard — see that function's bound).
+    impl can diverge only through a per-shard pallas self-check fallback;
+    shard_map runs ONE program, so everyone drops to the survivor."""
+    from sparsebench_tpu.formats.bsell import with_window as bsell_window
+
+    ws = {o.w_blocks for o in bsells}
+    if len(ws) > 1:
+        wmax = max(ws)
+        target = wmax if all(
+            wmax >= 2 * w - 8 for w in ws if w != wmax
+        ) else 2 * wmax - 8
+        bsells = [bsell_window(o, target) for o in bsells]
+    xw = max(o.xw_rows for o in bsells)
+    bsells = [
+        o if o.xw_rows == xw else o.replace(xw_rows=xw) for o in bsells
+    ]
+    impls = {o.impl for o in bsells}
+    if len(impls) > 1:
+        # prefer the safest common denominator: xla always works; the
+        # windowed kernel never exceeds the whole-x kernel's VMEM need
+        common = ("xla" if "xla" in impls
+                  else "pallas_win2" if "pallas_win2" in impls
+                  else sorted(impls)[0])
+        bsells = [
+            o if o.impl == common else o.replace(impl=common) for o in bsells
+        ]
+    return bsells
+
+
 def _normalize_statics(obj, part: Partitioned):
     """Equalize per-shard static metadata so pytree structures match.
 
@@ -155,6 +195,8 @@ class DistMatrix:
                 )
                 for o, s in zip(probe, part.shards)
             ]
+            bnds = _unify_window_statics([o.boundary for o in objs])
+            objs = [o.replace(boundary=b) for o, b in zip(objs, bnds)]
             self.perms = None
         elif fmt == "bsell":
             probe = [cls.from_csr(s, policy, **impl_kw) for s in part.shards]
@@ -164,6 +206,7 @@ class DistMatrix:
                 else cls.from_csr(s, policy, min_s_max=s_max, **impl_kw)
                 for o, s in zip(probe, part.shards)
             ]
+            objs = _unify_window_statics(objs)
             self.perms = None
         elif fmt == "bslab":
             # split interior/boundary build (BslabSplitMatrix): the
@@ -198,6 +241,8 @@ class DistMatrix:
             xw = max(o.interior.xw_rows for o in objs)
             objs = [o.replace(interior=o.interior.replace(xw_rows=xw))
                     for o in objs]
+            bnds = _unify_window_statics([o.boundary for o in objs])
+            objs = [o.replace(boundary=b) for o, b in zip(objs, bnds)]
             self.perms = None
         else:
             raise NotImplementedError(

@@ -432,3 +432,20 @@ def test_dist_jacobi_pcg_matches_serial_pcg():
         rtol=1e-9, atol=1e-12 * res_serial.residual_history[0],
     )
     assert np.abs(res_dist.x - xexact).max() < 1e-5
+
+
+@pytest.mark.parametrize("fmt", ["dia", "bslab", "bsell"])
+def test_dist_window_statics_unified(fmt):
+    """Regression (r4): 24^3 over 4 shards gives the edge shards a
+    narrower BSELL x-window than the interior shards (boundary xw_rows
+    120 vs 128) and build_distributed refused to stack the pytrees
+    ('mismatched structure'). _unify_window_statics now lifts xw_rows
+    (and re-anchors w_blocks via bsell.with_window when needed); the
+    stacked spmv must still match the global product exactly."""
+    shards = _gen_shards(24, 24, 6, 4)
+    gcsr = _global_csr(24, 24, 6, 4)
+    dm = build_distributed(shards, fmt=fmt)
+    obj = dm.A.boundary if hasattr(dm.A, "boundary") else dm.A
+    assert isinstance(obj.xw_rows, int)  # one unified static, not a stack
+    x = np.random.default_rng(7).standard_normal(gcsr.nr)
+    np.testing.assert_allclose(dist_spmv(dm, x), gcsr.spmv(x), rtol=1e-11)

@@ -216,3 +216,35 @@ def test_sell_bridge_cg_solve():
     _, b, xexact = init_vectors(csr, dtype=np.float32)
     res = solve_cg(A, b, itermax=60, eps=0.0, verbose=False)
     assert np.abs(res.x - xexact).max() < 1e-4
+
+
+def test_bsell_with_window_reanchors_exactly():
+    """bsell.with_window re-expresses the window-relative block table with
+    a forced chunk size; spmv must be bit-identical. The safety floor is
+    2W - 8 (stored ids only bound content to [win_base, win_base + 2W))."""
+    from sparsebench_tpu.formats.bsell import BsellMatrix, with_window
+
+    policy = DTypePolicy.from_names("f64", "i32")
+    csr = generate_stencil(12, 12, 10)
+    A = BsellMatrix.from_csr(csr, policy)
+    x = np.random.default_rng(3).standard_normal(csr.nc)
+    want = np.asarray(A.spmv(jax.numpy.asarray(x)))
+    assert with_window(A, A.w_blocks) is A  # no-op fast path
+    for target in (2 * A.w_blocks - 8, 2 * A.w_blocks, 4 * A.w_blocks):
+        B = with_window(A, target)
+        assert B.w_blocks == target
+        # absolute block ids (win_base + relative) are preserved
+        np.testing.assert_array_equal(
+            np.asarray(A.blocks) + np.asarray(A.win_base)[:, :, :1],
+            np.asarray(B.blocks) + np.asarray(B.win_base)[:, :, :1],
+        )
+        # relative ids stay inside the kernel's [0, 2W') gather window
+        assert int(np.asarray(B.blocks).max()) < 2 * target
+        assert int(np.asarray(B.blocks).min()) >= 0
+        np.testing.assert_array_equal(
+            np.asarray(B.spmv(jax.numpy.asarray(x))), want
+        )
+    with pytest.raises(ValueError):
+        with_window(A, A.w_blocks - 8)  # below the floor (and a shrink)
+    with pytest.raises(ValueError):
+        with_window(A, 2 * A.w_blocks - 4)  # not a multiple of 8
