@@ -288,6 +288,12 @@ class BslabMatrix:
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
+    # per-group wide slice counts (sum == s_wide). () = legacy single
+    # pool anchored at slice 0's dbase with dblk spanning wide_k blocks;
+    # non-empty = span-limited pools, each group's slices sharing one
+    # anchor (ops/bslab_pallas.py _accumulate). The XLA path reads the
+    # per-slice meta_wide dbase directly and needs no grouping.
+    wide_groups: tuple = struct.field(pytree_node=False, default=())
 
     @staticmethod
     def empty_wide(n_tiles: int, sub: int, store_dt):
@@ -495,7 +501,8 @@ class BslabMatrix:
                 self.lidx_wide, self.dblk_wide,
                 xp.reshape(self.x_rows, LANES),
                 s_aff=self.s_aff, s_gen=self.s_gen, s_wide=self.s_wide,
-                wide_k=self.wide_k, sub=self.sub,
+                wide_k=self.wide_k, wide_groups=self.wide_groups,
+                sub=self.sub,
                 interpret=self.impl.endswith("interpret"),
             )
         elif self.impl in ("pallas_win", "pallas_win_interpret"):
@@ -509,7 +516,8 @@ class BslabMatrix:
                 self.vals_wide, self.lidx_wide, self.dblk_wide,
                 xp.reshape(self.xw_rows, LANES),
                 s_aff=self.s_aff, s_gen=self.s_gen, s_wide=self.s_wide,
-                wide_k=self.wide_k, sub=self.sub,
+                wide_k=self.wide_k, wide_groups=self.wide_groups,
+                sub=self.sub,
                 w_blocks=self.w_blocks,
                 interpret=self.impl.endswith("interpret"),
             )

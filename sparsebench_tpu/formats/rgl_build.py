@@ -126,23 +126,30 @@ def _probe_hist(n, band, sub, n_tiles, nD, d_min, thresh, seed):
 @functools.partial(
     jax.jit,
     static_argnames=("n", "band", "sub", "n_tiles", "nD", "d_min",
-                     "thresh", "seed"),
+                     "thresh", "seed", "span"),
 )
-def _probe_overflow(q, n, band, sub, n_tiles, nD, d_min, thresh, seed):
+def _probe_overflow(q, n, band, sub, n_tiles, nD, d_min, thresh, seed,
+                    span=None):
     """Phase 1b: for a BATCH of candidate caps q ((nC, nD) int32, dynamic
     — one compile + one execution covers every candidate), the exact
-    wide-pool capacity (max over rows of the total overflow) and total
-    overflow entry count, per candidate."""
+    per-GROUP wide-pool capacities (max over rows of the group's total
+    overflow; groups are runs of ``span`` consecutive buckets, one group
+    spanning everything when span is None) and the total overflow entry
+    count, per candidate: ((nC, G) int32, (nC,) int32)."""
+    span = nD if span is None else span
+    nG = -(-nD // span)
 
     def tile_fn(t):
-        over = jnp.zeros((q.shape[0], sub * LANES), jnp.int32)
+        over = jnp.zeros((q.shape[0], nG, sub * LANES), jnp.int32)
         for bi in range(nD):
             _, _, md, _ = _bucket_masks(
                 t, n, band, sub, d_min + bi, thresh, seed
             )
             cnt = md.sum(axis=1)
-            over = over + jnp.maximum(cnt[None, :] - q[:, bi, None], 0)
-        return over.max(axis=1), over.sum(axis=1)
+            over = over.at[:, bi // span, :].add(
+                jnp.maximum(cnt[None, :] - q[:, bi, None], 0)
+            )
+        return over.max(axis=2), over.sum(axis=(1, 2))
 
     caps, tots = jax.lax.map(
         tile_fn, jnp.arange(n_tiles, dtype=jnp.int32)
@@ -152,19 +159,26 @@ def _probe_overflow(q, n, band, sub, n_tiles, nD, d_min, thresh, seed):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "band", "sub", "n_tiles", "caps", "w_cap",
-                     "d_min", "thresh", "seed", "store_dt"),
+    static_argnames=("n", "band", "sub", "n_tiles", "caps", "wcaps",
+                     "span", "d_min", "thresh", "seed", "store_dt"),
 )
-def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
-                  store_dt):
-    """Phase 2. With w_cap == 0 this is the r3 exact-cap layout; with
-    w_cap > 0 the caps are quantiles and each row's overflow (rank >=
-    cap_d, in ascending-d order) lands in the shared WIDE pool — per
-    entry a lane index AND a block delta dblk = bi (ops/bslab_pallas.py
-    wide_body). one_hot of an out-of-range rank is a zero row, so the
-    split is pure arithmetic."""
+def _build_device(n, band, sub, n_tiles, caps, wcaps, span, d_min, thresh,
+                  seed, store_dt):
+    """Phase 2. With wcaps == () this is the r3 exact-cap layout; with
+    overflow pools the caps are quantiles and each row's overflow (rank
+    >= cap_d, in ascending-d order) lands in the wide pool of its
+    bucket's GROUP (groups = runs of ``span`` buckets; pool g holds
+    dblk = bi - g*span in [0, span)) — span-limited pools cost span
+    gathers per slice in the kernel instead of nD
+    (ops/bslab_pallas.py wide_groups). one_hot of an out-of-range rank
+    is a zero row, so the split is pure arithmetic."""
     nD = len(caps)
     R = sub * LANES
+    s_wide = int(sum(wcaps))
+    # pool g's slices occupy positions [wbase[g], wbase[g] + wcaps[g])
+    wbase = [0]
+    for c in wcaps:
+        wbase.append(wbase[-1] + c)
 
     def tile_fn(t):
         per_bucket = [
@@ -181,9 +195,9 @@ def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
         overflow = jnp.asarray(False)
         nnz_t = jnp.asarray(0, jnp.int32)
         woff = jnp.zeros(R, jnp.int32)
-        wval = jnp.zeros((R, max(w_cap, 1)), jnp.float32)
-        wlid = jnp.zeros((R, max(w_cap, 1)), jnp.float32)
-        wdbl = jnp.zeros((R, max(w_cap, 1)), jnp.float32)
+        wval = jnp.zeros((R, max(s_wide, 1)), jnp.float32)
+        wlid = jnp.zeros((R, max(s_wide, 1)), jnp.float32)
+        wdbl = jnp.zeros((R, max(s_wide, 1)), jnp.float32)
         for bi, (i, offs, md, _) in enumerate(per_bucket):
             cap = caps[bi]
             nnz_t = nnz_t + md.sum()
@@ -215,11 +229,18 @@ def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
             l_chunks.append(
                 lplanes.T.reshape(cap, sub, LANES).astype(jnp.int8)
             )
-            if w_cap:
+            if s_wide:
+                g = bi // span
+                if bi % span == 0:
+                    woff = jnp.zeros(R, jnp.int32)  # fresh pool per group
                 mo = md & (rank >= cap)
-                wrank = jnp.where(mo, woff[:, None] + rank - cap, -1)
-                overflow = overflow | jnp.any(wrank >= w_cap)
-                ohw = jax.nn.one_hot(wrank, w_cap, dtype=jnp.bfloat16)
+                # rank within pool g; pool capacity check BEFORE the
+                # global one_hot position (a pool overrun must not
+                # silently land in the next pool's slices)
+                wlocal = woff[:, None] + rank - cap
+                overflow = overflow | jnp.any(mo & (wlocal >= wcaps[g]))
+                wrank = jnp.where(mo, wbase[g] + wlocal, -1)
+                ohw = jax.nn.one_hot(wrank, s_wide, dtype=jnp.bfloat16)
                 wval = wval + jnp.einsum(
                     "rw,rwk->rk", val, ohw,
                     preferred_element_type=jnp.float32,
@@ -228,7 +249,7 @@ def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
                     "rw,rwk->rk", lidx, ohw,
                     preferred_element_type=jnp.float32,
                 )
-                wdbl = wdbl + float(bi) * jnp.einsum(
+                wdbl = wdbl + float(bi - g * span) * jnp.einsum(
                     "rwk->rk", ohw, preferred_element_type=jnp.float32,
                 )
                 woff = woff + jnp.maximum(cnt[:, -1] - cap, 0)
@@ -236,10 +257,10 @@ def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
                 overflow = overflow | jnp.any(md & (cnt > cap))
         vals = jnp.concatenate(v_chunks)     # (s_gen, sub, 128)
         lidx = jnp.concatenate(l_chunks)
-        wv = wval.T.reshape(max(w_cap, 1), sub, LANES).astype(store_dt)
-        wl = wlid.T.reshape(max(w_cap, 1), sub, LANES).astype(jnp.int8)
-        wd = wdbl.T.reshape(max(w_cap, 1), sub, LANES).astype(jnp.int8)
-        return vals, lidx, wv[:w_cap], wl[:w_cap], wd[:w_cap], nnz_t, \
+        wv = wval.T.reshape(max(s_wide, 1), sub, LANES).astype(store_dt)
+        wl = wlid.T.reshape(max(s_wide, 1), sub, LANES).astype(jnp.int8)
+        wd = wdbl.T.reshape(max(s_wide, 1), sub, LANES).astype(jnp.int8)
+        return vals, lidx, wv[:s_wide], wl[:s_wide], wd[:s_wide], nnz_t, \
             overflow
 
     vals, lidx, wv, wl, wd, nnz_t, over = jax.lax.map(
@@ -248,15 +269,17 @@ def _build_device(n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed,
     return vals, lidx, wv, wl, wd, nnz_t.sum(), over.any()
 
 
-def _kernel_cost(s_gen: int, s_wide: int, wide_k: int, vb: float,
-                 objective: str = "time") -> float:
+def _kernel_cost(s_gen: int, s_wide: int, wide_k: int, n_groups: int,
+                 vb: float, objective: str = "time") -> float:
     """Per-tile cost model for the slab kernel, in byte-units/row:
 
       memory  = (vb+1)*s_gen + (vb+2)*s_wide      (streamed planes)
-      gathers = KAPPA * (s_gen + wide_k*s_wide)   (one lane-gather per
-                                                   general slice; wide_k
+      gathers = KAPPA * (s_gen + wide_k*s_wide    (one lane-gather per
+                         + n_groups)               general slice; wide_k
                                                    gathers+selects per
-                                                   wide slice)
+                                                   wide slice; one
+                                                   dynamic slab fetch
+                                                   per pool group)
       time ~ max(memory, gathers)     [DMA streams overlap VPU gathers]
 
     KAPPA calibration (chip r4, n=2M band=512 deg=16, sub=64, three
@@ -270,23 +293,30 @@ def _kernel_cost(s_gen: int, s_wide: int, wide_k: int, vb: float,
     ~= the DMA time of its 3 B/elem plane — the r3 kernel sat exactly at
     the balance point, so KAPPA = 37.5ns / 12.2ns-per-byte-unit ~= 3.07.
 
+    Span-limited pool groups (r4, VERDICT #1) break the r3 tradeoff:
+    with span K = 2-3 a wide slice costs 2-3 gather units instead of
+    nD = 9, so quantile caps + dense overflow packing finally beat the
+    exact-cap layout in TIME, not just bytes.
+
     objective="bytes" minimizes storage instead (capacity-constrained
-    uses); "time" is the default and for gather-heavy distributions
-    typically keeps exact caps (wide slots pay wide_k gathers each)."""
+    uses); "time" is the default."""
     KAPPA = 3.07
     mem = (vb + 1) * s_gen + (vb + 2) * s_wide
     if objective == "bytes":
         return mem
-    comp = KAPPA * (s_gen + wide_k * s_wide)
+    comp = KAPPA * (s_gen + wide_k * s_wide + n_groups)
     return max(mem, comp)
 
 
 def _choose_caps(hist: np.ndarray, n: int, caps_max, probe, vb: float,
-                 nD: int, mark, objective: str = "time") -> Tuple[tuple, int]:
-    """Pick per-bucket quantile caps + wide-pool capacity minimizing the
-    _kernel_cost time model. Candidates sweep a per-(row, bucket) tail
-    probability alpha; the exact wide capacities for ALL candidates come
-    from one batched device probe (one compile, one execution)."""
+                 nD: int, mark,
+                 objective: str = "time") -> Tuple[tuple, tuple, int]:
+    """Pick per-bucket quantile caps + per-group wide-pool capacities +
+    pool span minimizing the _kernel_cost time model. Candidates sweep a
+    per-(row, bucket) tail probability alpha crossed with the pool span;
+    the exact per-group capacities for ALL alpha candidates of one span
+    come from one batched device probe (one compile + execution per
+    span). Returns (caps, wcaps, span)."""
     cands = [tuple(caps_max)]
     for alpha in (0.0003, 0.001, 0.003, 0.01, 0.03, 0.1):
         caps_a = []
@@ -301,15 +331,20 @@ def _choose_caps(hist: np.ndarray, n: int, caps_max, probe, vb: float,
         t = tuple(caps_a)
         if t not in cands:
             cands.append(t)
-    best = (tuple(caps_max), 0)
-    best_cost = _kernel_cost(sum(caps_max), 0, nD, vb, objective)
+    best = (tuple(caps_max), (), nD)
+    best_cost = _kernel_cost(sum(caps_max), 0, nD, 0, vb, objective)
     if len(cands) > 1:
-        w_caps, _tots = probe(np.asarray(cands[1:], np.int32))
-        for t, w in zip(cands[1:], np.asarray(w_caps)):
-            cost = _kernel_cost(sum(t), int(w), nD, vb, objective)
-            if cost < best_cost:
-                best, best_cost = (t, int(w)), cost
-    mark(f"cap selection ({len(cands)} candidates)")
+        q = np.asarray(cands[1:], np.int32)
+        for span in sorted({2, 3, nD} - {1}):
+            w_caps, _tots = probe(q, span)
+            for t, wc in zip(cands[1:], np.asarray(w_caps)):
+                wc = tuple(int(w) for w in wc)
+                ng = sum(1 for w in wc if w)
+                cost = _kernel_cost(sum(t), sum(wc), span, ng, vb,
+                                    objective)
+                if cost < best_cost:
+                    best, best_cost = (t, wc, span), cost
+    mark(f"cap selection ({len(cands)} alphas x 3 spans)")
     return best
 
 
@@ -325,6 +360,7 @@ def rgl_bslab(
     tail: bool = True,
     objective: str = "time",
     force_caps: Optional[tuple] = None,
+    force_span: int = 0,
 ) -> Tuple[BslabMatrix, int]:
     """Build the RGL matrix directly as a device BslabMatrix.
 
@@ -384,48 +420,61 @@ def rgl_bslab(
         for d in range(nD)
     ]
     mark("phase1 histogram probe (compile+exec)")
-    # the wide dbase (bucket d_min) must not underflow the lead pad
+    # the wide dbase (group anchor blocks) must not underflow the lead pad
     if force_caps is not None:
-        # test hook: explicit caps, exact wide capacity from the probe
+        # test hook: explicit caps (+ span), exact pool capacities from
+        # the probe
         if lead + d_min < 0:
             raise ValueError(
                 f"wide slices need sub >= {-d_min} (lead pad underflow)"
             )
         caps = tuple(int(c) for c in force_caps)
-        w_cap = int(np.asarray(
-            _probe_overflow(jnp.asarray([caps], jnp.int32), n, band, sub,
-                            n_tiles, nD, d_min, thresh, seed)[0]
-        )[0])
+        span = force_span if force_span else nD
+        wcaps = tuple(
+            int(w) for w in np.asarray(_probe_overflow(
+                jnp.asarray([caps], jnp.int32), n, band, sub,
+                n_tiles, nD, d_min, thresh, seed, span=span,
+            )[0])[0]
+        )
     elif tail and lead + d_min >= 0:
-        caps, w_cap = _choose_caps(
+        caps, wcaps, span = _choose_caps(
             hist, n, caps_max,
-            lambda q: _probe_overflow(jnp.asarray(q), n, band, sub,
-                                      n_tiles, nD, d_min, thresh, seed),
+            lambda q, sp: _probe_overflow(jnp.asarray(q), n, band, sub,
+                                          n_tiles, nD, d_min, thresh,
+                                          seed, span=sp),
             vb, nD, mark, objective,
         )
     else:
-        caps, w_cap = tuple(caps_max), 0
+        caps, wcaps, span = tuple(caps_max), (), nD
     s_gen = int(sum(caps))
+    s_wide = int(sum(wcaps))
 
     vals, lidx, wv, wl, wd, nnz_dev, over = _build_device(
-        n, band, sub, n_tiles, caps, w_cap, d_min, thresh, seed, store_dt,
+        n, band, sub, n_tiles, caps, wcaps, span, d_min, thresh, seed,
+        store_dt,
     )
     if bool(over):
         raise SystemExit(
             f"RGL build overflowed the probed slice caps {caps} "
-            f"(wide {w_cap}) for seed={seed} — phase-1/phase-2 "
-            f"disagreement (bug)"
+            f"(pools {wcaps}, span {span}) for seed={seed} — "
+            "phase-1/phase-2 disagreement (bug)"
         )
     nnz = int(nnz_dev)
     mark("phase2 build (compile+exec)")
 
     # slice metadata: bucket bi (d = d_min + bi) occupies static positions
     # [sum(caps[:bi]), sum(caps[:bi+1])); dbase = sub*t + d + lead.
-    # Wide slices anchor at d_min (dblk indexes upward through nD blocks);
-    # the kernel reads ONE sublane-aligned tall slab of height
-    # sub + round8(nD-1) per tile, hence the x coverage extensions below.
-    wide_ext = ((nD - 1 + 7) & ~7) if w_cap else 0
-    x_rows = lead + nb + sub + wide_ext
+    # Wide pool g anchors at block d_min + g*span (its dblk indexes
+    # upward through span blocks); the kernel reads one sublane-aligned
+    # tall slab of height sub + round8(span-1) per pool per tile, hence
+    # the x coverage extensions below.
+    wide_ext = ((span - 1 + 7) & ~7) if s_wide else 0
+    anchors = [d_min + g * span for g, c in enumerate(wcaps) if c]
+    top_anchor = max(anchors) if anchors else 0
+    # coverage above the last gen block the tallest pool slab needs
+    extra = max(0, top_anchor + wide_ext - (d_min + nD - 1)) if s_wide \
+        else 0
+    x_rows = lead + nb + sub + extra
     pos_d = np.concatenate(
         [np.full(c, d_min + bi, np.int64) for bi, c in enumerate(caps)]
     )
@@ -434,19 +483,25 @@ def rgl_bslab(
         sub * t_np[:, None] + pos_d[None, :] + lead, 0, x_rows - sub
     )
     meta_gen = dbase.astype(np.int32)[:, :, None]
-    dbase_w = sub * t_np + d_min + lead  # >= 0 by the lead guard above
     lo, hi = dbase.min(axis=1), dbase.max(axis=1)
-    if w_cap:
-        lo = np.minimum(lo, dbase_w)
-        hi = np.maximum(hi, dbase_w + wide_ext)
+    if s_wide:
+        # per-slice anchors: pool g's slices all carry its anchor block
+        pos_w = np.concatenate([
+            np.full(c, a, np.int64)
+            for a, c in zip(anchors, [c for c in wcaps if c])
+        ])
+        dbase_w = sub * t_np[:, None] + pos_w[None, :] + lead  # >= 0
+        meta_wide = dbase_w.astype(np.int32)[:, :, None]
+        lo = np.minimum(lo, dbase_w.min(axis=1))
+        hi = np.maximum(hi, dbase_w.max(axis=1) + wide_ext)
+    else:
+        meta_wide = np.zeros((n_tiles, 0, 1), np.int32)
     w_blocks, wchunk, xw_rows = _window_plan(n_tiles, lo, hi, sub)
-    meta_wide = np.broadcast_to(
-        dbase_w[:, None], (n_tiles, w_cap)
-    ).astype(np.int32)[:, :, None]
 
     mark("host metadata + window plan")
     resolved = BslabMatrix._resolve_impl(impl, policy, 0, s_gen, sub,
-                                         x_rows, s_wide=w_cap)
+                                         x_rows, s_wide=s_wide)
+    live_pools = tuple(c for c in wcaps if c)
     obj = BslabMatrix(
         meta_aff=jnp.zeros((n_tiles, 0, 2), jnp.int32),
         vals_aff=jnp.zeros((n_tiles, 0, sub, LANES), store_dt),
@@ -459,12 +514,13 @@ def rgl_bslab(
         dblk_wide=wd,
         wchunk=jnp.asarray(wchunk),
         nr=n, nc=n, nnz=nnz,
-        n_tiles=n_tiles, s_aff=0, s_gen=s_gen, s_wide=w_cap,
-        wide_k=nD if w_cap else 1, sub=sub,
+        n_tiles=n_tiles, s_aff=0, s_gen=s_gen, s_wide=s_wide,
+        wide_k=span if s_wide else 1, sub=sub,
         x_rows=x_rows, w_blocks=w_blocks, xw_rows=xw_rows,
-        n_elems=n_tiles * (s_gen + w_cap) * sub * LANES,
+        n_elems=n_tiles * (s_gen + s_wide) * sub * LANES,
         impl=resolved,
         start_row=0, total_nr=n, total_nnz=nnz,
+        wide_groups=live_pools if len(live_pools) > 1 else (),
     )
     mark("pytree assembly + transfers")
     return obj, nnz

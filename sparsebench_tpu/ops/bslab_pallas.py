@@ -51,22 +51,37 @@ _UNROLL_LIMIT = 192
 
 def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
                 lg_ref, meta_w_ref, vw_ref, lw_ref, dw_ref, y_ref, *,
-                s_aff: int, s_gen: int, s_wide: int, wide_k: int, sub: int):
+                s_aff: int, s_gen: int, s_wide: int, wide_k: int, sub: int,
+                wide_groups: tuple = ()):
     acc0 = jnp.zeros((sub, LANES), y_ref.dtype)
 
-    # WIDE tables are hoisted: every wide slice of a tile shares ONE
-    # dbase (the build anchors them all at the d_min block — a kernel
+    # WIDE tables are hoisted: wide slices share anchors per GROUP (the
+    # build anchors each group's slices at one block — a kernel
     # contract), so the wide_k shifted (sub,128) tables cost one dynamic
-    # VMEM slice + static subslices per TILE, not per slice. The first
-    # implementation sliced dynamically inside the slice loop and the
-    # measured per-wide-slice cost was ~320 ns = 9 dynamic slices
-    # (chip r4) — 2.5x the whole-tile budget.
-    wide_tbls = None
+    # VMEM slice + static subslices per GROUP per tile, not per slice.
+    # The first implementation sliced dynamically inside the slice loop
+    # and the measured per-wide-slice cost was ~320 ns = 9 dynamic
+    # slices (chip r4) — 2.5x the whole-tile budget.
+    #
+    # wide_groups == () is the legacy single-group layout: every wide
+    # slice anchored at the d_min block with dblk spanning all nD blocks
+    # (wide_k = nD). Non-empty wide_groups lists the per-group slice
+    # counts (summing to s_wide, group starts static): span-limited
+    # pools whose slices cost wide_k == K gathers each instead of nD —
+    # the irregular-matrix gather-wall fix (VERDICT r4 #1).
+    groups = tuple(wide_groups) if wide_groups else (
+        (s_wide,) if s_wide else ()
+    )
+    wide_tbl_sets = []
     if s_wide:
-        # sublane-aligned tall slab; builders extend x coverage to match
-        xw = get_slab(meta_w_ref[0, 0, 0] - base,
-                      sub + ((wide_k - 1 + 7) & ~7))
-        wide_tbls = [xw[k:k + sub] for k in range(wide_k)]
+        starts = [0]
+        for c in groups[:-1]:
+            starts.append(starts[-1] + c)
+        for p0 in starts:
+            # sublane-aligned tall slab; builders extend x coverage
+            xw = get_slab(meta_w_ref[0, p0, 0] - base,
+                          sub + ((wide_k - 1 + 7) & ~7))
+            wide_tbl_sets.append([xw[k:k + sub] for k in range(wide_k)])
 
     def aff_body(p, acc):
         tbl = get_slab(meta_a_ref[0, p, 0] - base)
@@ -81,7 +96,7 @@ def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
         g = jnp.take_along_axis(tbl, idx, axis=1)
         return acc + vg_ref[0, p].astype(acc.dtype) * g
 
-    def wide_body(p, acc):
+    def make_wide_body(tbls):
         # WIDE slices relax the one-block-diagonal-per-slice constraint:
         # each element carries a block delta dblk in [0, wide_k) on top
         # of its lane index, gathered as wide_k shifted-slab lane-gathers
@@ -91,15 +106,18 @@ def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
         # quantile slice caps — the pool that lets irregular matrices
         # (RGL) drop per-bucket capacity from the global max (pad 6.3x)
         # to a quantile (VERDICT r3 next #1).
-        idx = lw_ref[0, p].astype(jnp.int32)
-        dblk = dw_ref[0, p].astype(jnp.int32)
-        g = jnp.zeros((sub, LANES), acc.dtype)
-        for k in range(wide_k):
-            g = jnp.where(
-                dblk == k,
-                jnp.take_along_axis(wide_tbls[k], idx, axis=1), g,
-            )
-        return acc + vw_ref[0, p].astype(acc.dtype) * g
+        def wide_body(p, acc):
+            idx = lw_ref[0, p].astype(jnp.int32)
+            dblk = dw_ref[0, p].astype(jnp.int32)
+            g = jnp.zeros((sub, LANES), acc.dtype)
+            for k in range(wide_k):
+                g = jnp.where(
+                    dblk == k,
+                    jnp.take_along_axis(tbls[k], idx, axis=1), g,
+                )
+            return acc + vw_ref[0, p].astype(acc.dtype) * g
+
+        return wide_body
 
     acc = acc0
     if s_aff + s_gen + s_wide * wide_k <= _UNROLL_LIMIT:
@@ -107,15 +125,24 @@ def _accumulate(get_slab, base, meta_a_ref, va_ref, meta_g_ref, vg_ref,
             acc = aff_body(p, acc)
         for p in range(s_gen):
             acc = gen_body(p, acc)
-        for p in range(s_wide):
-            acc = wide_body(p, acc)
+        p = 0
+        for gi, cg in enumerate(groups):
+            body = make_wide_body(wide_tbl_sets[gi])
+            for _ in range(cg):
+                acc = body(p, acc)
+                p += 1
     else:
         if s_aff:
             acc = jax.lax.fori_loop(0, s_aff, aff_body, acc)
         if s_gen:
             acc = jax.lax.fori_loop(0, s_gen, gen_body, acc)
-        if s_wide:
-            acc = jax.lax.fori_loop(0, s_wide, wide_body, acc)
+        p0 = 0
+        for gi, cg in enumerate(groups):
+            if cg:
+                acc = jax.lax.fori_loop(
+                    p0, p0 + cg, make_wide_body(wide_tbl_sets[gi]), acc
+                )
+            p0 += cg
     y_ref[0] = acc
 
 
@@ -193,7 +220,7 @@ def _unpack(refs, s_aff, s_gen, s_wide):
 
 
 def _kernel_whole(*refs, s_aff: int, s_gen: int, s_wide: int, wide_k: int,
-                  sub: int):
+                  sub: int, wide_groups: tuple = ()):
     (meta_a, vals_a, meta_g, vals_g, lidx_g, meta_w, vals_w, lidx_w,
      dblk_w, rest) = _unpack(refs[:-1], s_aff, s_gen, s_wide)
     x_ref = rest[0]
@@ -203,13 +230,14 @@ def _kernel_whole(*refs, s_aff: int, s_gen: int, s_wide: int, wide_k: int,
         meta_a, vals_a, meta_g, vals_g, lidx_g,
         meta_w, vals_w, lidx_w, dblk_w, y_ref,
         s_aff=s_aff, s_gen=s_gen, s_wide=s_wide, wide_k=wide_k, sub=sub,
+        wide_groups=wide_groups,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("s_aff", "s_gen", "s_wide", "wide_k", "sub",
-                     "interpret"),
+                     "wide_groups", "interpret"),
 )
 def bslab_spmv(
     meta_aff,   # (n_tiles, s_aff, 2) int32: [dbase (padded rows), r]
@@ -227,6 +255,7 @@ def bslab_spmv(
     sub: int,
     s_wide: int = 0,
     wide_k: int = 1,
+    wide_groups: tuple = (),
     interpret: bool = False,
 ):
     """Whole-x-in-VMEM slab SpMV. Returns y as (n_tiles, sub, 128)."""
@@ -241,7 +270,8 @@ def bslab_spmv(
                  s_aff, s_gen, s_wide) + [x2d]
     return pl.pallas_call(
         functools.partial(_kernel_whole, s_aff=s_aff, s_gen=s_gen,
-                          s_wide=s_wide, wide_k=wide_k, sub=sub),
+                          s_wide=s_wide, wide_k=wide_k, sub=sub,
+                          wide_groups=wide_groups),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, sub, LANES), lambda t: (t, 0, 0),
@@ -252,7 +282,7 @@ def bslab_spmv(
 
 
 def _kernel_win(*refs, s_aff: int, s_gen: int, s_wide: int, wide_k: int,
-                sub: int, w_blocks: int):
+                sub: int, w_blocks: int, wide_groups: tuple = ()):
     wchunk_ref = refs[0]
     (meta_a, vals_a, meta_g, vals_g, lidx_g, meta_w, vals_w, lidx_w,
      dblk_w, rest) = _unpack(refs[1:-4], s_aff, s_gen, s_wide)
@@ -276,13 +306,14 @@ def _kernel_win(*refs, s_aff: int, s_gen: int, s_wide: int, wide_k: int,
         meta_a, vals_a, meta_g, vals_g, lidx_g,
         meta_w, vals_w, lidx_w, dblk_w, y_ref,
         s_aff=s_aff, s_gen=s_gen, s_wide=s_wide, wide_k=wide_k, sub=sub,
+        wide_groups=wide_groups,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("s_aff", "s_gen", "s_wide", "wide_k", "sub",
-                     "w_blocks", "interpret"),
+                     "w_blocks", "wide_groups", "interpret"),
 )
 def bslab_spmv_win(
     wchunk,     # (n_tiles,) int32 per-tile covering-chunk index
@@ -302,6 +333,7 @@ def bslab_spmv_win(
     w_blocks: int,
     s_wide: int = 0,
     wide_k: int = 1,
+    wide_groups: tuple = (),
     interpret: bool = False,
 ):
     """Chunk-resident windowed slab SpMV (win2 design, see module doc)."""
@@ -319,6 +351,7 @@ def bslab_spmv_win(
         functools.partial(
             _kernel_win, s_aff=s_aff, s_gen=s_gen, s_wide=s_wide,
             wide_k=wide_k, sub=sub, w_blocks=w_blocks,
+            wide_groups=wide_groups,
         ),
         grid=(n_tiles,),
         in_specs=in_specs,

@@ -167,3 +167,51 @@ def test_rgl_wide_cg_converges():
     b = np.ones(n, dtype=np.float32)
     res = solve_cg(A, b, itermax=300, eps=1e-7, verbose=False)
     assert check_residual(res.x, np.ones(n)) < 1e-4
+
+
+@pytest.mark.parametrize("span,impl", [
+    (2, "xla"),
+    (2, "pallas_interpret"),
+    (3, "pallas_interpret"),
+    (2, "pallas_win_interpret"),
+])
+def test_rgl_grouped_pools_match_oracle(span, impl):
+    """Span-limited overflow pools (r4 gather-wall fix): force tiny
+    per-bucket caps so most entries overflow into span-K pools with
+    per-group anchors (wide_groups), and check exact parity with the
+    host CSR on every kernel path."""
+    n, band, deg = 900, 128, 10.0
+    nD = (band + 127) // 128 + (127 + band) // 128 + 1
+    csr = rgl_csr(n, band=band, deg=deg, seed=11)
+    A, nnz = rgl_bslab(n, band=band, deg=deg, seed=11, policy=F32, sub=8,
+                       impl=impl, force_caps=(1,) * nD, force_span=span)
+    assert nnz == csr.nnz
+    assert A.s_wide > 0 and A.wide_k == span
+    if len([c for c in A.wide_groups or (A.s_wide,)]) > 1:
+        assert sum(A.wide_groups) == A.s_wide
+    x = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    y = np.asarray(A.spmv(jnp.asarray(x)))
+    want = csr.spmv(x.astype(np.float64))
+    np.testing.assert_allclose(y, want, rtol=0, atol=1e-4 * np.abs(
+        want).max())
+
+
+def test_rgl_grouped_pools_pack_denser_than_single():
+    """The span-K pools must not store more slices than the legacy
+    single pool at the same caps (per-group maxima can only decrease
+    the per-pool capacity bound... their SUM can exceed the single-pool
+    max; what must hold is layout validity plus a smaller gather cost:
+    span * s_wide_grouped vs nD * s_wide_single)."""
+    n, band, deg = 1200, 128, 10.0
+    nD = (band + 127) // 128 + (127 + band) // 128 + 1
+    caps = (2,) * nD
+    A1, _ = rgl_bslab(n, band=band, deg=deg, seed=3, policy=F32, sub=8,
+                      impl="xla", force_caps=caps)
+    A2, _ = rgl_bslab(n, band=band, deg=deg, seed=3, policy=F32, sub=8,
+                      impl="xla", force_caps=caps, force_span=2)
+    assert A1.wide_k == nD and A2.wide_k == 2
+    assert 2 * A2.s_wide < nD * max(A1.s_wide, 1) or A2.s_wide == 0
+    x = np.random.default_rng(4).standard_normal(n).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(A1.spmv(jnp.asarray(x))),
+        np.asarray(A2.spmv(jnp.asarray(x))), rtol=0, atol=1e-5)
