@@ -145,7 +145,10 @@ def _probe_overflow(q, n, band, sub, n_tiles, nD, d_min, thresh, seed,
             _, _, md, _ = _bucket_masks(
                 t, n, band, sub, d_min + bi, thresh, seed
             )
-            cnt = md.sum(axis=1)
+            # int32 explicitly: under x64 the bool-sum promotes to int64
+            # and the .at[].add scatter into the int32 accumulator is a
+            # FutureWarning (error in future jax).
+            cnt = md.sum(axis=1, dtype=jnp.int32)
             over = over.at[:, bi // span, :].add(
                 jnp.maximum(cnt[None, :] - q[:, bi, None], 0)
             )
