@@ -545,7 +545,18 @@ def run_suite() -> int:
         import jax as _jax
 
         _jax.block_until_ready(A1.vals_aff)
-        extra["setup100_bslab_seconds"] = round(time.perf_counter() - t0, 1)
+        cold1 = time.perf_counter() - t0
+        extra["setup100_bslab_seconds"] = round(cold1, 1)
+        # warm rebuild isolates build+transfer from XLA compile (same
+        # split as every other setup_* key; VERDICT r3 next #3)
+        t0 = time.perf_counter()
+        A1, counts1 = BslabMatrix.from_stencil(100, 100, 100, policy=policy)
+        _jax.block_until_ready(A1.vals_aff)
+        build1 = time.perf_counter() - t0
+        extra["setup100_bslab_build_seconds"] = round(build1, 1)
+        extra["setup100_bslab_compile_seconds"] = round(
+            max(cold1 - build1, 0.0), 1
+        )
         x01, b1, xexact1 = init_vectors(row_lengths=counts1,
                                         dtype=np.float32)
         best_b1 = timed_cg(A1, b1, xexact1, 100, attempts=2, variant="cs")
