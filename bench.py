@@ -792,6 +792,39 @@ def run_suite() -> int:
     except Exception as e:  # noqa: BLE001
         log(f"solver family failed: {e!r}")
 
+    # -- blocked (multi-RHS) CG: matrix-stream amortization -----------------
+    # Beyond the reference (src/CGSolver.c solves one rhs): k right-hand
+    # sides share one matrix read per iteration (solvers/cg_multi.py), so
+    # per-RHS cost beats k separate solves. Reported: warm total + per-RHS
+    # seconds at k=8 on the headline 100^3 problem, validated per column
+    # against the scaled exact solution (x = s means b = s * rhs).
+    try:
+        check_deadline("cg_multi", 240.0)
+        from sparsebench_tpu.solvers.cg_multi import solve_cg_multi
+
+        k_rhs = 8
+        scales = np.linspace(1.0, 2.0, k_rhs).astype(np.float64)
+        B = (np.asarray(b, np.float64)[:, None] * scales[None, :]).astype(
+            np.float32)
+        resm = None
+        for _ in range(2):  # first run pays compile; report warm
+            resm = solve_cg_multi(A, B, itermax=150, eps=0.0, verbose=False)
+        errm = float(np.abs(
+            np.asarray(resm.x, np.float64) / scales[None, :] - 1.0).max())
+        if errm < 1e-4:
+            extra["cg100_nrhs8_seconds"] = round(resm.solve_seconds, 4)
+            extra["cg100_nrhs8_per_rhs_seconds"] = round(
+                resm.solve_seconds / k_rhs, 4)
+            extra["cg100_nrhs8_diff"] = float(f"{errm:.2e}")
+            log(f"  cg-multi 100^3 [f32, k=8, tol 1e-4]: "
+                f"{resm.solve_seconds:.3f}s total = "
+                f"{resm.solve_seconds / k_rhs * 1e3:.1f} ms/RHS "
+                f"(max|x/s-1| {errm:.2e}, ok)")
+        else:
+            log(f"cg-multi 100^3 INVALID: max|x/s-1| {errm:.2e}")
+    except Exception as e:  # noqa: BLE001
+        log(f"cg multi failed: {e!r}")
+
     # headline roofline fraction: best PHYSICAL rate across formats,
     # normalized by the read-only ceiling (SpMV is read-dominated)
     if roof:

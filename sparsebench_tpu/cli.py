@@ -139,6 +139,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--sstep", type=int, default=4,
                     help="Basis size s for --cg-variant sstep (default 4; "
                     "the s x s gram conditioning recommends s <= 8)")
+    ap.add_argument("--nrhs", type=int, default=1,
+                    help="Solve N right-hand sides simultaneously with "
+                    "blocked CG (-t cg, serial, plain path): one matrix "
+                    "read per iteration serves all N columns, so per-RHS "
+                    "cost beats N separate solves on the bandwidth-bound "
+                    "SpMV (solvers/cg_multi.py)")
     ap.add_argument("--refine", action="store_true",
                     help="Mixed-precision iterative refinement for -t cg: "
                     "outer true-residual sweeps at --dtype, inner CG one "
@@ -310,6 +316,7 @@ def main(argv: Optional[list] = None) -> int:
         ("--precond", "precond", ("cg", "gmres", "cheb", "bicgstab",
                                   "minres")),
         ("--refine", "refine", ("cg",)),
+        ("--nrhs", "nrhs", ("cg",)),
         # only the CG loop and the SpMV bench feed the region timers
         # (reference PROFILE sites: CGSolver.c + main.c:200-216); other
         # benches would print an all-zeros table
@@ -353,6 +360,18 @@ def main(argv: Optional[list] = None) -> int:
             "--refine combines with the plain CG path only (no "
             "--precond/--cg-variant/--checkpoint/--profile: the inner "
             "solve IS the acceleration)"
+        )
+    if args.nrhs < 1:
+        raise SystemExit("--nrhs must be >= 1")
+    if args.nrhs > 1 and param.bench == "cg" and (
+        args.precond != "none" or args.cg_variant != "standard"
+        or args.checkpoint or args.profile or args.refine
+        or param.shards > 1 or param.fmt == "stencil"
+    ):
+        raise SystemExit(
+            "--nrhs > 1 uses the blocked serial CG path on a stored "
+            "format only (no --precond/--cg-variant/--checkpoint/"
+            "--profile/--refine/--shards/--fmt stencil)"
         )
     if args.precond in ("cheb", "cheb-jacobi") and param.bench not in (
         "cg", "gmres", "bicgstab"
@@ -616,7 +635,17 @@ def main(argv: Optional[list] = None) -> int:
                 raise SystemExit(
                     "--cg-variant combines with the plain CG path only"
                 )
-            if args.refine:
+            if args.nrhs > 1:
+                from sparsebench_tpu.solvers.cg_multi import solve_cg_multi
+
+                print(f"Blocked CG: {args.nrhs} right-hand sides")
+                B = np.repeat(np.asarray(b)[:, None], args.nrhs, axis=1)
+                res = solve_cg_multi(A, B, itermax=param.itermax,
+                                     eps=param.eps)
+                if xexact is not None:  # shared tail checks all columns
+                    xexact = np.repeat(np.asarray(xexact)[:, None],
+                                       args.nrhs, axis=1)
+            elif args.refine:
                 from sparsebench_tpu.solvers.refine import solve_cg_refine
 
                 res = solve_cg_refine(

@@ -387,6 +387,35 @@ class DiaMatrix:
             y = y + data2d[d, :nr].astype(x.dtype) * xp[lo + off : lo + off + nr]
         return y
 
+    def spmm(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Multi-RHS SpMV: X is (nc, k), returns (nr, k) = A @ X.
+
+        TPU-first rationale: SpMV is bandwidth-bound and the matrix is
+        the dominant stream (the reference's byte model charges
+        (value+index) bytes per nonzero per solve, src/main.c:187-189).
+        With k right-hand sides the diagonal values are read ONCE for
+        all k columns — per-RHS matrix traffic drops k-fold while the
+        x/y traffic (irreducible) stays. XLA broadcasts each (nr,)
+        diagonal against the (nr, k) slab and fuses the multiply-adds
+        into one pass; no dedicated Pallas kernel is needed because the
+        slab layout is already lane-contiguous.
+        """
+        nr = self.nr
+        X = X[:nr]
+        lo = -min(0, min(self.offsets))
+        hi = max(0, max(self.offsets))
+        acc_dt = X.dtype
+        if acc_dt == jnp.bfloat16:
+            acc_dt = jnp.float32  # bf16 storage, f32 accumulate discipline
+        Xp = jnp.pad(X.astype(acc_dt), ((lo, hi), (0, 0)))
+        data2d = self.data.reshape(self.data.shape[0], -1)
+        Y = jnp.zeros((nr, X.shape[1]), dtype=acc_dt)
+        for d, off in enumerate(self.offsets):
+            Y = Y + data2d[d, :nr].astype(acc_dt)[:, None] * (
+                Xp[lo + off : lo + off + nr]
+            )
+        return Y.astype(X.dtype)
+
     @property
     def permuted_output(self) -> bool:
         return False
