@@ -63,17 +63,66 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# Driver tail window: the driver records only the LAST ~2000 chars of
+# combined output and parses the JSON line it finds there. In round 4 the
+# full payload line alone outgrew that window, truncating the line's FRONT
+# (metric/value/vs_baseline lost -> BENCH_r04 `parsed: null`). The fix
+# (VERDICT r4 next #1): always finish stdout with a line guaranteed to fit.
+_TAIL_BUDGET = 1500  # chars for the final line; < 2000 with margin for \n
+
+# Priority order for extras kept on the compact final line when the full
+# payload overflows. Earlier = more load-bearing for the round's claims.
+_COMPACT_PRIORITY = (
+    "stream_triad_GBps", "stream_read_GBps",
+    "spmv_frac_of_stream", "spmv_effective_frac_of_stream",
+    "spmv_general_phys_frac_of_stream",
+    "cg100_fused_seconds", "cg100_variant", "cg200_seconds",
+    "setup200_warm_process_seconds", "compile_cache_hit",
+    "setup200_bslab_compile_seconds", "setup200_bslab_build_seconds",
+    "spmv200_bslab_phys_GBps", "spmv200_GBps", "spmv200_phys_GBps",
+    "spmv200_sell_phys_GBps", "sell_vs_bslab_ratio",
+    "cg100_nrhs8_per_rhs_seconds", "cg100_nrhs8_speedup",
+    "rgl_spmv_GBps", "rgl_phys_frac_of_stream", "csrseg_GBps",
+    "gmres100_jacobi_iters_to_1e8", "gmres100_jacobi_final_normr",
+    "gmres100_final_normr", "gmres100_seconds",
+    "bicgstab100_seconds", "minres100_seconds", "cheb100_seconds",
+    "setup100_seconds", "setup100_compile_seconds", "cg100_7pt_seconds",
+)
+
+
 def emit(payload: dict, rc: int) -> int:
-    """Print the driver-facing JSON line, then arm the relay exit
-    watchdog BEFORE returning. The r3 full-suite run proved the
-    post-return guard (run_with_hard_exit -> hard_exit_if_dev_relay)
-    can be unreachable: with all output printed, the main thread wedged
-    at ~90% CPU for 40+ min inside run_suite's frame teardown (device
-    buffer GC / native relay spin happens BEFORE the caller resumes).
-    The daemon-thread watchdog os._exit's regardless of where the main
-    thread is stuck; 10 s grace since no output remains. No-op off the
-    axon dev backend."""
-    print(json.dumps(payload), flush=True)
+    """Print the driver-facing JSON, then arm the relay exit watchdog
+    BEFORE returning (the post-return guard can be unreachable: r3's main
+    thread wedged 40+ min in frame teardown; the daemon watchdog os._exit's
+    regardless — no-op off the axon dev backend).
+
+    Guarantees the FINAL stdout line parses inside the driver's ~2000-char
+    tail window: if the full payload line exceeds _TAIL_BUDGET it still
+    prints (for humans / NOTES), followed by a compact echo carrying
+    metric/value/unit/vs_baseline plus as many priority extras as fit."""
+    full_line = json.dumps(payload)
+    print(full_line, flush=True)
+    if len(full_line) > _TAIL_BUDGET and "extra" in payload:
+        compact = {k: v for k, v in payload.items() if k != "extra"}
+        extra = payload["extra"]
+        kept: dict = {}
+        ordered = list(_COMPACT_PRIORITY) + [
+            k for k in extra if k not in _COMPACT_PRIORITY]
+        for k in ordered:
+            if k not in extra:
+                continue
+            trial = dict(kept)
+            trial[k] = extra[k]
+            line = json.dumps({**compact, "extra": trial,
+                               "extra_dropped": 999})
+            if len(line) > _TAIL_BUDGET:
+                break
+            kept = trial
+        compact["extra"] = kept
+        dropped = len(extra) - len(kept)
+        if dropped:
+            compact["extra_dropped"] = dropped
+        print(json.dumps(compact), flush=True)
     from sparsebench_tpu.utils import arm_dev_relay_exit_watchdog
 
     arm_dev_relay_exit_watchdog(rc, grace_s=10.0)
@@ -752,10 +801,10 @@ def run_suite() -> int:
         ]
         for name, fn, kw in family:
             try:
-                res = None
-                for _ in range(2):  # first run pays compile; report warm
-                    res = fn(A, b, itermax=150, eps=0.0, verbose=False,
-                             **kw)
+                # one call: every family solver warms up internally before
+                # its timed run (solve_cg convention) — a second call here
+                # re-ran four full solves for nothing (ADVICE r4)
+                res = fn(A, b, itermax=150, eps=0.0, verbose=False, **kw)
                 err = float(np.abs(np.asarray(res.x, np.float64) - 1.0)
                             .max())
                 extra[f"{name}100_seconds"] = round(res.solve_seconds, 4)
@@ -776,10 +825,8 @@ def run_suite() -> int:
             Ak = from_csr("bslab", csr_k, policy)
             xk = np.linspace(0.5, 1.5, csr_k.nr).astype(np.float32)
             bk = np.asarray(Ak.spmv(xk.astype(np.float32)))
-            rk = None
-            for _ in range(2):
-                rk = solve_gmres(Ak, bk, itermax=150, eps=0.0, restart=30,
-                                 verbose=False)
+            rk = solve_gmres(Ak, bk, itermax=150, eps=0.0, restart=30,
+                             verbose=False)
             errk = float(np.abs(np.asarray(rk.x, np.float64) - xk).max())
             extra["gmres_klein_seconds"] = round(rk.solve_seconds, 4)
             extra["gmres_klein_final_normr"] = float(
@@ -806,9 +853,8 @@ def run_suite() -> int:
         scales = np.linspace(1.0, 2.0, k_rhs).astype(np.float64)
         B = (np.asarray(b, np.float64)[:, None] * scales[None, :]).astype(
             np.float32)
-        resm = None
-        for _ in range(2):  # first run pays compile; report warm
-            resm = solve_cg_multi(A, B, itermax=150, eps=0.0, verbose=False)
+        # single call: solve_cg_multi warms up internally (ADVICE r4)
+        resm = solve_cg_multi(A, B, itermax=150, eps=0.0, verbose=False)
         errm = float(np.abs(
             np.asarray(resm.x, np.float64) / scales[None, :] - 1.0).max())
         if errm < 1e-4:
