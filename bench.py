@@ -80,7 +80,7 @@ _COMPACT_PRIORITY = (
     "setup200_warm_process_seconds", "compile_cache_hit",
     "setup200_bslab_compile_seconds", "setup200_bslab_build_seconds",
     "spmv200_bslab_phys_GBps", "spmv200_GBps", "spmv200_phys_GBps",
-    "spmv200_sell_phys_GBps", "sell_vs_bslab_ratio",
+    "spmv100_sell_phys_GBps", "sell_vs_bslab_ratio",
     "cg100_nrhs8_per_rhs_seconds", "cg100_nrhs8_speedup",
     "rgl_spmv_GBps", "rgl_phys_frac_of_stream", "csrseg_GBps",
     "gmres100_jacobi_iters_to_1e8", "gmres100_jacobi_final_normr",
@@ -617,6 +617,43 @@ def run_suite() -> int:
         del A1
     except Exception as e:  # noqa: BLE001
         log(f"bslab 100^3 failed: {e!r}")
+
+    # -- 6c. SELL via the distributed-build bridge, 1 shard, 100^3 ----------
+    # The reference's flagship format under its flagship (MPI) mode
+    # (src/matrix-SCS.c:198-227 + comm.c:414-625). r4 left sharded sell on
+    # the ~1 GB/s gather path; the r5 bridge attaches a BslabSplit
+    # delegate per shard (parallel/dist.py), so the distributed solve
+    # executes the slab kernel. Measured here as the 1-shard distributed
+    # build's local kernel vs a bslab built from the SAME CSR — the
+    # VERDICT r4 #2 bar is sell within 1.2x of bslab.
+    try:
+        check_deadline("sell100", 180.0)
+        import jax as _jax
+
+        from sparsebench_tpu.formats import from_csr
+        from sparsebench_tpu.host import generate_stencil
+        from sparsebench_tpu.parallel.dist import build_distributed
+
+        csr_s = generate_stencil(100, 100, 100, dtype=np.float32)
+        dm_s = build_distributed([csr_s], fmt="sell", policy=policy)
+        A_s = _jax.tree_util.tree_map(lambda l: l[0], dm_s.A)
+        assert A_s.fast is not None and not A_s.permuted_output
+        dts, sps = spmv_chain_stats(A_s, reps=20, trials=3)
+        pgs = phys_gbps(A_s, dts)  # counts the delegate's arrays only
+        extra["spmv100_sell_phys_GBps"] = round(pgs, 1)
+        extra["spmv100_sell_spread"] = round(sps, 3)
+        log(f"spmv 100^3 sell (dist build, slab delegate): "
+            f"{dts * 1e3:.3f} ms (spread {sps:.1%}), {pgs:.1f} GB/s "
+            f"physical")
+        Ab_s = from_csr("bslab", csr_s, policy)
+        dtb_s, _spb_s = spmv_chain_stats(Ab_s, reps=20, trials=3)
+        ratio = dts / dtb_s
+        extra["sell_vs_bslab_ratio"] = round(ratio, 3)
+        log(f"sell/bslab time ratio = {ratio:.3f} "
+            f"(target <= 1.2; bslab same-CSR {dtb_s * 1e3:.3f} ms)")
+        del A_s, dm_s, Ab_s, csr_s
+    except Exception as e:  # noqa: BLE001
+        log(f"sell 100^3 bridge failed: {e!r}")
 
     # -- 6b. MATRIX-FREE stencil operator (formats/stencil.py) ---------------
     # The generated matrix is exactly 28I - Sz.Sy.Sx (tensor product of

@@ -57,9 +57,15 @@ def physical_spmv_bytes(A, x_bytes: int = 4) -> int:
     credits compression (bf16/i8 storage) and debits padding.
 
     Works on any format pytree: sums ``.nbytes`` over array leaves.
+    Bridged SELL (a ``fast`` delegate set) counts ONLY the delegate's
+    arrays — spmv never touches the sell gather layout, and charging its
+    bytes would inflate the physical rate above what the kernel moved.
     """
     import jax
 
+    fast = getattr(A, "fast", None)
+    if fast is not None:
+        return physical_spmv_bytes(fast, x_bytes)
     mat = sum(
         int(np.prod(leaf.shape)) * jnp.dtype(leaf.dtype).itemsize
         for leaf in jax.tree_util.tree_leaves(A)

@@ -269,6 +269,13 @@ class BsellMatrix:
     start_row: int = struct.field(pytree_node=False, default=0)
     total_nr: int = struct.field(pytree_node=False, default=0)
     total_nnz: int = struct.field(pytree_node=False, default=0)
+    # True iff built from a zero-nnz CSR (single-shard boundary blocks):
+    # split formats skip the whole kernel then — an EMPTY bsell pass
+    # still costs ~0.17 ms at 100^3 plus its compile. Static at build
+    # time, so it survives _normalize_statics' nnz zeroing; mixed
+    # empty/non-empty shard sets are unified to False before stacking
+    # (parallel/dist.py _unify_window_statics).
+    empty: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def from_csr(
@@ -365,6 +372,7 @@ class BsellMatrix:
             start_row=csr.start_row,
             total_nr=csr.total_nr,
             total_nnz=csr.total_nnz,
+            empty=csr.nnz == 0,
         )
         if (auto and obj.impl in ("pallas", "pallas_win", "pallas_win2")
                 and not _self_check(obj, csr)):

@@ -388,33 +388,64 @@ class DiaMatrix:
         return y
 
     def spmm(self, X: jnp.ndarray) -> jnp.ndarray:
-        """Multi-RHS SpMV: X is (nc, k), returns (nr, k) = A @ X.
+        """Multi-RHS SpMV, (nc, k) -> (nr, k) = A @ X.
+
+        Thin transpose wrapper over :meth:`spmm_kn` — on TPU a (n, k)
+        slab with k < 128 pads its minor dim to the 128-lane tile, so
+        every (1M, 8) f32 slab physically occupies 16x its logical
+        bytes; all real work runs in the (k, n) layout, where the
+        sublane tile (8 rows) matches k and the padding vanishes."""
+        return self.spmm_kn(X.T).T
+
+    def spmm_kn(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Multi-RHS SpMV in slab-major layout: X is (k, nc), returns
+        (k, nr) = (A @ X.T).T.
 
         TPU-first rationale: SpMV is bandwidth-bound and the matrix is
         the dominant stream (the reference's byte model charges
         (value+index) bytes per nonzero per solve, src/main.c:187-189).
         With k right-hand sides the diagonal values are read ONCE for
         all k columns — per-RHS matrix traffic drops k-fold while the
-        x/y traffic (irreducible) stays. XLA broadcasts each (nr,)
-        diagonal against the (nr, k) slab and fuses the multiply-adds
-        into one pass; no dedicated Pallas kernel is needed because the
-        slab layout is already lane-contiguous.
-        """
+        x/y traffic (irreducible) stays. The pallas path runs
+        ops/dia_pallas.py _dia_kernel_mrhs (grid (tiles, k), column
+        innermost: the data block is VMEM-resident across the k column
+        steps); the XLA path broadcasts each diagonal against the slab,
+        accumulating in the x dtype exactly like _spmv_xla so per-column
+        results match the single-RHS operator bit-for-bit (ADVICE r4:
+        the previous f32 upcast broke that claim for bf16)."""
+        if self.impl in ("pallas", "pallas_interpret"):
+            return self._spmm_kn_pallas(X, self.impl == "pallas_interpret")
         nr = self.nr
-        X = X[:nr]
+        X = X[:, :nr]
         lo = -min(0, min(self.offsets))
         hi = max(0, max(self.offsets))
-        acc_dt = X.dtype
-        if acc_dt == jnp.bfloat16:
-            acc_dt = jnp.float32  # bf16 storage, f32 accumulate discipline
-        Xp = jnp.pad(X.astype(acc_dt), ((lo, hi), (0, 0)))
+        Xp = jnp.pad(X, ((0, 0), (lo, hi)))
         data2d = self.data.reshape(self.data.shape[0], -1)
-        Y = jnp.zeros((nr, X.shape[1]), dtype=acc_dt)
+        Y = jnp.zeros((X.shape[0], nr), dtype=X.dtype)
         for d, off in enumerate(self.offsets):
-            Y = Y + data2d[d, :nr].astype(acc_dt)[:, None] * (
-                Xp[lo + off : lo + off + nr]
+            Y = Y + data2d[d, :nr].astype(X.dtype)[None, :] * (
+                Xp[:, lo + off : lo + off + nr]
             )
-        return Y.astype(X.dtype)
+        return Y
+
+    def _spmm_kn_pallas(self, X: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+        from sparsebench_tpu.ops.dia_pallas import (
+            dia_spmm_pallas,
+            x_lead_pad,
+        )
+
+        out_dtype = X.dtype
+        if X.dtype == jnp.bfloat16:
+            # same constraint as _spmv_pallas: stream x as f32, the
+            # diagonals keep their (possibly bf16-compressed) storage
+            X = X.astype(jnp.float32)
+        lead = x_lead_pad(self.offsets)
+        k = X.shape[0]
+        x2d = jnp.zeros((k, lead + self.nr_pad), X.dtype)
+        x2d = x2d.at[:, lead : lead + self.nr].set(X[:, : self.nr])
+        y = dia_spmm_pallas(self.data, x2d, self.offsets, self.nr_pad,
+                            interpret=interpret)
+        return y.reshape(k, -1)[:, : self.nr].astype(out_dtype)
 
     @property
     def permuted_output(self) -> bool:

@@ -30,12 +30,18 @@ from sparsebench_tpu.host.csr import HostCSR
 
 
 def split_interior_boundary(csr: HostCSR) -> Tuple[HostCSR, HostCSR]:
-    """Partition entries into (cols < nr) interior and halo-tail boundary."""
-    interior_mask = csr.col < csr.nr
-    rows = np.repeat(np.arange(csr.nr, dtype=np.int64), csr.row_lengths)
+    """Partition entries into (cols < nr) interior and halo-tail boundary.
 
-    def build(mask, nc):
-        counts = np.bincount(rows[mask], minlength=csr.nr).astype(np.int64)
+    O(nnz) with two passes and no per-entry row array: per-row interior
+    counts come from the running sum of the mask sampled at row_ptr
+    (the previous np.repeat + bincount build materialized a 8 B-per-nnz
+    row index — ~1.7 GB and tens of host seconds at 200^3)."""
+    interior_mask = csr.col < csr.nr
+    run = np.zeros(csr.nnz + 1, dtype=np.int64)
+    np.cumsum(interior_mask, out=run[1:])
+    in_counts = run[csr.row_ptr[1:]] - run[csr.row_ptr[:-1]]
+
+    def build(mask, counts, nc):
         row_ptr = np.zeros(csr.nr + 1, dtype=np.int64)
         np.cumsum(counts, out=row_ptr[1:])
         return HostCSR(
@@ -50,7 +56,10 @@ def split_interior_boundary(csr: HostCSR) -> Tuple[HostCSR, HostCSR]:
             total_nnz=csr.total_nnz,
         )
 
-    return build(interior_mask, csr.nr), build(~interior_mask, csr.nc)
+    return (
+        build(interior_mask, in_counts, csr.nr),
+        build(~interior_mask, csr.row_lengths - in_counts, csr.nc),
+    )
 
 
 @struct.dataclass
@@ -103,6 +112,12 @@ class DiaSplitMatrix:
         # (latency-hiding scheduler). Only the tiny boundary product
         # consumes the wire data. The stored-format analog of the
         # matrix-free --overlap (parallel/stencil_dist.py).
+        if self.boundary.empty:
+            # single-shard builds have no halo entries: an EMPTY bsell
+            # pass still costs a kernel launch (~0.17 ms at 100^3) plus
+            # its compile — skip it statically (bsell.empty is a
+            # build-time static, unified across shards before stacking)
+            return self.interior.spmv(x[: self.nr])
         return self.interior.spmv(x[: self.nr]) + self.boundary.spmv(x)
 
     @property
@@ -185,7 +200,10 @@ class BslabSplitMatrix:
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
         # see DiaSplitMatrix.spmv: the local-head slice keeps the
-        # interior kernel off the exchange's dependency chain
+        # interior kernel off the exchange's dependency chain (and the
+        # empty-boundary skip saves the dead kernel on 1-shard builds)
+        if self.boundary.empty:
+            return self.interior.spmv(x[: self.nr])
         return self.interior.spmv(x[: self.nr]) + self.boundary.spmv(x)
 
     @property

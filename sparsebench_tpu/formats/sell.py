@@ -24,14 +24,16 @@ a latent bug (SURVEY.md §7) that this design fixes structurally.
 Defaults: C=32, sigma=nr (full sort — on TPU the permutation is free once
 the solver lives in permuted space, so maximal padding reduction wins).
 
-TPU execution bridge (VERDICT r3 next #4): the layout above executes as
-an XLA gather (~1 GB/s on the dev chip), so serial TPU builds attach a
-``fast`` BslabMatrix delegate built from the same CSR — ``spmv`` runs
-the slab Pallas kernel in ORIGINAL row order (``permuted_output``
+TPU execution bridge: the layout above executes as an XLA gather
+(~1 GB/s on the dev chip), so ``spmv`` runs through a ``fast`` delegate
+built from the same CSR in ORIGINAL row order (``permuted_output``
 becomes False; the SELL arrays and permutations stay for layout parity,
-reports, and golden dumps). Distributed builds (forced_chunk_lens) keep
-the permuted gather path — their exchange plans compose with the
-permutation at plan time (parallel/dist.py).
+reports, and golden dumps). Serial TPU builds attach a BslabMatrix here
+at from_csr time; DISTRIBUTED builds (forced_chunk_lens) get a
+BslabSplitMatrix delegate attached by parallel/dist.py after
+cross-shard static unification — the permuted gather path survives only
+under ``build_distributed(..., bridge=False)``, which composes the
+exchange plan with each shard's permutation at plan time.
 """
 
 from __future__ import annotations

@@ -210,6 +210,99 @@ def _dia_kernel_win(
     y_ref[:, :] = acc
 
 
+def _dia_kernel_mrhs(
+    x_hbm, data_ref, y_ref, xwin, sem, *, shifts: Tuple[int, ...],
+    rows: int, span: int, x_len: int, roll: str = "roll1",
+):
+    """Multi-RHS kernel: grid (tiles, k) with the COLUMN index innermost.
+    The diagonal-data block's index map is constant in the column index,
+    so pallas skips its re-fetch on consecutive steps — the matrix is
+    read from HBM once per row tile for all k right-hand sides (the
+    whole point of the blocked solve, solvers/cg_multi.py). Each
+    (tile, column) step DMAs that column's x window; x_hbm is the k
+    padded columns flattened 1-D (the module's layout lesson: 1-D HBM
+    operands keep a unique layout in every calling context)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(c * x_len + i * rows * LANES, (rows + span) * LANES)],
+        xwin, sem,
+    )
+    cp.start()
+    cp.wait()
+    xw2 = xwin[:].reshape(rows + span, LANES)
+    out_dtype = y_ref.dtype
+    acc = None
+    for d, s in enumerate(shifts):
+        q, r = divmod(s, LANES)
+        xs = _shifted_window(xw2, q, r, rows, roll)
+        term = data_ref[d].astype(out_dtype) * xs
+        acc = term if acc is None else acc + term
+    y_ref[0, :, :] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "nr_pad", "tile_rows", "interpret", "variant"),
+)
+def dia_spmm_pallas(
+    data3d: jnp.ndarray,      # (ndiag, nr_pad/128, 128)
+    x2d: jnp.ndarray,         # (k, >= lead + nr) padded columns
+    offsets: Tuple[int, ...],
+    nr_pad: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    interpret: bool = False,
+    variant: str = "roll1",
+) -> jnp.ndarray:
+    """Multi-RHS DIA SpMV: returns (k, grid-padded rows, 128); rows beyond
+    nr are zero because the padded diagonal data is zero. See
+    _dia_kernel_mrhs for the traffic model."""
+    ndiag = data3d.shape[0]
+    k = x2d.shape[0]
+    n_rows = nr_pad // LANES
+    lead = x_lead_pad(offsets)
+    shifts = tuple(int(o) + lead for o in offsets)
+    span = _span_rows(shifts)
+    grid = (n_rows + tile_rows - 1) // tile_rows
+    grid_rows = grid * tile_rows
+    if grid_rows != data3d.shape[1]:
+        data3d = jnp.pad(
+            data3d, ((0, 0), (0, grid_rows - data3d.shape[1]), (0, 0))
+        )
+    need_x = (grid_rows + span) * LANES
+    if x2d.shape[1] < need_x:
+        x2d = jnp.pad(x2d, ((0, 0), (0, need_x - x2d.shape[1])))
+    x_len = x2d.shape[1]
+    roll = "roll2" if variant.endswith("roll2") else "roll1"
+    kernel = functools.partial(
+        _dia_kernel_mrhs, shifts=shifts, rows=tile_rows, span=span,
+        x_len=x_len, roll=roll,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(grid, k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (ndiag, tile_rows, LANES), lambda i, c: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, LANES), lambda i, c: (c, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, grid_rows, LANES), x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((tile_rows + span) * LANES,), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )
+    y = call(x2d.reshape(-1), data3d)
+    return y[:, :n_rows]
+
+
 def _dia_kernel_xres(
     x_ref, data_ref, y_ref, *, shifts: Tuple[int, ...],
     rows: int, span: int, roll: str = "roll1",

@@ -99,6 +99,11 @@ def _unify_window_statics(bsells):
     bsells = [
         o if o.xw_rows == xw else o.replace(xw_rows=xw) for o in bsells
     ]
+    if any(not o.empty for o in bsells) and any(o.empty for o in bsells):
+        # shard_map runs ONE program over the stacked pytree, so the
+        # static empty-skip (dia_split spmv) is only legal when EVERY
+        # shard's boundary is empty; mixed sets run the kernel everywhere
+        bsells = [o.replace(empty=False) for o in bsells]
     impls = {o.impl for o in bsells}
     if len(impls) > 1:
         # prefer the safest common denominator: xla always works; the
@@ -117,7 +122,10 @@ def _normalize_statics(obj, part: Partitioned):
 
     Runs AFTER the shard_meta snapshot in DistMatrix.__init__, so
     per-shard truth (nnz, padding_ratio) is recorded before the zeroing
-    (split formats normalize their nested interior/boundary here too)."""
+    (split formats normalize their nested interior/boundary here too;
+    bridged SELL normalizes its nested ``fast`` delegate)."""
+    if getattr(obj, "fast", None) is not None:
+        obj = obj.replace(fast=_normalize_statics(obj.fast, part))
     if hasattr(obj, "interior"):
         obj = obj.replace(
             interior=obj.interior.replace(nnz=0, start_row=0),
@@ -129,6 +137,43 @@ def _normalize_statics(obj, part: Partitioned):
         total_nr=part.total_nr,
         total_nnz=part.total_nnz,
     )
+
+
+def _build_bslab_split(part: Partitioned, policy, impl_kw: dict):
+    """Per-shard BslabSplitMatrix builds with cross-shard-unified statics
+    (slice counts, chunk plan, x-window, impl) so the stacked pytrees
+    share one treedef. The interior BSLAB kernel reads only local
+    columns, so the halo exchange overlaps it instead of blocking it
+    (the whole-shard build consumed the exchanged vector in one kernel)."""
+    from sparsebench_tpu.formats.bslab import with_window
+    from sparsebench_tpu.formats.dia_split import BslabSplitMatrix
+
+    probe = [
+        BslabSplitMatrix.from_csr(s, policy, **impl_kw)
+        for s in part.shards
+    ]
+    sub = probe[0].interior.sub
+    s_aff = max(o.interior.s_aff for o in probe)
+    s_gen = max(o.interior.s_gen for o in probe)
+    s_max = max(o.boundary.s_max for o in probe)
+    objs = [
+        o
+        if (o.interior.s_aff, o.interior.s_gen, o.interior.sub,
+            o.boundary.s_max) == (s_aff, s_gen, sub, s_max)
+        else BslabSplitMatrix.from_csr(
+            s, policy, sub=sub, min_s_aff=s_aff, min_s_gen=s_gen,
+            min_s_max=s_max, **impl_kw)
+        for o, s in zip(probe, part.shards)
+    ]
+    # one chunk plan across shards so the stacked pytrees share
+    # a treedef (dbase metadata is absolute; see with_window)
+    w = max(o.interior.w_blocks for o in objs)
+    objs = [o.replace(interior=with_window(o.interior, w)) for o in objs]
+    xw = max(o.interior.xw_rows for o in objs)
+    objs = [o.replace(interior=o.interior.replace(xw_rows=xw))
+            for o in objs]
+    bnds = _unify_window_statics([o.boundary for o in objs])
+    return [o.replace(boundary=b) for o, b in zip(objs, bnds)]
 
 
 class DistMatrix:
@@ -145,7 +190,13 @@ class DistMatrix:
         exchange_backend: str = "auto",
         mesh: Optional[Mesh] = None,
         impl: Optional[str] = None,
+        bridge: bool = True,
     ):
+        """``bridge`` (sell only): attach the BslabSplit fast delegate so
+        the distributed solve runs the slab kernel (default). ``False``
+        keeps the pure permuted-gather sell path — the layout-parity
+        configuration, and the only one exercising permuted exchange
+        composition."""
         self.part = part
         self.fmt = fmt
         self.policy = policy
@@ -167,7 +218,23 @@ class DistMatrix:
                 cls.from_csr(s, policy, C=C, sigma=sigma, forced_chunk_lens=unified)
                 for s in part.shards
             ]
-            self.perms = [np.asarray(o.old_to_new, dtype=np.int64) for o in objs]
+            if bridge:
+                # TPU execution bridge for DISTRIBUTED sell (VERDICT r4
+                # next #2): the sell gather layout executes at ~1 GB/s on
+                # TPU, so each shard carries a BslabSplitMatrix ``fast``
+                # delegate built from the same shard CSR in ORIGINAL row
+                # order — the solve runs the slab kernel and the exchange
+                # plan needs no permutation composition. The sell arrays
+                # stay for layout parity, reports, and golden dumps
+                # (reference flagship path: src/matrix-SCS.c:198-227 under
+                # src/comm.c:414-625).
+                delegates = _build_bslab_split(part, policy, {})
+                objs = [o.replace(fast=d) for o, d in zip(objs, delegates)]
+                self.perms = None
+            else:
+                self.perms = [
+                    np.asarray(o.old_to_new, dtype=np.int64) for o in objs
+                ]
         elif fmt in ("ell",):
             lmax = max(
                 (int(s.row_lengths.max()) if s.nnz else 1) for s in part.shards
@@ -209,40 +276,7 @@ class DistMatrix:
             objs = _unify_window_statics(objs)
             self.perms = None
         elif fmt == "bslab":
-            # split interior/boundary build (BslabSplitMatrix): the
-            # interior BSLAB kernel reads only local columns, so the halo
-            # exchange overlaps it instead of blocking it (the whole-shard
-            # build consumed the exchanged vector in one kernel)
-            from sparsebench_tpu.formats.bslab import with_window
-            from sparsebench_tpu.formats.dia_split import BslabSplitMatrix
-
-            probe = [
-                BslabSplitMatrix.from_csr(s, policy, **impl_kw)
-                for s in part.shards
-            ]
-            sub = probe[0].interior.sub
-            s_aff = max(o.interior.s_aff for o in probe)
-            s_gen = max(o.interior.s_gen for o in probe)
-            s_max = max(o.boundary.s_max for o in probe)
-            objs = [
-                o
-                if (o.interior.s_aff, o.interior.s_gen, o.interior.sub,
-                    o.boundary.s_max) == (s_aff, s_gen, sub, s_max)
-                else BslabSplitMatrix.from_csr(
-                    s, policy, sub=sub, min_s_aff=s_aff, min_s_gen=s_gen,
-                    min_s_max=s_max, **impl_kw)
-                for o, s in zip(probe, part.shards)
-            ]
-            # one chunk plan across shards so the stacked pytrees share
-            # a treedef (dbase metadata is absolute; see with_window)
-            w = max(o.interior.w_blocks for o in objs)
-            objs = [o.replace(interior=with_window(o.interior, w))
-                    for o in objs]
-            xw = max(o.interior.xw_rows for o in objs)
-            objs = [o.replace(interior=o.interior.replace(xw_rows=xw))
-                    for o in objs]
-            bnds = _unify_window_statics([o.boundary for o in objs])
-            objs = [o.replace(boundary=b) for o, b in zip(objs, bnds)]
+            objs = _build_bslab_split(part, policy, impl_kw)
             self.perms = None
         else:
             raise NotImplementedError(
@@ -871,9 +905,10 @@ def build_distributed(
     exchange_backend: str = "auto",
     mesh: Optional[Mesh] = None,
     impl: Optional[str] = None,
+    bridge: bool = True,
 ) -> DistMatrix:
     """Partition + device build in one call (reference main.c:168-174:
-    commPartition then convertMatrix)."""
+    commPartition then convertMatrix). ``bridge`` — see DistMatrix."""
     part = partition(list(shard_csrs))
     if fmt == "auto":
         from sparsebench_tpu.formats.dia import DiaUnsuitableError
@@ -888,4 +923,5 @@ def build_distributed(
     return DistMatrix(
         part, fmt, policy, C=C, sigma=sigma,
         exchange_backend=exchange_backend, mesh=mesh, impl=impl,
+        bridge=bridge,
     )

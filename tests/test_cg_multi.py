@@ -55,6 +55,44 @@ def test_spmm_sell_permuted_space():
         np.testing.assert_allclose(np.asarray(got)[:, j], want, rtol=1e-13)
 
 
+def test_spmm_vmap_over_pallas():
+    """ADVICE r4: the make_spmm fallback vmaps the format's single-vector
+    spmv; for pallas-backed formats the vmap adds a batch grid dimension.
+    Exercise that exact lowering in interpret mode (bslab is the format
+    the CLI pairs with --nrhs on TPU) against per-column spmv."""
+    csr = generate_stencil(6, 5, 4, dtype=np.float32)
+    A = from_csr("bslab", csr, impl="pallas_interpret")
+    B = _rhs_block(csr, k=3).astype(np.float32)
+    spmm = make_spmm(A)
+    got = np.asarray(spmm(jnp.asarray(B)))
+    for j in range(B.shape[1]):
+        want = np.asarray(A.spmv(jnp.asarray(B[:, j])))
+        np.testing.assert_allclose(got[:, j], want, rtol=1e-5,
+                                   err_msg=f"column {j}")
+
+
+def test_spmm_kn_pallas_dia_matches_oracle():
+    """The native multi-RHS DIA kernel (ops/dia_pallas.py
+    _dia_kernel_mrhs, grid (tiles, k) column-innermost) against the CSR
+    oracle and the XLA spmm_kn path, in interpret mode."""
+    csr = generate_stencil(8, 7, 5, dtype=np.float32)
+    from sparsebench_tpu.config import DTypePolicy
+
+    pol = DTypePolicy.from_names("f32", "i32")
+    Ap = from_csr("dia", csr, pol, impl="pallas_interpret")
+    Ax = from_csr("dia", csr, pol, impl="xla")
+    rng = np.random.default_rng(5)
+    Xkn = rng.standard_normal((4, csr.nr)).astype(np.float32)
+    got = np.asarray(Ap.spmm_kn(jnp.asarray(Xkn)))
+    xla = np.asarray(Ax.spmm_kn(jnp.asarray(Xkn)))
+    for j in range(4):
+        want = csr.spmv(Xkn[j].astype(np.float64))
+        np.testing.assert_allclose(got[j], want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"pallas row {j}")
+        np.testing.assert_allclose(xla[j], want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"xla row {j}")
+
+
 @pytest.mark.parametrize("fmt", ["dia", "crs"])
 def test_cg_multi_matches_independent_solves(fmt):
     """Per-column iterates are the single-RHS recurrence exactly: f64

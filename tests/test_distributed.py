@@ -164,6 +164,50 @@ def test_dist_cg_matches_single_device(fmt):
     assert np.abs(res_dist.x - xexact).max() < 1e-6
 
 
+def test_dist_sell_bridge_and_gather_paths():
+    """Distributed SELL (VERDICT r4 next #2): the default build attaches a
+    per-shard BslabSplitMatrix ``fast`` delegate — the solve executes the
+    slab kernel in ORIGINAL row order (no permuted exchange). bridge=False
+    keeps the permuted-gather path (exchange plan composed with each
+    shard's sigma-sort permutation). Both must reproduce the serial solve
+    and the global SpMV."""
+    from sparsebench_tpu.formats.dia_split import BslabSplitMatrix
+
+    size = 4
+    nx, ny, nz = 6, 6, 2
+    shards = _gen_shards(nx, ny, nz, size)
+    gcsr = _global_csr(nx, ny, nz, size)
+    _, b, xexact = init_vectors(gcsr)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(gcsr.nr)
+    y_ref = gcsr.spmv(x)
+    res_serial = solve_cg(from_csr("crs", gcsr), b, itermax=40,
+                          verbose=False)
+
+    for bridge in (True, False):
+        dm = build_distributed(shards, fmt="sell", bridge=bridge)
+        if bridge:
+            assert not dm.permuted and dm.perms is None
+            # the stacked pytree carries the delegate: spmv runs the slab
+            # kernel, not the sell gather layout
+            assert isinstance(dm.A.fast, BslabSplitMatrix)
+            assert not dm.A.permuted_output
+        else:
+            assert dm.permuted and dm.perms is not None
+            assert dm.A.fast is None
+        np.testing.assert_allclose(dist_spmv(dm, x), y_ref, rtol=1e-13)
+        res = dist_solve_cg(dm, b, itermax=40, verbose=False)
+        n = min(len(res_serial.residual_history),
+                len(res.residual_history))
+        np.testing.assert_allclose(
+            res.residual_history[:n],
+            res_serial.residual_history[:n],
+            rtol=1e-9,
+            atol=1e-12 * res_serial.residual_history[0],
+        )
+        assert np.abs(res.x - xexact).max() < 1e-6
+
+
 def test_dist_cg_cs_matches_serial():
     """Distributed single-reduction CG (one fused psum/iter) matches the
     serial standard solve's residual history."""
