@@ -17,9 +17,14 @@ def test_child_sweep_structure():
     row = child_main(size, (nx, ny, nz), iters=12)
     assert row["rows"] == nx * ny * nz * size
     # BASELINE bar: distributed residual history matches single-device
-    # to 1e-9 relative
-    for key in ("parity_standard", "parity_cs", "parity_stencil"):
+    # to 1e-9 relative — for EVERY solve path in the sweep (r5 adds
+    # pipe/fused variants, the split bslab build, and the irregular RGL
+    # leg through the allgather backend)
+    for key in ("parity_standard", "parity_cs", "parity_pipe",
+                "parity_sstep", "parity_bslab", "parity_stencil",
+                "parity_rgl"):
         assert row[key] < 1e-9, (key, row[key])
+    assert row["rgl_comm_words_per_rank"]["max"] > 0
     # block-row z-stacked partition talks to nearest neighbors only:
     # ring offsets {+1, -1 mod size}
     assert set(row["ring_offsets"]) <= {1, size - 1}
@@ -36,12 +41,20 @@ def test_render_markdown():
     row = {
         "size": 4, "rows": 1024, "nnz": 10, "per_rank": [8, 8, 2],
         "iters": 12, "parity_standard": 1e-16, "parity_cs": 2e-16,
-        "parity_stencil": 3e-16, "halo_max_words": 128,
+        "parity_pipe": 4e-16, "parity_sstep": 5e-16,
+        "parity_bslab": 6e-16, "parity_stencil": 3e-16,
+        "parity_rgl": 7e-16, "halo_max_words": 128,
         "comm_words_per_rank": {"min": 128, "max": 256, "avg": 192.0},
         "ring_offsets": [1, 3], "allreduce_per_iter": {"standard": 2,
                                                        "cs": 1},
         "stencil_plane_words": 64,
     }
     md = render_markdown([row], (8, 8, 2), 12)
-    assert "| 4 | 1024 | 1.0e-16 | 2.0e-16 | 3.0e-16 | 128" in md
+    assert ("| 4 | 1024 | 1.0e-16 | 2.0e-16 | 4.0e-16 | 5.0e-16 "
+            "| 6.0e-16 | 3.0e-16 | 7.0e-16 | 128") in md
     assert "BASELINE.md target" in md
+    # pre-r5 rows (no pipe/fused/bslab/rgl keys) still render
+    old = {k: v for k, v in row.items()
+           if not k.startswith(("parity_pipe", "parity_sstep",
+                                "parity_bslab", "parity_rgl"))}
+    assert "| - |" in render_markdown([old], (8, 8, 2), 12)
