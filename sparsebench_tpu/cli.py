@@ -126,16 +126,20 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Chebyshev preconditioner polynomial degree "
                     "(default 3; only with --precond cheb/cheb-jacobi)")
     ap.add_argument("--cg-variant", default="standard",
-                    choices=["standard", "cs", "sstep", "pipe", "fused"],
+                    choices=["standard", "cs", "sstep", "pipe", "fused",
+                             "vmem"],
                     dest="cg_variant",
                     help="CG formulation: the reference's (2 allreduces/"
                     "iter), single-reduction Chronopoulos-Gear 'cs' "
                     "(1 fused allreduce/iter; latency win on meshes), "
                     "'sstep' communication-avoiding CG (1 fused allreduce "
                     "per --sstep iterations), 'pipe' pipelined CG "
-                    "(the allreduce overlaps the matvec), or 'fused' "
+                    "(the allreduce overlaps the matvec), 'fused' "
                     "(serial --fmt stencil only: the p-update, apply and "
-                    "p.Ap dot run as ONE Pallas pass per iteration)")
+                    "p.Ap dot run as ONE Pallas pass per iteration), or "
+                    "'vmem' (serial --fmt stencil at VMEM-sized grids: "
+                    "ALL iterations inside one kernel, r/p resident in "
+                    "VMEM, only x streams HBM)")
     ap.add_argument("--sstep", type=int, default=4,
                     help="Basis size s for --cg-variant sstep (default 4; "
                     "the s x s gram conditioning recommends s <= 8)")

@@ -217,6 +217,17 @@ class StencilOperator:
             interpret=jax.default_backend() in ("cpu",),
         )
 
+    # ------------------------------------------ whole-solve VMEM-resident CG
+    @property
+    def supports_vmem_cg(self) -> bool:
+        """cg_vmem_loop (variant 'vmem'): every iteration inside one
+        kernel, r/p resident in VMEM (ops/stencil_cg_vmem.py)."""
+        from sparsebench_tpu.ops.stencil_cg_vmem import vmem_cg_viable
+
+        return self.impl == "pallas" and vmem_cg_viable(
+            self.nx, self.ny, self.nz
+        )
+
     # -------------------------------------------------- fused CG stage A
     @property
     def supports_fused_pw(self) -> bool:

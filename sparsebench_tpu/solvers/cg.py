@@ -422,9 +422,11 @@ def resolve_cg_loop(variant: str, sstep: int = 4):
         return cg_pipe_loop
     if variant == "fused":
         return cg_fused_loop
+    if variant == "vmem":
+        return cg_vmem_loop
     raise ValueError(
-        "variant must be 'standard', 'cs', 'sstep', 'pipe' or 'fused', "
-        f"got {variant!r}"
+        "variant must be 'standard', 'cs', 'sstep', 'pipe', 'fused' or "
+        f"'vmem', got {variant!r}"
     )
 
 
@@ -506,6 +508,55 @@ def cg_fused_loop(
 
     k, x, *_rest, hist, _done = jax.lax.while_loop(cond, body, state)
     return x, k, hist
+
+
+def cg_vmem_loop(
+    A,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    itermax: int,
+    eps,
+    exchange: Callable[[jnp.ndarray], jnp.ndarray] = _identity,
+    allsum: Callable = _identity,
+    acc_dtype=None,
+    inv_diag=None,
+    precond=None,
+):
+    """Whole-solve VMEM-resident CG (variant 'vmem', r5): ALL itermax
+    iterations run inside ONE Pallas kernel with the loop-carried r and
+    p vectors resident in VMEM and the stencil apply recomputed
+    in-register — per iteration only the x accumulation streams HBM
+    (ops/stencil_cg_vmem.py). Same recurrence, history and breakdown
+    semantics as cg_fused_loop; iterates match to reduction-order
+    rounding. Serial-only, unpreconditioned, and gated on the problem
+    fitting the VMEM plan (A.supports_vmem_cg)."""
+    if inv_diag is not None or precond is not None:
+        raise ValueError(
+            "variant 'vmem' is unpreconditioned; use 'standard'/'cs' "
+            "with inv_diag/precond"
+        )
+    if not getattr(A, "supports_vmem_cg", False):
+        raise ValueError(
+            "variant 'vmem' needs the Pallas stencil operator with the "
+            "problem fitting the VMEM residency plan "
+            "(ops/stencil_cg_vmem.vmem_cg_viable); use --fmt stencil at "
+            "a VMEM-sized grid or another cg variant"
+        )
+    from sparsebench_tpu.ops.stencil_cg_vmem import stencil_cg_vmem_pallas
+    from sparsebench_tpu.ops.stencil_pallas import pad_dims
+
+    nxp, nyp = pad_dims(A.nx, A.ny, A.nz)
+    rows = (A.nz + 2) * nyp
+    r0 = b - A.spmv_permuted(x0)
+    x, hist = stencil_cg_vmem_pallas(
+        r0.reshape(rows, nxp), x0.reshape(rows, nxp),
+        jnp.asarray(eps, b.dtype), A.nx, A.ny, A.nz, itermax,
+        use_7pt=A.use_7pt,
+        interpret=jax.default_backend() in ("cpu",),
+    )
+    k = jnp.sum(jnp.logical_not(jnp.isnan(hist))).astype(jnp.int32)
+    sdt = default_acc_dtype(b.dtype, acc_dtype)
+    return x.reshape(-1), k, hist.astype(sdt)
 
 
 def cg_loop(

@@ -295,3 +295,61 @@ def test_cg_fused_variant_rejects_unsupported():
     _, b, _ = init_vectors(csr)
     with pytest.raises(ValueError, match="fused"):
         solve_cg(A, b, itermax=5, verbose=False, variant="fused")
+
+
+def test_cg_vmem_variant_matches_standard():
+    """variant='vmem' (whole solve in ONE kernel, r/p VMEM-resident,
+    ops/stencil_cg_vmem.py) must reproduce standard CG's iterates to
+    reduction-order rounding, including the k == 1 beta = 0 case and
+    the exact-solution answer."""
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.formats.stencil import StencilOperator
+
+    policy = DTypePolicy.from_names("f64", "i32")
+    A, counts = StencilOperator.from_stencil(10, 9, 8, policy=policy,
+                                             impl="pallas")
+    assert A.supports_vmem_cg
+    _, b, xexact = init_vectors(row_lengths=np.asarray(counts),
+                                dtype=np.float64)
+    res_std = solve_cg(A, b, itermax=25, eps=0.0, verbose=False)
+    res_v = solve_cg(A, b, itermax=25, eps=0.0, verbose=False,
+                     variant="vmem")
+    np.testing.assert_allclose(
+        res_v.residual_history, res_std.residual_history, rtol=1e-9
+    )
+    np.testing.assert_allclose(res_v.x, res_std.x, rtol=1e-9, atol=1e-12)
+    assert np.abs(res_v.x - xexact).max() < 1e-3
+
+
+def test_cg_vmem_variant_7pt_eps_exit_and_x0():
+    """eps exit must stop at the reference's LAGGED while-cond (body k
+    runs iff ||r_{k-2}|| > eps — the kernel replicates the one-step-stale
+    check), 7-pt operator and a nonzero x0 both flow through."""
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.formats.stencil import StencilOperator
+
+    policy = DTypePolicy.from_names("f64", "i32")
+    A, counts = StencilOperator.from_stencil(8, 8, 8, use_7pt=True,
+                                             policy=policy, impl="pallas")
+    _, b, _ = init_vectors(row_lengths=np.asarray(counts),
+                           dtype=np.float64)
+    rng = np.random.default_rng(2)
+    x0 = rng.standard_normal(b.shape[0]) * 0.1
+    res_std = solve_cg(A, b, x0=x0, itermax=40, eps=1e-8, verbose=False)
+    res_v = solve_cg(A, b, x0=x0, itermax=40, eps=1e-8, verbose=False,
+                     variant="vmem")
+    assert res_v.iterations == res_std.iterations
+    np.testing.assert_allclose(
+        res_v.residual_history[: res_v.iterations],
+        res_std.residual_history[: res_std.iterations], rtol=1e-9,
+    )
+
+
+def test_cg_vmem_variant_rejects_unsupported():
+    import pytest
+
+    csr = generate_stencil(4, 4, 4)
+    A = from_csr("crs", csr)
+    _, b, _ = init_vectors(csr)
+    with pytest.raises(ValueError, match="vmem"):
+        solve_cg(A, b, itermax=5, verbose=False, variant="vmem")
