@@ -40,7 +40,8 @@ relay intermittently corrupts or hangs a first post-compile execution.
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 
 Modes: ``python bench.py`` (full suite), ``python bench.py cg [n]``,
-``python bench.py spmv [n] [fmts]``.
+``python bench.py spmv [n] [fmts]``, ``python bench.py warmsetup``
+(subprocess body of the warm-process setup probe, see _run_warmprobe).
 """
 
 from __future__ import annotations
@@ -76,14 +77,17 @@ _COMPACT_PRIORITY = (
     "stream_triad_GBps", "stream_read_GBps",
     "spmv_frac_of_stream", "spmv_effective_frac_of_stream",
     "spmv_general_phys_frac_of_stream",
-    "cg100_fused_seconds", "cg100_variant", "cg200_seconds",
+    "cg100_fused_seconds", "cg100_vmem_seconds", "cg100_variant",
+    "cg200_seconds",
     "setup200_warm_process_seconds", "compile_cache_hit",
+    "setup200_cold_process_seconds",
     "setup200_bslab_compile_seconds", "setup200_bslab_build_seconds",
     "spmv200_bslab_phys_GBps", "spmv200_GBps", "spmv200_phys_GBps",
     "spmv100_sell_phys_GBps", "sell_vs_bslab_ratio",
     "cg100_nrhs8_per_rhs_seconds", "cg100_nrhs8_speedup",
     "rgl_spmv_GBps", "rgl_phys_frac_of_stream", "csrseg_GBps",
     "gmres100_jacobi_iters_to_1e8", "gmres100_jacobi_final_normr",
+    "gmres100_cheb_iters_to_1e8", "gmres100_cheb_seconds",
     "gmres100_final_normr", "gmres100_seconds",
     "bicgstab100_seconds", "minres100_seconds", "cheb100_seconds",
     "setup100_seconds", "setup100_compile_seconds", "cg100_7pt_seconds",
@@ -361,6 +365,110 @@ class SectionSkipped(Exception):
     section's own except-handler logs it and the suite moves on."""
 
 
+# -- warm-PROCESS setup probe (VERDICT r4 next #6) ---------------------------
+# Round 4 enabled the persistent XLA compile cache (.jax_cache/) but nothing
+# PROVED it works across processes: setup200_bslab_compile_seconds was 3.4 s
+# with the cache nominally active. The probe runs the 200^3 bslab setup in
+# fresh subprocesses — the first primes the cache, the second measures the
+# warm-process cost — and reports a cache-hit indicator (the warm probe
+# serialized no new executables). It must run BEFORE the parent claims the
+# TPU: the relay serves one process at a time, so a child spawned later
+# would spin on the claim until the parent exits (NOTES.md round 2).
+
+_WARMPROBE: dict = {}
+
+
+def _cache_entries() -> int:
+    d = os.environ.get("SB_COMPILE_CACHE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        return len(os.listdir(d))
+    except OSError:
+        return 0
+
+
+def bench_warmsetup() -> int:
+    """Subprocess body: one 200^3 bslab setup, JSON result on stdout.
+    SB_WARMPROBE_N overrides the grid edge (CPU smoke tests)."""
+    n = int(os.environ.get("SB_WARMPROBE_N", "200"))
+    before = _cache_entries()
+    import jax
+
+    from sparsebench_tpu.config import DTypePolicy
+    from sparsebench_tpu.formats.bslab import BslabMatrix
+
+    log(f"warmsetup devices: {jax.devices()}")
+    policy = DTypePolicy.from_names("f32", "i32")
+    t0 = time.perf_counter()
+    A, _ = BslabMatrix.from_stencil(n, n, n, policy=policy)
+    jax.block_until_ready(A.vals_aff)
+    setup = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    A, _ = BslabMatrix.from_stencil(n, n, n, policy=policy)
+    jax.block_until_ready(A.vals_aff)
+    build = time.perf_counter() - t1
+    print(json.dumps({
+        "probe": "warmsetup", "setup": round(setup, 2),
+        "build": round(build, 2),
+        "compile": round(max(setup - build, 0.0), 2),
+        "cache_before": before, "cache_after": _cache_entries(),
+    }), flush=True)
+    return 0
+
+
+def _run_warmprobe() -> None:
+    """Parent side: two sequential warmsetup subprocesses; results land in
+    _WARMPROBE for run_suite to copy into extras. Any failure degrades to
+    a log line — the probe must never cost the suite its headline."""
+    if os.environ.get("SB_SKIP_WARMPROBE") or os.environ.get(
+            "SB_NO_COMPILE_CACHE"):
+        return
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "warmsetup"]
+    results = []
+    t_probe = time.monotonic()
+    for tag in ("prime", "warm"):
+        if tag == "warm" and time.monotonic() - t_probe > 500:
+            log("warmprobe: prime run ate the probe budget; skipping warm")
+            return
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            log(f"warmprobe {tag}: timed out (600s); skipping")
+            return
+        rec = None
+        for line in out.stdout.splitlines():
+            if '"probe": "warmsetup"' in line:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+        if rec is None:
+            tail = (out.stderr or "")[-300:].replace("\n", " | ")
+            log(f"warmprobe {tag}: no result (rc={out.returncode}): {tail}")
+            return
+        log(f"warmprobe {tag}: setup {rec['setup']}s = compile "
+            f"{rec['compile']}s + build {rec['build']}s, cache "
+            f"{rec['cache_before']} -> {rec['cache_after']} entries")
+        results.append(rec)
+    prime, warm = results
+    _WARMPROBE["setup200_cold_process_seconds"] = prime["setup"]
+    _WARMPROBE["setup200_warm_process_seconds"] = warm["setup"]
+    # hit = the warm process serialized no new executables AND its
+    # compile share collapsed vs the prime run (deserialize+load is
+    # not free, but it is not a 3.4 s XLA compile either)
+    hit = (warm["cache_after"] == warm["cache_before"]
+           and warm["compile"] <= max(1.5, 0.5 * prime["compile"]))
+    _WARMPROBE["compile_cache_hit"] = int(hit)
+    if not hit:
+        log("warmprobe: cache MISS on the warm run — persistent-cache "
+            "entries changed or compile time did not collapse")
+
+
 def run_suite() -> int:
     import os
 
@@ -368,6 +476,7 @@ def run_suite() -> int:
 
     log(f"devices: {jax.devices()}")
     extra: dict = {}
+    extra.update(_WARMPROBE)  # warm-process setup probe (ran pre-claim)
 
     # Soft deadline: the chip-side claim wedge can stall a fresh process's
     # FIRST execution ~15-20 min at 0% CPU (NOTES.md) — with a finite
@@ -683,21 +792,27 @@ def run_suite() -> int:
                 f"{dts * 1e3:.3f} ms "
                 f"({vec_bytes / dts / 1e9:.0f} GB/s vectors-only)")
             best_s = None
-            for var in ("standard", "cs", "fused"):
+            variants = ["standard", "cs", "fused"]
+            if getattr(As, "supports_vmem_cg", False):
+                # whole-solve VMEM-resident kernel (r5): r/p live in VMEM
+                # across all 150 iterations, only x streams HBM
+                variants.append("vmem")
+            best_var = None
+            for var in variants:
                 t = timed_cg(As, bs, xes, n, attempts=2, variant=var)
                 if t is not None and (best_s is None or t < best_s):
-                    best_s = t
-                if var == "fused" and t is not None:
-                    extra[f"cg{n}_fused_seconds"] = round(t, 4)
+                    best_s, best_var = t, var
+                if var in ("fused", "vmem") and t is not None:
+                    extra[f"cg{n}_{var}_seconds"] = round(t, 4)
             if best_s is None:
                 continue
             extra[f"cg{n}_stencilfree_seconds"] = round(best_s, 4)
             if n == 100 and (best100 is None or best_s < best100):
                 best100 = best_s
-                extra["cg100_variant"] = "stencil-free"
+                extra["cg100_variant"] = f"stencil-free/{best_var}"
             if n == 200 and best_s < extra.get("cg200_seconds", 1e9):
                 extra["cg200_seconds"] = round(best_s, 3)
-                extra["cg200_variant"] = "stencil-free"
+                extra["cg200_variant"] = f"stencil-free/{best_var}"
     except Exception as e:  # noqa: BLE001
         log(f"matrix-free stencil failed: {e!r}")
 
@@ -854,6 +969,57 @@ def run_suite() -> int:
                     f"{res.final_normr:.2e}, max|x-1| {err:.2e})")
             except Exception as e:  # noqa: BLE001
                 log(f"{name} 100^3 failed: {e!r}")
+        # VERDICT r4 next #8: the preconditioned GMRES leg. Bar: relative
+        # residual ||r|| <= 1e-8 * ||b|| (the solver's eps is absolute, so
+        # the bar is scaled by ||b||). Two configurations:
+        #   * --precond jacobi (reference-parity preconditioner): on the
+        #     generated problem the diagonal is the CONSTANT 27
+        #     (src/matrix.c:87-92), so right-Jacobi is a pure rescaling —
+        #     it converges exactly like the unpreconditioned solver. The
+        #     r4 "stagnation" was vs CG's absolute machine zero; against
+        #     the relative bar GMRES(30) does converge, and this leg
+        #     records where.
+        #   * Chebyshev(4) right polynomial preconditioning (the tuned
+        #     config): each Arnoldi step applies p4(A), so the 30-vector
+        #     basis spans a degree-150 Krylov space per cycle.
+        nb = float(np.linalg.norm(np.asarray(b, np.float64)))
+        eps8 = 1e-8 * nb
+        try:
+            inv_d = np.full(A.nr, 1.0 / 27.0, np.float32)
+            rj = solve_gmres(A, b, itermax=450, eps=eps8, restart=30,
+                             inv_diag=inv_d, verbose=False)
+            conv_j = rj.final_normr <= eps8
+            extra["gmres100_jacobi_iters_to_1e8"] = (
+                int(rj.iterations) if conv_j else -1)
+            extra["gmres100_jacobi_final_normr"] = float(
+                f"{rj.final_normr:.3e}")
+            extra["gmres100_jacobi_seconds"] = round(rj.solve_seconds, 4)
+            log(f"  gmres+jacobi 100^3 [f32, bar 1e-8 rel = {eps8:.2e}]: "
+                f"{rj.solve_seconds:.3f}s, "
+                f"{'converged at iter ' + str(int(rj.iterations)) if conv_j
+                   else 'NOT converged in ' + str(int(rj.iterations))}, "
+                f"final residual {rj.final_normr:.2e}")
+        except Exception as e:  # noqa: BLE001
+            log(f"gmres jacobi failed: {e!r}")
+        try:
+            from sparsebench_tpu.solvers.precond import cheb_precond_for
+
+            pc = cheb_precond_for(A, A.nr, np.float32, degree=4)
+            rp = solve_gmres(A, b, itermax=450, eps=eps8, restart=30,
+                             precond=pc, verbose=False)
+            conv_p = rp.final_normr <= eps8
+            extra["gmres100_cheb_iters_to_1e8"] = (
+                int(rp.iterations) if conv_p else -1)
+            extra["gmres100_cheb_final_normr"] = float(
+                f"{rp.final_normr:.3e}")
+            extra["gmres100_cheb_seconds"] = round(rp.solve_seconds, 4)
+            log(f"  gmres+cheb4 100^3 [f32, bar 1e-8 rel]: "
+                f"{rp.solve_seconds:.3f}s, "
+                f"{'converged at iter ' + str(int(rp.iterations)) if conv_p
+                   else 'NOT converged in ' + str(int(rp.iterations))} "
+                f"(x5 matvecs/iter), final residual {rp.final_normr:.2e}")
+        except Exception as e:  # noqa: BLE001
+            log(f"gmres cheb failed: {e!r}")
         try:  # .mtx ingest leg: klein band matrix via GMRES
             from sparsebench_tpu.formats import from_csr
             from sparsebench_tpu.host import HostCSR, read_mm
@@ -1032,6 +1198,13 @@ def main() -> int:
     )
 
     enable_compile_cache()  # setup times are compile-dominated (NOTES r3)
+    if args and args[0] == "warmsetup":
+        _ensure_device()
+        return bench_warmsetup()
+    if not args:
+        # full suite: run the warm-process probe BEFORE this process
+        # claims the chip (see _run_warmprobe)
+        _run_warmprobe()
     _ensure_device()
     # hard ceiling just above the soft per-section deadline: covers the
     # never-propagating-compile-error wedge (utils.py wedge mode 5)
