@@ -247,11 +247,11 @@ def stencil_cg_vmem_pallas(
         grid=(itermax,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # eps (1,1)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # r0 (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x0 (HBM, aliased)
+            pl.BlockSpec(memory_space=pl.ANY),    # r0 (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # x0 (HBM, aliased)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # x (HBM)
             pl.BlockSpec((1, 8, LANES), lambda k: (k, 0, 0),
                          memory_space=pltpu.VMEM),   # hist slab k
         ],
