@@ -398,6 +398,20 @@ def bench_warmsetup() -> int:
     from sparsebench_tpu.formats.bslab import BslabMatrix
 
     log(f"warmsetup devices: {jax.devices()}")
+    # Warm the device path with a trivial dispatch BEFORE timing: the
+    # relay's chip claim can stall a fresh process's FIRST execution for
+    # minutes (NOTES.md) — measured in-round: a warm probe read 137 s of
+    # claim wait as "compile" while serializing zero new executables.
+    # Setup must measure build+compile, not claim acquisition. The sync
+    # MUST be a data-dependent scalar readback — block_until_ready can
+    # return early through the relay (NOTES.md), and a bare-blocked
+    # warmup measured 1.65 s "claim" while the claim stall then surfaced
+    # inside the first real compile (130 s, zero new cache entries).
+    import jax.numpy as _jnp
+
+    t_claim = time.perf_counter()
+    float(_jnp.sum(_jnp.zeros((8, 128), _jnp.float32) + 1.0))
+    claim_s = time.perf_counter() - t_claim
     policy = DTypePolicy.from_names("f32", "i32")
     t0 = time.perf_counter()
     A, _ = BslabMatrix.from_stencil(n, n, n, policy=policy)
@@ -411,6 +425,7 @@ def bench_warmsetup() -> int:
         "probe": "warmsetup", "setup": round(setup, 2),
         "build": round(build, 2),
         "compile": round(max(setup - build, 0.0), 2),
+        "claim": round(claim_s, 2),
         "cache_before": before, "cache_after": _cache_entries(),
     }), flush=True)
     return 0
@@ -452,17 +467,24 @@ def _run_warmprobe() -> None:
             log(f"warmprobe {tag}: no result (rc={out.returncode}): {tail}")
             return
         log(f"warmprobe {tag}: setup {rec['setup']}s = compile "
-            f"{rec['compile']}s + build {rec['build']}s, cache "
+            f"{rec['compile']}s + build {rec['build']}s (claim/init "
+            f"{rec.get('claim', 0)}s, excluded), cache "
             f"{rec['cache_before']} -> {rec['cache_after']} entries")
         results.append(rec)
     prime, warm = results
     _WARMPROBE["setup200_cold_process_seconds"] = prime["setup"]
     _WARMPROBE["setup200_warm_process_seconds"] = warm["setup"]
     # hit = the warm process serialized no new executables AND its
-    # compile share collapsed vs the prime run (deserialize+load is
-    # not free, but it is not a 3.4 s XLA compile either)
+    # compile share sits at the trace/lower/load floor rather than a
+    # full XLA compile. Measured on the dev chip (r5): cold-cache
+    # process 19.9 s, warm-cache process 4.3-4.4 s — the persistent
+    # cache skips only the XLA compile; jax's trace+lower of the
+    # 16-tile-block build plus the relay executable load is the ~4 s
+    # residual (same floor as the in-process setup200_bslab_compile).
+    # The 6 s absolute threshold sits above that floor and well under
+    # the ~20 s cold compile; 0.5*prime covers a cold prime run.
     hit = (warm["cache_after"] == warm["cache_before"]
-           and warm["compile"] <= max(1.5, 0.5 * prime["compile"]))
+           and warm["compile"] <= max(6.0, 0.5 * prime["compile"]))
     _WARMPROBE["compile_cache_hit"] = int(hit)
     if not hit:
         log("warmprobe: cache MISS on the warm run — persistent-cache "
