@@ -444,7 +444,12 @@ def _run_warmprobe() -> None:
     results = []
     t_probe = time.monotonic()
     for tag in ("prime", "warm"):
-        if tag == "warm" and time.monotonic() - t_probe > 500:
+        # a claim stall can legitimately eat ~450 s of the prime run
+        # (absorbed into its warmup, excluded from the metric) — the
+        # warm run's own stall is then bounded by the prime's SHORT
+        # hold (~2-3 min), so allow it whenever the prime succeeded
+        # inside 700 s
+        if tag == "warm" and time.monotonic() - t_probe > 700:
             log("warmprobe: prime run ate the probe budget; skipping warm")
             return
         try:

@@ -117,16 +117,26 @@ def _cg_kernel(
             return vc, vc
         return apply_real(v)
 
+    def lane_sum(v):
+        # sublane-only reduction to a (1, LANES) lane vector — the cheap
+        # VPU direction. Scalar dots accumulate these per slab and pay
+        # the cross-lane shuffle reduction ONCE per pass: with 3 dot
+        # passes x n_slabs full jnp.sum()s the skeleton (probe knobs
+        # noapply+nox) measured 161 us/iteration; per-slab scalar
+        # reductions were the dominant per-iteration fixed cost.
+        return jnp.sum(v, axis=0, keepdims=True)
+
     @pl.when(k == 0)
     def _init():
         cp = pltpu.make_async_copy(r0_hbm, r_s, sem_r)
         cp.start()
         cp.wait()
         p_s[...] = jnp.zeros(p_s.shape, f32)
-        acc = jnp.zeros((), f32)
+        accv = jnp.zeros((1, LANES), f32)
         for a in range(n_slabs):
             rc = r_s[interior(a), :]
-            acc = acc + jnp.sum(rc * rc)
+            accv = accv + lane_sum(rc * rc)
+        acc = jnp.sum(accv)
         smem[0] = acc          # rtrans
         smem[1] = acc          # rtrans_prev
         smem[2] = jnp.zeros((), f32)  # done flag
@@ -148,69 +158,80 @@ def _cg_kernel(
             active, jnp.full((1, 8, LANES), normr, f32),
             jnp.full((1, 8, LANES), jnp.nan, f32),
         )
-        # beta: k == 1 reuses rtrans0 (reference first-iteration case)
-        beta = jnp.where(
-            jnp.logical_or(k == 1, rtrans_prev == 0),
-            jnp.zeros((), f32), rtrans / jnp.where(rtrans_prev == 0, 1,
-                                                   rtrans_prev),
-        )
-        # pass A1: p = r + beta*p (frozen state passes through untouched)
-        for a in range(n_slabs):
-            sl = interior(a)
-            pv = p_s[sl, :]
-            p_s[sl, :] = jnp.where(active, r_s[sl, :] + beta * pv, pv)
-        # pass A2: pAp = p . A p, apply recomputed from resident p
-        pap = jnp.zeros((), f32)
-        for a in range(n_slabs):
-            vc, w = apply_w(p_s[window(a), :])
-            pap = pap + jnp.sum(w * vc)
-        breakdown = pap <= rtrans * 1e-30
-        alpha = jnp.where(
-            jnp.logical_and(active, jnp.logical_not(breakdown)),
-            rtrans / jnp.where(pap == 0, 1, pap), jnp.zeros((), f32),
-        )
-
-        # pass B: r -= alpha * A p (recomputed), rtrans' = r.r, and the
-        # double-buffered x stream: x_slab += alpha * p_slab
-        def xin(slot, a):
-            return pltpu.make_async_copy(
-                x_hbm.at[interior(a), :], xbuf.at[slot], sem_xi.at[slot]
+        # The whole body runs under ONE scalar branch: a frozen/converged
+        # iteration touches nothing (r/p/x/smem unchanged — the NaN
+        # history slot above is the only trace), and the hot path drops
+        # the per-element jnp.where(active, ...) selects the r5 first cut
+        # carried (two full-vector select passes per iteration). A single
+        # per-grid-step branch around big work is NOT the per-slice
+        # branching NOTES.md warns about.
+        @pl.when(active)
+        def _body():
+            # beta: k == 1 reuses rtrans0 (reference first-iteration case)
+            beta = jnp.where(
+                jnp.logical_or(k == 1, rtrans_prev == 0),
+                jnp.zeros((), f32), rtrans / jnp.where(rtrans_prev == 0, 1,
+                                                       rtrans_prev),
+            )
+            # pass A1: p = r + beta*p
+            for a in range(n_slabs):
+                sl = interior(a)
+                p_s[sl, :] = r_s[sl, :] + beta * p_s[sl, :]
+            # pass A2: pAp = p . A p, apply recomputed from resident p
+            papv = jnp.zeros((1, LANES), f32)
+            for a in range(n_slabs):
+                vc, w = apply_w(p_s[window(a), :])
+                papv = papv + lane_sum(w * vc)
+            pap = jnp.sum(papv)
+            breakdown = pap <= rtrans * 1e-30
+            # under breakdown alpha = 0: r/x pass through unchanged and
+            # nrt recomputes to rtrans — the freeze semantics of the XLA
+            # loops (solvers/cg.py safe_div guard)
+            alpha = jnp.where(
+                breakdown, jnp.zeros((), f32),
+                rtrans / jnp.where(pap == 0, 1, pap),
             )
 
-        def xout(slot, a):
-            return pltpu.make_async_copy(
-                xbuf.at[slot], x_hbm.at[interior(a), :], sem_xo.at[slot]
-            )
+            # pass B: r -= alpha * A p (recomputed), rtrans' = r.r, and
+            # the double-buffered x stream: x_slab += alpha * p_slab
+            def xin(slot, a):
+                return pltpu.make_async_copy(
+                    x_hbm.at[interior(a), :], xbuf.at[slot], sem_xi.at[slot]
+                )
 
-        stream_x = "nox" not in _probe
-        if stream_x:
-            xin(0, 0).start()
-        nrt = jnp.zeros((), f32)
-        for a in range(n_slabs):
-            if stream_x and a + 1 < n_slabs:
-                if a >= 1:
-                    # the incoming chunk's slot must be clear of its
-                    # previous out-DMA before the in-DMA overwrites it
-                    xout((a + 1) % 2, a - 1).wait()
-                xin((a + 1) % 2, a + 1).start()
-            vc, w = apply_w(p_s[window(a), :])
-            sl = interior(a)
-            rv = r_s[sl, :] - alpha * w
-            r_s[sl, :] = rv
-            nrt = nrt + jnp.sum(rv * rv)
+            def xout(slot, a):
+                return pltpu.make_async_copy(
+                    xbuf.at[slot], x_hbm.at[interior(a), :], sem_xo.at[slot]
+                )
+
+            stream_x = "nox" not in _probe
             if stream_x:
-                xin(a % 2, a).wait()
-                xbuf[a % 2] = xbuf[a % 2] + alpha * vc
-                xout(a % 2, a).start()
-        if stream_x:
-            xout((n_slabs - 1) % 2, n_slabs - 1).wait()
-            if n_slabs > 1:
-                xout((n_slabs - 2) % 2, n_slabs - 2).wait()
+                xin(0, 0).start()
+            nrtv = jnp.zeros((1, LANES), f32)
+            for a in range(n_slabs):
+                if stream_x and a + 1 < n_slabs:
+                    if a >= 1:
+                        # the incoming chunk's slot must be clear of its
+                        # previous out-DMA before the in-DMA overwrites it
+                        xout((a + 1) % 2, a - 1).wait()
+                    xin((a + 1) % 2, a + 1).start()
+                vc, w = apply_w(p_s[window(a), :])
+                sl = interior(a)
+                rv = r_s[sl, :] - alpha * w
+                r_s[sl, :] = rv
+                nrtv = nrtv + lane_sum(rv * rv)
+                if stream_x:
+                    xin(a % 2, a).wait()
+                    xbuf[a % 2] = xbuf[a % 2] + alpha * vc
+                    xout(a % 2, a).start()
+            if stream_x:
+                xout((n_slabs - 1) % 2, n_slabs - 1).wait()
+                if n_slabs > 1:
+                    xout((n_slabs - 2) % 2, n_slabs - 2).wait()
 
-        smem[0] = jnp.where(active, nrt, rtrans)
-        smem[1] = jnp.where(active, rtrans, rtrans_prev)
-        smem[2] = jnp.where(jnp.logical_and(active, breakdown),
-                            jnp.ones((), f32), done)
+            smem[0] = jnp.sum(nrtv)
+            smem[1] = rtrans
+            smem[2] = jnp.where(breakdown, jnp.ones((), f32), done)
 
 
 @functools.partial(
@@ -269,6 +290,13 @@ def stencil_cg_vmem_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((8,), dt),
         ],
+        # the lane-partial dot accumulators grew the Mosaic vector stack
+        # ~1 MB past the default 16 MB scoped limit; this v5e accepts a
+        # raised limit (NOTES.md r3: 112 MB operands compile and stream).
+        # 32 MB also admits SB_VMEM_TZ slab-granularity experiments.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ) if not interpret else None,
         interpret=interpret,
     )(jnp.reshape(eps.astype(dt), (1, 1)), r0, x0)
     return x_out, hist[:, 0, 0]
