@@ -1,0 +1,148 @@
+"""Unit tests for bench.py's driver-facing plumbing (CPU-only).
+
+Covers the two pieces whose failure modes cost whole rounds of
+evidence: the emit() tail-window guarantee (round 4's headline was lost
+to a truncated JSON line — VERDICT r4 next #1) and the warm-process
+probe's parsing + cache-hit adjudication (VERDICT r4 next #6). The
+probe's subprocess side is smoke-tested end-to-end on the chip by the
+suite itself; here the parent logic runs against canned subprocess
+results so the criteria are pinned without TPU access.
+"""
+
+import importlib.util
+import io
+import json
+import subprocess
+from contextlib import redirect_stdout
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _emit_lines(bench, payload):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.emit(dict(payload), rc=0)
+    return buf.getvalue().splitlines()
+
+
+def test_emit_small_payload_single_line(bench):
+    lines = _emit_lines(bench, {"metric": "m", "value": 1.0, "unit": "s",
+                                "vs_baseline": 2.0, "extra": {"a": 1}})
+    assert len(lines) == 1
+    assert json.loads(lines[0])["metric"] == "m"
+
+
+def test_emit_oversized_payload_appends_parseable_compact_line(bench):
+    # an extras dict guaranteed to overflow the tail budget
+    extra = {f"filler_{i:03d}": 1.23456789e8 for i in range(200)}
+    extra["stream_triad_GBps"] = 684.0  # priority key must survive
+    payload = {"metric": "cg_seconds", "value": 0.025, "unit": "s",
+               "vs_baseline": 256.0, "extra": extra}
+    lines = _emit_lines(bench, payload)
+    assert len(lines) == 2
+    assert len(json.dumps(payload)) > bench._TAIL_BUDGET
+    compact = json.loads(lines[-1])
+    # the LAST line fits the driver's tail window and carries the claim
+    assert len(lines[-1]) <= bench._TAIL_BUDGET
+    assert compact["metric"] == "cg_seconds"
+    assert compact["value"] == 0.025
+    assert compact["vs_baseline"] == 256.0
+    assert compact["extra"]["stream_triad_GBps"] == 684.0
+    assert compact["extra_dropped"] > 0
+
+
+def _probe_result(stdout_rec):
+    return subprocess.CompletedProcess(
+        args=[], returncode=0, stdout=json.dumps(stdout_rec) + "\n",
+        stderr="",
+    )
+
+
+def _run_probe_with(bench, monkeypatch, recs):
+    # _run_warmprobe imports subprocess locally: patch the real module
+    calls = iter(recs)
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: _probe_result(next(calls)))
+    bench._WARMPROBE.clear()
+    bench._run_warmprobe()
+    return dict(bench._WARMPROBE)
+
+
+@pytest.fixture()
+def probe_env(bench, monkeypatch):
+    monkeypatch.delenv("SB_SKIP_WARMPROBE", raising=False)
+    monkeypatch.delenv("SB_NO_COMPILE_CACHE", raising=False)
+    yield
+    bench._WARMPROBE.clear()
+
+
+def _rec(setup, build, compile_s, before, after):
+    return {"probe": "warmsetup", "setup": setup, "build": build,
+            "compile": compile_s, "cache_before": before,
+            "cache_after": after}
+
+
+def test_warmprobe_cold_prime_then_hit(bench, monkeypatch, probe_env):
+    out = _run_probe_with(bench, monkeypatch, [
+        _rec(19.9, 0.1, 19.8, 4, 5),    # cold prime, serializes an entry
+        _rec(4.4, 0.1, 4.3, 5, 5),      # warm: no new entries, floor compile
+    ])
+    assert out["setup200_cold_process_seconds"] == 19.9
+    assert out["setup200_warm_process_seconds"] == 4.4
+    assert out["compile_cache_hit"] == 1
+
+
+def test_warmprobe_both_warm_uses_absolute_floor(bench, monkeypatch,
+                                                 probe_env):
+    # prime also hit the cache: 0.5*prime.compile would wrongly flag a
+    # miss — the 6 s absolute floor (above the measured ~4.3 s
+    # trace/lower/load residual) must adjudicate
+    out = _run_probe_with(bench, monkeypatch, [
+        _rec(4.3, 0.1, 4.2, 51, 51),
+        _rec(4.5, 0.1, 4.4, 51, 51),
+    ])
+    assert out["compile_cache_hit"] == 1
+
+
+def test_warmprobe_miss_on_new_entries_or_slow_compile(bench, monkeypatch,
+                                                       probe_env):
+    out = _run_probe_with(bench, monkeypatch, [
+        _rec(19.9, 0.1, 19.8, 4, 5),
+        _rec(19.7, 0.1, 19.6, 5, 6),    # still compiling + serializing
+    ])
+    assert out["compile_cache_hit"] == 0
+
+
+def test_warmprobe_skip_env(bench, monkeypatch, probe_env):
+    monkeypatch.setenv("SB_SKIP_WARMPROBE", "1")
+    bench._WARMPROBE.clear()
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("subprocess must not run under skip")
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    bench._run_warmprobe()
+    assert bench._WARMPROBE == {}
+
+
+def test_warmprobe_garbage_output_degrades_to_nothing(bench, monkeypatch,
+                                                      probe_env):
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda *a, **k: subprocess.CompletedProcess(
+            args=[], returncode=1, stdout="no json here\n", stderr="boom"),
+    )
+    bench._WARMPROBE.clear()
+    bench._run_warmprobe()
+    assert bench._WARMPROBE == {}
