@@ -49,12 +49,22 @@ from sparsebench_tpu.ops.stencil_pallas import _apply_window, pad_dims
 LANES = 128
 
 # VMEM plan: 2 resident vectors + 2 x-chunk slots + ~3 live apply
-# windows must fit ~14 MB (16 MB/core minus Mosaic headroom).
+# windows. The CONSERVATIVE tier assumes the generic ~16 MB/core scoped
+# VMEM; the BIG tier is for the v5/v6 generations whose 128 MB VMEM is
+# measured (NOTES.md r3: 112 MB limits compile and stream) and engages
+# ONLY when the conservative plan does not fit — at small grids the
+# conservative plan's tz choice is also the measured-fastest (100^3:
+# tz=10 beats 25/50 on chip), so a fitting small problem never widens.
 _RESIDENT_BUDGET = 12 * 1024 * 1024
 _TEMP_BUDGET = 2 * 1024 * 1024
+_RESIDENT_BUDGET_BIG = 96 * 1024 * 1024
+_TEMP_BUDGET_BIG = 15 * 1024 * 1024
+_VMEM_LIMIT = 32 * 1024 * 1024
+_VMEM_LIMIT_BIG = 112 * 1024 * 1024
 
 
-def choose_tz_cg(nz: int, plane_bytes: int) -> int:
+def choose_tz_cg(nz: int, plane_bytes: int,
+                 temp_budget: int = _TEMP_BUDGET) -> int:
     """Largest divisor of nz whose ~3 live (tz+2)-plane apply windows fit
     the temp budget, capped at 16 slabs of unroll (two applies per slab
     per iteration are unrolled in the program). SB_VMEM_TZ overrides
@@ -68,7 +78,7 @@ def choose_tz_cg(nz: int, plane_bytes: int) -> int:
     for tz in range(1, nz + 1):
         if nz % tz:
             continue
-        if 3 * (tz + 2) * plane_bytes > _TEMP_BUDGET:
+        if 3 * (tz + 2) * plane_bytes > temp_budget:
             continue
         if nz // tz > 16:
             continue
@@ -76,13 +86,36 @@ def choose_tz_cg(nz: int, plane_bytes: int) -> int:
     return best
 
 
-def vmem_cg_viable(nx: int, ny: int, nz: int) -> bool:
+def _plan(nx: int, ny: int, nz: int, isz: int = 4):
+    """(tz, big) for a viable residency plan, or None.
+
+    x-dbuf slots (2*tz planes) ride inside the temp margin at the
+    conservative tier; at the big tier they are charged explicitly so
+    the 112 MB limit holds (200^3/tz=20: 86 resident + 14 windows +
+    8.5 dbuf ~ 110 MB)."""
     nxp, nyp = pad_dims(nx, ny, nz)
-    plane = nyp * nxp * 4
+    plane = nyp * nxp * isz
     rows = (nz + 2) * nyp
-    if 2 * rows * nxp * 4 > _RESIDENT_BUDGET:
-        return False
-    return choose_tz_cg(nz, plane) > 0
+    tz = choose_tz_cg(nz, plane)
+    if tz and 2 * rows * nxp * isz <= _RESIDENT_BUDGET:
+        return tz, False
+    from sparsebench_tpu.ops.dia_pallas import _conservative_vmem
+
+    if _conservative_vmem():
+        return None
+    tz = choose_tz_cg(nz, plane, _TEMP_BUDGET_BIG)
+    if not tz:
+        return None
+    total = (2 * rows * nxp * isz          # r + p resident
+             + 3 * (tz + 2) * plane        # live apply windows
+             + 2 * tz * plane)             # x dbuf slots
+    if total > _VMEM_LIMIT_BIG - 2 * 1024 * 1024:  # stack margin
+        return None
+    return tz, True
+
+
+def vmem_cg_viable(nx: int, ny: int, nz: int) -> bool:
+    return _plan(nx, ny, nz) is not None
 
 
 def _cg_kernel(
@@ -132,7 +165,7 @@ def _cg_kernel(
         cp.start()
         cp.wait()
         p_s[...] = jnp.zeros(p_s.shape, f32)
-        accv = jnp.zeros((1, LANES), f32)
+        accv = jnp.zeros((1, r_s.shape[1]), f32)
         for a in range(n_slabs):
             rc = r_s[interior(a), :]
             accv = accv + lane_sum(rc * rc)
@@ -178,7 +211,7 @@ def _cg_kernel(
                 sl = interior(a)
                 p_s[sl, :] = r_s[sl, :] + beta * p_s[sl, :]
             # pass A2: pAp = p . A p, apply recomputed from resident p
-            papv = jnp.zeros((1, LANES), f32)
+            papv = jnp.zeros((1, r_s.shape[1]), f32)
             for a in range(n_slabs):
                 vc, w = apply_w(p_s[window(a), :])
                 papv = papv + lane_sum(w * vc)
@@ -207,7 +240,7 @@ def _cg_kernel(
             stream_x = "nox" not in _probe
             if stream_x:
                 xin(0, 0).start()
-            nrtv = jnp.zeros((1, LANES), f32)
+            nrtv = jnp.zeros((1, r_s.shape[1]), f32)
             for a in range(n_slabs):
                 if stream_x and a + 1 < n_slabs:
                     if a >= 1:
@@ -252,13 +285,13 @@ def stencil_cg_vmem_pallas(
     rows = (nz + 2) * nyp
     dt = r0.dtype
     isz = jnp.dtype(dt).itemsize
-    plane = nyp * nxp * isz
-    tz = choose_tz_cg(nz, plane)
-    if tz == 0 or 2 * rows * nxp * isz > _RESIDENT_BUDGET:
+    plan = _plan(nx, ny, nz, isz)
+    if plan is None:
         raise ValueError(
             f"vmem CG not viable at {nx}x{ny}x{nz} (resident "
-            f"{2 * rows * nxp * isz / 2**20:.1f} MB, tz={tz})"
+            f"{2 * rows * nxp * isz / 2**20:.1f} MB)"
         )
+    tz, big = plan
     kernel = functools.partial(
         _cg_kernel, nx=nx, ny=ny, nz=nz, nxp=nxp, nyp=nyp, tz=tz,
         use_7pt=use_7pt,
@@ -293,9 +326,10 @@ def stencil_cg_vmem_pallas(
         # the lane-partial dot accumulators grew the Mosaic vector stack
         # ~1 MB past the default 16 MB scoped limit; this v5e accepts a
         # raised limit (NOTES.md r3: 112 MB operands compile and stream).
-        # 32 MB also admits SB_VMEM_TZ slab-granularity experiments.
+        # 32 MB also admits SB_VMEM_TZ slab-granularity experiments; the
+        # big tier (200^3-class residency) uses the measured 112 MB.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_LIMIT_BIG if big else _VMEM_LIMIT,
         ) if not interpret else None,
         interpret=interpret,
     )(jnp.reshape(eps.astype(dt), (1, 1)), r0, x0)

@@ -73,7 +73,12 @@ def make_spmm_kn(A) -> Callable[[jnp.ndarray], jnp.ndarray]:
     and for pallas-backed formats (bslab/bsell on TPU) the vmap adds a
     batch grid dimension that is exercised by
     tests/test_cg_multi.py::test_spmm_vmap_over_pallas (interpret mode)
-    and the bench's TPU run. Row-permuting formats (SELL) are applied
+    and the bench's TPU run. A dedicated bslab/bsell spmm kernel is
+    deliberately NOT built: on TPU those formats are bound by x-GATHER
+    units, not by the value stream (docs/DESIGN.md "RGL gather wall" —
+    time tracks gathers, and every RHS needs its own gathered table),
+    so k-fold value-stream amortization would not materialize; DIA is
+    gather-free, which is exactly why it carries the real spmm. Row-permuting formats (SELL) are applied
     in permuted space, matching the single-RHS solvers' convention
     (solvers/cg.py _make_helpers).
     """
