@@ -169,10 +169,17 @@ def measure_stream_triad(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(iters), timed(3 * iters)
-    dt = (t_hi - t_lo) / (2 * iters)
-    if dt <= 0:
-        dt = t_hi / (3 * iters)
+    def differential():
+        t_lo, t_hi = timed(iters), timed(3 * iters)
+        dt = (t_hi - t_lo) / (2 * iters)
+        if dt <= 0:
+            dt = t_hi / (3 * iters)
+        return dt
+
+    # slower of two estimates: a jitter-inflated t_lo deflates dt and
+    # can print a rate above the pin bandwidth (same guard as
+    # spmv_chain_stats; a v3-run read-roof measured 1370 GB/s > 819)
+    dt = max(differential(), differential())
     return 3.0 * 4.0 * n_floats / dt / 1e9
 
 
@@ -207,10 +214,15 @@ def measure_stream_read(n_floats: int = 64 * 1024 * 1024, iters: int = 20,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(iters), timed(3 * iters)
-    dt = (t_hi - t_lo) / (2 * iters)
-    if dt <= 0:
-        dt = t_hi / (3 * iters)
+    def differential():
+        t_lo, t_hi = timed(iters), timed(3 * iters)
+        dt = (t_hi - t_lo) / (2 * iters)
+        if dt <= 0:
+            dt = t_hi / (3 * iters)
+        return dt
+
+    # slower of two estimates (see measure_stream_triad)
+    dt = max(differential(), differential())
     return 4.0 * n_floats / dt / 1e9
 
 
@@ -450,7 +462,14 @@ def _run_warmprobe() -> None:
     cmd = [sys.executable, os.path.abspath(__file__), "warmsetup"]
     results = []
     t_probe = time.monotonic()
-    for tag in ("prime", "warm"):
+    # A well-populated cache means previous runs already primed it: one
+    # subprocess (the warm measurement) suffices, halving the exposure
+    # to the relay's post-hard-exit claim stalls (observed 340-1195 s;
+    # a stall beyond the timeout forfeits the probe entirely — r5 saw
+    # two forfeited runs at the 2-probe design's combined exposure).
+    primed = _cache_entries() >= 20
+    tags = ("warm",) if primed else ("prime", "warm")
+    for tag in tags:
         # a claim stall can legitimately eat ~450 s of the prime run
         # (absorbed into its warmup, excluded from the metric) — the
         # warm run's own stall is then bounded by the prime's SHORT
@@ -461,11 +480,11 @@ def _run_warmprobe() -> None:
             return
         try:
             out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=600,
+                cmd, capture_output=True, text=True, timeout=750,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
         except subprocess.TimeoutExpired:
-            log(f"warmprobe {tag}: timed out (600s); skipping")
+            log(f"warmprobe {tag}: timed out (750s); skipping")
             return
         rec = None
         for line in out.stdout.splitlines():
@@ -483,8 +502,9 @@ def _run_warmprobe() -> None:
             f"{rec.get('claim', 0)}s, excluded), cache "
             f"{rec['cache_before']} -> {rec['cache_after']} entries")
         results.append(rec)
-    prime, warm = results
-    _WARMPROBE["setup200_cold_process_seconds"] = prime["setup"]
+    warm = results[-1]
+    if len(results) == 2:
+        _WARMPROBE["setup200_cold_process_seconds"] = results[0]["setup"]
     _WARMPROBE["setup200_warm_process_seconds"] = warm["setup"]
     # hit = the warm process serialized no new executables AND its
     # compile share sits at the trace/lower/load floor rather than a
@@ -495,8 +515,11 @@ def _run_warmprobe() -> None:
     # residual (same floor as the in-process setup200_bslab_compile).
     # The 6 s absolute threshold sits above that floor and well under
     # the ~20 s cold compile; 0.5*prime covers a cold prime run.
+    floor = 6.0
+    if len(results) == 2:
+        floor = max(floor, 0.5 * results[0]["compile"])
     hit = (warm["cache_after"] == warm["cache_before"]
-           and warm["compile"] <= max(6.0, 0.5 * prime["compile"]))
+           and warm["compile"] <= floor)
     _WARMPROBE["compile_cache_hit"] = int(hit)
     if not hit:
         log("warmprobe: cache MISS on the warm run — persistent-cache "
@@ -550,7 +573,16 @@ def run_suite() -> int:
         # kernel measures 790-798 — above every measured ceiling, under
         # nominal. Only an upper-bound denominator keeps the <= 1.0
         # invariant honest (VERDICT r3 next #5).
-        roof = max(stream, read_bw, NOMINAL_HBM_GBPS)
+        # a MEASURED ceiling above the pin bandwidth is a timing
+        # artifact, not a ceiling (the pin rate bounds every stream);
+        # letting it into the max() corrupts the denominator upward and
+        # deflates every fraction (a v3 dress-rehearsal read 1370 GB/s)
+        meas = [v for v in (stream, read_bw)
+                if v <= NOMINAL_HBM_GBPS * 1.02]
+        roof = max([NOMINAL_HBM_GBPS, *meas])
+        if len(meas) < 2:
+            log("WARNING: a measured stream ceiling exceeded the pin "
+                "bandwidth and was excluded from the denominator")
         log(f"STREAM read-only: {read_bw:.1f} GB/s "
             f"(physical-fraction denominator = {roof:.1f} "
             f"[max incl. nominal])")

@@ -69,11 +69,14 @@ def _probe_result(stdout_rec):
     )
 
 
-def _run_probe_with(bench, monkeypatch, recs):
-    # _run_warmprobe imports subprocess locally: patch the real module
+def _run_probe_with(bench, monkeypatch, recs, cache_entries=4):
+    # _run_warmprobe imports subprocess locally: patch the real module.
+    # cache_entries < 20 selects the two-probe (prime + warm) path;
+    # >= 20 the primed single-probe path.
     calls = iter(recs)
     monkeypatch.setattr(subprocess, "run",
                         lambda *a, **k: _probe_result(next(calls)))
+    monkeypatch.setattr(bench, "_cache_entries", lambda: cache_entries)
     bench._WARMPROBE.clear()
     bench._run_warmprobe()
     return dict(bench._WARMPROBE)
@@ -103,16 +106,24 @@ def test_warmprobe_cold_prime_then_hit(bench, monkeypatch, probe_env):
     assert out["compile_cache_hit"] == 1
 
 
-def test_warmprobe_both_warm_uses_absolute_floor(bench, monkeypatch,
-                                                 probe_env):
-    # prime also hit the cache: 0.5*prime.compile would wrongly flag a
-    # miss — the 6 s absolute floor (above the measured ~4.3 s
-    # trace/lower/load residual) must adjudicate
+def test_warmprobe_primed_cache_single_probe(bench, monkeypatch, probe_env):
+    # a populated cache (>= 20 entries) runs ONE subprocess: the 6 s
+    # absolute floor (above the measured ~4.3 s trace/lower/load
+    # residual) adjudicates the hit without a prime reference
     out = _run_probe_with(bench, monkeypatch, [
-        _rec(4.3, 0.1, 4.2, 51, 51),
         _rec(4.5, 0.1, 4.4, 51, 51),
-    ])
+    ], cache_entries=51)
+    assert "setup200_cold_process_seconds" not in out
+    assert out["setup200_warm_process_seconds"] == 4.5
     assert out["compile_cache_hit"] == 1
+
+
+def test_warmprobe_primed_cache_slow_compile_is_miss(bench, monkeypatch,
+                                                     probe_env):
+    out = _run_probe_with(bench, monkeypatch, [
+        _rec(19.7, 0.1, 19.6, 51, 51),
+    ], cache_entries=51)
+    assert out["compile_cache_hit"] == 0
 
 
 def test_warmprobe_miss_on_new_entries_or_slow_compile(bench, monkeypatch,
