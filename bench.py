@@ -417,19 +417,26 @@ def bench_warmsetup() -> int:
     from sparsebench_tpu.formats.bslab import BslabMatrix
 
     log(f"warmsetup devices: {jax.devices()}")
-    # Warm the device path with a trivial dispatch BEFORE timing: the
-    # relay's chip claim can stall a fresh process's FIRST execution for
-    # minutes (NOTES.md) — measured in-round: a warm probe read 137 s of
-    # claim wait as "compile" while serializing zero new executables.
-    # Setup must measure build+compile, not claim acquisition. The sync
-    # MUST be a data-dependent scalar readback — block_until_ready can
-    # return early through the relay (NOTES.md), and a bare-blocked
-    # warmup measured 1.65 s "claim" while the claim stall then surfaced
-    # inside the first real compile (130 s, zero new cache entries).
+    # Warm the device path BEFORE timing: the relay's chip claim can
+    # stall a fresh process's FIRST execution for minutes (NOTES.md) —
+    # measured in-round: a warm probe read 137 s of claim wait as
+    # "compile" while serializing zero new executables. Setup must
+    # measure build+compile, not claim acquisition. Two rules learned
+    # the hard way: (1) the sync MUST be a data-dependent scalar
+    # readback — block_until_ready can return early through the relay,
+    # and a bare-blocked warmup measured 1.65 s "claim" while the stall
+    # surfaced inside the first real compile; (2) the warmup must
+    # exercise the REMOTE-COMPILE path too, not just dispatch — a
+    # tiny-op warmup returned in 47 s while the first big compile then
+    # absorbed ~10 s of residual claim settling (14.5 s "compile" with
+    # zero new cache entries). The jitted matmul below goes through the
+    # same compile helper + executable load as the timed build.
     import jax.numpy as _jnp
 
     t_claim = time.perf_counter()
     float(_jnp.sum(_jnp.zeros((8, 128), _jnp.float32) + 1.0))
+    m = _jnp.ones((512, 512), _jnp.float32)
+    float(jax.jit(lambda a: _jnp.sum(a @ a))(m))
     claim_s = time.perf_counter() - t_claim
     policy = DTypePolicy.from_names("f32", "i32")
     t0 = time.perf_counter()
