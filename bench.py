@@ -78,7 +78,7 @@ _COMPACT_PRIORITY = (
     "spmv_frac_of_stream", "spmv_effective_frac_of_stream",
     "spmv_general_phys_frac_of_stream",
     "cg100_fused_seconds", "cg100_vmem_seconds", "cg100_variant",
-    "cg200_seconds",
+    "cg200_seconds", "cg200_vmem_seconds", "cg200_variant",
     "setup200_warm_process_seconds", "compile_cache_hit",
     "setup200_cold_process_seconds",
     "setup200_bslab_compile_seconds", "setup200_bslab_build_seconds",
