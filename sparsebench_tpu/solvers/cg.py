@@ -545,6 +545,16 @@ def cg_vmem_loop(
     from sparsebench_tpu.ops.stencil_cg_vmem import stencil_cg_vmem_pallas
     from sparsebench_tpu.ops.stencil_pallas import pad_dims
 
+    # bf16 working vectors would make the kernel's resident recurrence
+    # AND its dot accumulations bf16 (r_s.dtype is the compute dtype) —
+    # an 8-bit-mantissa CG that diverges from every other variant's
+    # f32-accumulation discipline. The operator stores no matrix values,
+    # so running the loop in f32 costs only the vectors' width (same
+    # choice as the Arnoldi/Lanczos solvers' f32 working vectors).
+    vdt = b.dtype
+    if vdt == jnp.bfloat16:
+        b = b.astype(jnp.float32)
+        x0 = x0.astype(jnp.float32)
     nxp, nyp = pad_dims(A.nx, A.ny, A.nz)
     rows = (A.nz + 2) * nyp
     r0 = b - A.spmv_permuted(x0)
@@ -555,8 +565,8 @@ def cg_vmem_loop(
         interpret=jax.default_backend() in ("cpu",),
     )
     k = jnp.sum(jnp.logical_not(jnp.isnan(hist))).astype(jnp.int32)
-    sdt = default_acc_dtype(b.dtype, acc_dtype)
-    return x.reshape(-1), k, hist.astype(sdt)
+    sdt = default_acc_dtype(vdt, acc_dtype)
+    return x.reshape(-1).astype(vdt), k, hist.astype(sdt)
 
 
 def cg_loop(
