@@ -353,3 +353,27 @@ def test_cg_vmem_variant_rejects_unsupported():
     _, b, _ = init_vectors(csr)
     with pytest.raises(ValueError, match="vmem"):
         solve_cg(A, b, itermax=5, verbose=False, variant="vmem")
+
+
+def test_vmem_plan_tiers(monkeypatch):
+    """The two-tier residency plan (ops/stencil_cg_vmem._plan): the
+    conservative tier serves VMEM-sized grids everywhere (and keeps the
+    measured-optimal tz=10 at 100^3 even when the big tier is
+    available); the big tier serves 200^3-class residency ONLY on
+    backends whose 128 MB VMEM is measured (r5)."""
+    from sparsebench_tpu.ops import dia_pallas, stencil_cg_vmem as scv
+
+    # conservative backend (this CPU test environment)
+    monkeypatch.setattr(dia_pallas, "_conservative_vmem", lambda: True)
+    assert scv._plan(100, 100, 100) == (10, False)
+    assert scv._plan(200, 200, 200) is None
+    assert scv.vmem_cg_viable(100, 100, 100)
+    assert not scv.vmem_cg_viable(200, 200, 200)
+
+    # measured-128MB generation: 200^3 fits the big tier (tz=20 under
+    # the 112 MB limit); 100^3 still takes the conservative plan
+    monkeypatch.setattr(dia_pallas, "_conservative_vmem", lambda: False)
+    assert scv._plan(100, 100, 100) == (10, False)
+    assert scv._plan(200, 200, 200) == (20, True)
+    # far beyond any budget stays non-viable
+    assert scv._plan(400, 400, 400) is None
