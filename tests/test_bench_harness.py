@@ -157,3 +157,19 @@ def test_warmprobe_garbage_output_degrades_to_nothing(bench, monkeypatch,
     bench._WARMPROBE.clear()
     bench._run_warmprobe()
     assert bench._WARMPROBE == {}
+
+
+def test_roofline_denominator(bench):
+    nom = bench.NOMINAL_HBM_GBPS
+    # credible measurements below the pin rate participate in the max
+    roof, excl = bench.roofline_denominator(684.0, 742.0)
+    assert roof == nom and not excl
+    # a measurement above ~pin rate is an artifact: excluded + flagged
+    roof, excl = bench.roofline_denominator(637.6, 1370.1)
+    assert roof == nom and excl
+    # a measurement between nominal and the 2% allowance raises the roof
+    roof, excl = bench.roofline_denominator(nom * 1.01, 700.0)
+    assert roof == nom * 1.01 and not excl
+    # missing measurements (failed STREAM section) degrade gracefully
+    roof, excl = bench.roofline_denominator(None, None)
+    assert roof == nom and not excl
